@@ -1,0 +1,254 @@
+"""AIM backbone — frozen CLIP ViT + spatial/temporal/joint adapters.
+
+TPU-native reimplementation of the canonical AIM model
+(reference ``mmaction/models/backbones/vitclip_aim.py:341-469``; block math
+at ``:195-211``). Key behavioural parity points:
+
+* patch embed: conv(P, stride P, no bias) -> tokens; prepend class embed;
+  add positional embedding (``:445-452``)
+* temporal embedding added in ``(B*N, T, D)`` layout (``:454-457``)
+* per block (``:195-211``):
+    1. temporal adaptation: reshape to frame axis, full attention over T with
+       the SAME (frozen) attention weights, ``T_Adapter`` (no skip; optional
+       ``T_Adapter_in`` with skip when ``num_tadapter == 2``), residual with
+       drop-path
+    2. spatial adaptation: ``x + S_Adapter(attn(ln_1(x)))``
+       (``S_Adapter`` carries its own inner residual)
+    3. joint adaptation: ``x + mlp(ln_2(x)) + drop_path(scale * MLP_Adapter(ln_2(x)))``
+* zero-init of every adapter's second projection so the model starts exactly
+  at the CLIP image-model function (``:398-423``)
+* trainable set = adapters + temporal_embedding + ln_post (``:424-427``);
+  here that split lives in ``parallel/partition.py`` as a pytree partition —
+  gradients are only ever taken w.r.t. the trainable sub-tree, so XLA never
+  materialises frozen weight gradients.
+
+TPU-first design choices (deliberately NOT the reference's):
+* batch-first ``(B*T, N, D)`` layout everywhere (no LND permutes)
+* blocks stacked with ``nn.scan`` -> one compiled block body regardless of
+  depth (12 for ViT-B, 24 for ViT-L); per-layer drop-path rates ride in as a
+  scanned array
+* drop-path masks per-sample on the true batch axis (the reference's timm
+  DropPath on an LND tensor masked per token row — a latent bug we do not
+  replicate; eval numerics are unaffected since drop-path is train-only)
+* optional ``jax.checkpoint`` rematerialisation per block replaces
+  ``torch.utils.checkpoint`` (``vit_clip.py:315-321``)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from adapt_image_models_tpu.models.builder import BACKBONES
+from adapt_image_models_tpu.models.layers import (
+    Adapter, CLIPAttention, CLIPMLP, LayerNormFP32, trunc_normal_02,
+)
+
+Dtype = jnp.dtype
+
+
+def drop_path(rng: Optional[jax.Array], x: jax.Array, rate: jax.Array,
+              deterministic: bool) -> jax.Array:
+    """Stochastic depth with a (possibly traced) per-layer rate."""
+    if deterministic or rng is None:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, p=keep, shape=shape)
+    return jnp.where(mask, x / keep.astype(x.dtype), jnp.zeros_like(x))
+
+
+class AIMBlock(nn.Module):
+    """One AIM residual attention block (reference ``vitclip_aim.py:112-211``)."""
+
+    num_heads: int
+    num_frames: int
+    adapter_scale: float = 0.5
+    num_tadapter: int = 1
+    compute_dtype: Dtype = jnp.float32
+    attention_core: str = "xla"
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, dpr: jax.Array) -> Tuple[jax.Array, None]:
+        # x: (B*T, N, D)
+        deterministic = self.deterministic
+        bt, n, d = x.shape
+        t = self.num_frames
+        b = bt // t
+
+        attn = CLIPAttention(self.num_heads, compute_dtype=self.compute_dtype,
+                             attention_core=self.attention_core, name="attn")
+        ln_1 = LayerNormFP32(name="ln_1")
+        ln_2 = LayerNormFP32(name="ln_2")
+        mlp = CLIPMLP(compute_dtype=self.compute_dtype, name="mlp")
+        s_adapter = Adapter(compute_dtype=self.compute_dtype, name="S_Adapter")
+        t_adapter = Adapter(skip_connect=False, compute_dtype=self.compute_dtype,
+                            name="T_Adapter")
+        mlp_adapter = Adapter(skip_connect=False, compute_dtype=self.compute_dtype,
+                              name="MLP_Adapter")
+
+        rng = self.make_rng("dropout") if not deterministic else None
+        if rng is not None:
+            rng_t, rng_m = jax.random.split(rng)
+        else:
+            rng_t = rng_m = None
+
+        # 1. temporal adaptation -------------------------------------------
+        # (B*T, N, D) -> (B*N, T, D): every patch position attends over frames
+        xt = x.reshape(b, t, n, d).transpose(0, 2, 1, 3).reshape(b * n, t, d)
+        xt = ln_1(xt)
+        if self.num_tadapter == 2:
+            xt = Adapter(compute_dtype=self.compute_dtype, name="T_Adapter_in")(xt)
+        xt = t_adapter(attn(xt))
+        xt = xt.reshape(b, n, t, d).transpose(0, 2, 1, 3).reshape(bt, n, d)
+        x = x + drop_path(rng_t, xt, dpr, deterministic)
+
+        # 2. spatial adaptation --------------------------------------------
+        x = x + s_adapter(attn(ln_1(x)))
+
+        # 3. joint adaptation ----------------------------------------------
+        xn = ln_2(x)
+        scale = jnp.asarray(self.adapter_scale, x.dtype)
+        x = x + mlp(xn) + drop_path(rng_m, scale * mlp_adapter(xn), dpr,
+                                    deterministic)
+        return x, None
+
+
+class AIMTransformer(nn.Module):
+    """Depth-stacked AIM blocks via ``nn.scan`` (one traced block body)."""
+
+    layers: int
+    num_heads: int
+    num_frames: int
+    adapter_scale: float = 0.5
+    num_tadapter: int = 1
+    drop_path_rate: float = 0.0
+    use_checkpoint: bool = False
+    compute_dtype: Dtype = jnp.float32
+    attention_core: str = "xla"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        dpr = jnp.linspace(0.0, self.drop_path_rate, self.layers)
+
+        block_cls = AIMBlock
+        if self.use_checkpoint:
+            block_cls = nn.remat(AIMBlock)
+
+        ScanBlocks = nn.scan(
+            block_cls,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(0,),
+            length=self.layers,
+        )
+        blocks = ScanBlocks(
+            num_heads=self.num_heads,
+            num_frames=self.num_frames,
+            adapter_scale=self.adapter_scale,
+            num_tadapter=self.num_tadapter,
+            compute_dtype=self.compute_dtype,
+            attention_core=self.attention_core,
+            deterministic=deterministic,
+            name="resblocks",
+        )
+        x, _ = blocks(x, dpr)
+        return x
+
+
+@BACKBONES.register_module()
+class AIM(nn.Module):
+    """CLIP ViT image encoder with AIM adapters (reference ``vitclip_aim.py:341``).
+
+    Input  : ``(B, C, T, H, W)`` float (NCTHW, matching ``FormatShape``)
+    Output : ``(B, T, D)`` per-frame class-token features
+             (the reference emits ``(B, D, T, 1, 1)`` for its I3D head —
+             same information, TPU-friendly layout).
+    """
+
+    input_resolution: int = 224
+    num_frames: int = 8
+    patch_size: int = 16
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    drop_path_rate: float = 0.2
+    num_tadapter: int = 1
+    adapter_scale: float = 0.5
+    use_checkpoint: bool = False
+    compute_dtype: Dtype = jnp.float32
+    attention_core: str = "xla"
+    pretrained: Optional[str] = None  # handled by convert/clip_import.py
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        b, c, t, h, w = x.shape
+        if t != self.num_frames:
+            raise ValueError(f"got T={t}, model built for num_frames={self.num_frames}")
+        d = self.width
+        n_patches = (self.input_resolution // self.patch_size) ** 2
+
+        cdt = self.compute_dtype
+        # (B, C, T, H, W) -> (B*T, H, W, C): NHWC is the native conv layout on TPU
+        xt = x.transpose(0, 2, 3, 4, 1).reshape(b * t, h, w, c).astype(cdt)
+        xt = nn.Conv(d, kernel_size=(self.patch_size, self.patch_size),
+                     strides=(self.patch_size, self.patch_size), use_bias=False,
+                     dtype=cdt, kernel_init=trunc_normal_02, name="conv1")(xt)
+        xt = xt.reshape(b * t, -1, d)  # (B*T, N_patches, D)
+
+        scale = d ** -0.5
+        class_embedding = self.param(
+            "class_embedding",
+            lambda k, s: scale * jax.random.normal(k, s, jnp.float32), (d,))
+        positional_embedding = self.param(
+            "positional_embedding",
+            lambda k, s: scale * jax.random.normal(k, s, jnp.float32),
+            (n_patches + 1, d))
+        temporal_embedding = self.param(
+            "temporal_embedding", nn.initializers.zeros,
+            (1, self.num_frames, d), jnp.float32)
+
+        cls = jnp.broadcast_to(class_embedding.astype(cdt), (b * t, 1, d))
+        xt = jnp.concatenate([cls, xt], axis=1)  # (B*T, N, D)
+        xt = xt + positional_embedding.astype(cdt)
+
+        n = xt.shape[1]
+        # temporal embedding rides the (B*N, T, D) layout (vitclip_aim.py:454-457)
+        xt = xt.reshape(b, t, n, d).transpose(0, 2, 1, 3)
+        xt = xt + temporal_embedding.astype(cdt)[None]
+        xt = xt.transpose(0, 2, 1, 3).reshape(b * t, n, d)
+
+        xt = LayerNormFP32(name="ln_pre")(xt)
+
+        xt = AIMTransformer(
+            layers=self.layers, num_heads=self.heads,
+            num_frames=self.num_frames, adapter_scale=self.adapter_scale,
+            num_tadapter=self.num_tadapter, drop_path_rate=self.drop_path_rate,
+            use_checkpoint=self.use_checkpoint, compute_dtype=cdt,
+            attention_core=self.attention_core, name="transformer")(
+                xt, deterministic=deterministic)
+
+        xt = LayerNormFP32(name="ln_post")(xt)
+        cls_tok = xt[:, 0]  # (B*T, D)
+        return cls_tok.reshape(b, t, d)
+
+
+def vit_b16_config(**overrides):
+    cfg = dict(type="AIM", input_resolution=224, patch_size=16, width=768,
+               layers=12, heads=12, drop_path_rate=0.2, adapter_scale=0.5,
+               num_tadapter=1, num_frames=8)
+    cfg.update(overrides)
+    return cfg
+
+
+def vit_l14_config(**overrides):
+    cfg = dict(type="AIM", input_resolution=224, patch_size=14, width=1024,
+               layers=24, heads=16, drop_path_rate=0.2, adapter_scale=0.5,
+               num_tadapter=1, num_frames=8)
+    cfg.update(overrides)
+    return cfg

@@ -1,0 +1,43 @@
+"""Model registries (parity: ``mmaction/models/builder.py``).
+
+``build_model`` resolves a recognizer config into a flax module. Unlike the
+reference there is no nn.Module state — models are pure functions over param
+pytrees; "building" returns the module definition only.
+"""
+
+from adapt_image_models_tpu.utils.registry import Registry
+
+BACKBONES = Registry("backbone")
+NECKS = Registry("neck")
+HEADS = Registry("head")
+RECOGNIZERS = Registry("recognizer")
+LOSSES = Registry("loss")
+
+
+def build_backbone(cfg):
+    return BACKBONES.build(cfg)
+
+
+def build_neck(cfg):
+    return NECKS.build(cfg)
+
+
+def build_head(cfg):
+    return HEADS.build(cfg)
+
+
+def build_loss(cfg):
+    return LOSSES.build(cfg)
+
+
+def build_recognizer(cfg, train_cfg=None, test_cfg=None):
+    return RECOGNIZERS.build(cfg, train_cfg=train_cfg, test_cfg=test_cfg)
+
+
+def build_model(cfg, train_cfg=None, test_cfg=None):
+    """Build a recognizer (the only model family currently on the TPU path)."""
+    args = dict(cfg)
+    obj_type = args.get("type", "")
+    if obj_type in RECOGNIZERS:
+        return build_recognizer(cfg, train_cfg=train_cfg, test_cfg=test_cfg)
+    raise KeyError(f"{obj_type} is not a registered recognizer")

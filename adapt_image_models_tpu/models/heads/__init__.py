@@ -1,0 +1,2 @@
+from adapt_image_models_tpu.models.heads.i3d_head import I3DHead
+from adapt_image_models_tpu.models.heads.tsn_head import TSNHead

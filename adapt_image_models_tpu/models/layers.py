@@ -1,0 +1,253 @@
+"""Shared building blocks for the AIM model family.
+
+Numerics mirror the reference exactly where accuracy parity depends on it:
+
+* ``LayerNormFP32`` — LN always computed in float32 then cast back
+  (reference: ``mmaction/models/backbones/vitclip_aim.py:98-104``).
+* ``QuickGELU`` — ``x * sigmoid(1.702 x)`` as in CLIP's frozen MLP
+  (reference ``vitclip_aim.py:107-109``).
+* ``Adapter`` — ``Linear(D -> D*r) -> GELU(exact) -> Linear(-> D)`` with an
+  optional residual (reference ``vitclip_aim.py:78-96``). torch's default
+  ``nn.GELU`` is the exact erf form, so ``approximate=False`` here.
+* ``CLIPAttention`` — packed-QKV multi-head attention matching
+  ``nn.MultiheadAttention``'s manual-projection path
+  (reference ``vitclip_aim.py:153-193``), batch-first ``(B, L, D)`` layout
+  (TPU-friendly; the reference's LND layout is a torch idiom).
+
+Dtype policy: params live in fp32 ("master" copies); matmuls run in a
+configurable ``compute_dtype`` (bf16 on TPU); LayerNorm and softmax stay
+fp32. This supersedes the reference's apex-O1 AMP (`apis/train.py:87-99`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+Dtype = jnp.dtype
+
+# ---------------------------------------------------------------------------
+# activations
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def exact_gelu(x: jax.Array) -> jax.Array:
+    # torch nn.GELU() default = exact erf form.
+    return jax.nn.gelu(x, approximate=False)
+
+
+# ---------------------------------------------------------------------------
+# initializers (parity with the reference's init_weights, vitclip_aim.py:364-423)
+
+trunc_normal_02 = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
+
+
+# ---------------------------------------------------------------------------
+# LayerNorm with fp32 island
+
+
+class LayerNormFP32(nn.Module):
+    """LayerNorm computed in float32 regardless of input dtype."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        orig_dtype = x.dtype
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale + bias
+        return y.astype(orig_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Stochastic depth
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth on the leading (batch) axis."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, p=keep, shape=shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x)).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Adapter — THE trainable unit of AIM
+
+
+class Adapter(nn.Module):
+    """MLP-bottleneck adapter (reference ``vitclip_aim.py:78-96``).
+
+    ``D_fc2`` is zero-initialised so a freshly-inserted adapter is an
+    identity (skip) / zero (no-skip) function — matching the reference's
+    explicit zero-init of every adapter's second projection
+    (``vitclip_aim.py:398-423``).
+    """
+
+    mlp_ratio: float = 0.25
+    skip_connect: bool = True
+    compute_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        d = x.shape[-1]
+        hidden = int(d * self.mlp_ratio)
+        xs = nn.Dense(hidden, kernel_init=trunc_normal_02,
+                      bias_init=nn.initializers.zeros,
+                      dtype=self.compute_dtype, name="D_fc1")(x)
+        xs = exact_gelu(xs)
+        xs = nn.Dense(d, kernel_init=nn.initializers.zeros,
+                      bias_init=nn.initializers.zeros,
+                      dtype=self.compute_dtype, name="D_fc2")(xs)
+        if self.skip_connect:
+            return x + xs
+        return xs
+
+
+class LinearAdapter(nn.Module):
+    """ZeroI2V-style linear bottleneck adapter: no activation, residual add.
+
+    Reference ``vit_clip_zeroI2V.py:15-38``: ``Linear(D -> D/r)`` kaiming-
+    uniform init, ``Linear(D/r -> D)`` zero init, output added to input.
+    """
+
+    down_ratio: int = 2
+    skip_connect: bool = True
+    compute_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        d = x.shape[-1]
+        hidden = d // self.down_ratio
+        # torch kaiming_uniform_(a=sqrt(5)) on a (out,in) weight ==
+        # uniform(+-1/sqrt(fan_in)); flax variance_scaling equivalent:
+        kaiming = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+        xs = nn.Dense(hidden, kernel_init=kaiming, bias_init=nn.initializers.zeros,
+                      dtype=self.compute_dtype, name="down")(x)
+        xs = nn.Dense(d, kernel_init=nn.initializers.zeros,
+                      bias_init=nn.initializers.zeros,
+                      dtype=self.compute_dtype, name="up")(xs)
+        if self.skip_connect:
+            return x + xs
+        return xs
+
+
+# ---------------------------------------------------------------------------
+# Attention core — pluggable so a Pallas flash kernel can replace it
+
+
+def xla_attention_core(q: jax.Array, k: jax.Array, v: jax.Array,
+                       mask: Optional[jax.Array] = None) -> jax.Array:
+    """Reference attention math. q,k,v: (B, H, L, hd). mask: additive,
+    broadcastable to (B, H, Lq, Lk). Softmax in fp32."""
+    head_dim = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if mask is not None:
+        logits = logits + mask.astype(logits.dtype)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(v.dtype)
+
+
+def get_attention_core(name: str) -> Callable:
+    """'xla' -> einsum reference; 'flash' -> Pallas flash-attention kernel."""
+    if name == "xla":
+        return xla_attention_core
+    if name == "flash":
+        from adapt_image_models_tpu.ops.flash_attention import flash_attention_core
+        return flash_attention_core
+    raise ValueError(f"unknown attention core: {name}")
+
+
+class CLIPAttention(nn.Module):
+    """Multi-head attention with CLIP's packed in-projection.
+
+    Params:
+      in_proj/kernel  (D, 3D)   — columns ordered [q | k | v]
+      in_proj/bias    (3D,)
+      out_proj/kernel (D, D)
+      out_proj/bias   (D,)
+
+    Supports self-attention (``kv=None``) and cross-attention (q from ``x``,
+    k/v from ``kv``) — the reference uses the latter for patch-shift
+    cross-attention (``vit_clip.py:164-197``).
+    """
+
+    num_heads: int
+    compute_dtype: Dtype = jnp.float32
+    attention_core: str = "xla"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, kv: Optional[jax.Array] = None,
+                 mask: Optional[jax.Array] = None) -> jax.Array:
+        d = x.shape[-1]
+        if d % self.num_heads:
+            raise ValueError(f"d_model {d} not divisible by heads {self.num_heads}")
+        hd = d // self.num_heads
+        w = self.param("in_proj_kernel", trunc_normal_02, (d, 3 * d), jnp.float32)
+        b = self.param("in_proj_bias", nn.initializers.zeros, (3 * d,), jnp.float32)
+        cdt = self.compute_dtype
+        xq = x.astype(cdt)
+        xkv = (kv if kv is not None else x).astype(cdt)
+        wq, wk, wv = jnp.split(w.astype(cdt), 3, axis=1)
+        bq, bk, bv = jnp.split(b.astype(cdt), 3)
+        q = xq @ wq + bq
+        k = xkv @ wk + bk
+        v = xkv @ wv + bv
+
+        B, Lq = q.shape[0], q.shape[1]
+        Lk = k.shape[1]
+        q = q.reshape(B, Lq, self.num_heads, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(B, Lk, self.num_heads, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(B, Lk, self.num_heads, hd).transpose(0, 2, 1, 3)
+
+        core = get_attention_core(self.attention_core)
+        out = core(q, k, v, mask)
+        out = out.transpose(0, 2, 1, 3).reshape(B, Lq, d)
+        out = nn.Dense(d, kernel_init=trunc_normal_02,
+                       bias_init=nn.initializers.zeros,
+                       dtype=cdt, name="out_proj")(out)
+        return out
+
+
+class CLIPMLP(nn.Module):
+    """CLIP transformer MLP: c_fc (D->4D) -> QuickGELU -> c_proj (4D->D)."""
+
+    compute_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        d = x.shape[-1]
+        x = nn.Dense(4 * d, kernel_init=trunc_normal_02,
+                     bias_init=nn.initializers.zeros,
+                     dtype=self.compute_dtype, name="c_fc")(x)
+        x = quick_gelu(x)
+        x = nn.Dense(d, kernel_init=trunc_normal_02,
+                     bias_init=nn.initializers.zeros,
+                     dtype=self.compute_dtype, name="c_proj")(x)
+        return x

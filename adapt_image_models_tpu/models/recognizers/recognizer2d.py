@@ -1,0 +1,44 @@
+"""2D (TSN-style) recognizer (reference ``recognizer2d.py``).
+
+Frames (segments) are folded into the batch for a 2D backbone; the head
+receives ``(B, S, D)`` segment features and applies avg consensus.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from adapt_image_models_tpu.models.builder import (
+    RECOGNIZERS, build_backbone, build_head,
+)
+from adapt_image_models_tpu.models.recognizers.recognizer3d import average_clip
+
+
+@RECOGNIZERS.register_module()
+class Recognizer2D(nn.Module):
+    backbone: Dict[str, Any]
+    cls_head: Dict[str, Any]
+    neck: Optional[Dict[str, Any]] = None
+    train_cfg: Optional[Dict[str, Any]] = None
+    test_cfg: Optional[Dict[str, Any]] = None
+
+    def setup(self):
+        self.backbone_module = build_backbone(dict(self.backbone))
+        self.head_module = build_head(dict(self.cls_head))
+
+    def __call__(self, imgs: jax.Array, deterministic: bool = True) -> jax.Array:
+        """imgs: (B, S, C, H, W) segment frames -> (B, num_classes) logits."""
+        b, s = imgs.shape[:2]
+        x = imgs.reshape((b * s,) + imgs.shape[2:])
+        feat = self.backbone_module(x, deterministic=deterministic)
+        feat = feat.reshape(b, s, -1)
+        return self.head_module(feat, deterministic=deterministic)
+
+    def forward_test(self, imgs: jax.Array) -> jax.Array:
+        logits = self(imgs, deterministic=True)
+        avg = (self.test_cfg or {}).get("average_clips", "prob")
+        return average_clip(logits, 1, avg)

@@ -1,0 +1,7 @@
+from adapt_image_models_tpu.parallel.partition import (
+    is_trainable_path, trainable_mask, partition_params, merge_params,
+    count_params,
+)
+from adapt_image_models_tpu.parallel.mesh import (
+    make_mesh, batch_sharding, replicated_sharding, shard_batch,
+)

@@ -1,0 +1,52 @@
+"""Device mesh + sharding helpers.
+
+The reference's only parallelism is DDP data parallel over NCCL
+(``apis/train.py:102-110``, ``tools/dist_train.sh:8``). Here the equivalent —
+and more — is a ``jax.sharding.Mesh`` with named axes:
+
+* ``data``  — batch sharding (DDP equivalent; gradients psum'd by XLA)
+* ``model`` — optional tensor-parallel axis (head/FFN sharding for ViT-L+;
+  the reference has no TP, this is a superset)
+
+Collectives ride ICI automatically; multi-host extends the same mesh over
+DCN via ``jax.distributed.initialize`` — no NCCL-style plumbing.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: Optional[int] = None, model: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a (data, model) mesh. Defaults to all devices on the data axis."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data is None:
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    spec = P(*(("data",) + (None,) * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a host batch pytree with leading-axis sharding."""
+    def _put(x):
+        return jax.device_put(x, batch_sharding(mesh, np.ndim(x)))
+    return jax.tree_util.tree_map(_put, batch)

@@ -1,0 +1,69 @@
+"""Trainable/frozen parameter partition — the AIM freeze recipe as a pytree split.
+
+Reference behaviour (``vitclip_aim.py:424-427``): every parameter is frozen
+except those whose name contains ``temporal_embedding``, ``ln_post`` or
+``Adapter`` (plus the classification head, which is a separate module there).
+
+TPU-native expression: instead of ``requires_grad`` flags, the param pytree
+is split into (trainable, frozen) sub-trees and the loss is differentiated
+w.r.t. the trainable sub-tree only. XLA then never builds gradients for the
+frozen CLIP weights — the backward pass still propagates activations through
+frozen layers (needed to reach earlier adapters) but skips all frozen dW
+matmuls, which is most of the backward FLOPs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import traverse_util
+from flax.core import FrozenDict
+
+TRAINABLE_KEYWORDS = ("Adapter", "temporal_embedding", "ln_post")
+TRAINABLE_MODULES = ("head_module", "cls_head", "fc_cls")
+
+
+def is_trainable_path(path: Tuple[str, ...]) -> bool:
+    """Mirror of the reference's name-based freeze predicate."""
+    for part in path:
+        for kw in TRAINABLE_KEYWORDS:
+            if kw in part:
+                return True
+        if part in TRAINABLE_MODULES:
+            return True
+    return False
+
+
+def _as_dict(params):
+    if isinstance(params, FrozenDict):
+        return params.unfreeze()
+    return params
+
+
+def trainable_mask(params) -> Any:
+    """Bool pytree with the same structure as ``params``."""
+    flat = traverse_util.flatten_dict(_as_dict(params))
+    mask = {k: is_trainable_path(k) for k in flat}
+    return traverse_util.unflatten_dict(mask)
+
+
+def partition_params(params) -> Tuple[Dict, Dict]:
+    """Split into (trainable, frozen) flat-path dicts (both unflattened)."""
+    flat = traverse_util.flatten_dict(_as_dict(params))
+    train = {k: v for k, v in flat.items() if is_trainable_path(k)}
+    frozen = {k: v for k, v in flat.items() if not is_trainable_path(k)}
+    return traverse_util.unflatten_dict(train), traverse_util.unflatten_dict(frozen)
+
+
+def merge_params(trainable, frozen) -> Dict:
+    flat = dict(traverse_util.flatten_dict(_as_dict(frozen)))
+    flat.update(traverse_util.flatten_dict(_as_dict(trainable)))
+    return traverse_util.unflatten_dict(flat)
+
+
+def count_params(tree) -> int:
+    import math
+    return int(sum(math.prod(x.shape) if hasattr(x, "shape") else 0
+                   for x in jax.tree_util.tree_leaves(tree)))
