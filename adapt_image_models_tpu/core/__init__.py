@@ -1,0 +1,4 @@
+from adapt_image_models_tpu.core.metrics import (
+    top_k_accuracy, mean_class_accuracy, confusion_matrix,
+    mean_average_precision,
+)

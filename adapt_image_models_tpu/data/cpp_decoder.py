@@ -1,0 +1,99 @@
+"""ctypes binding to the in-repo C++ FFmpeg decoder (``csrc/``).
+
+The C++ library is the TPU-native equivalent of the fork's patched decord
+(``FusedDecordInit``, reference ``loading.py:1678-1753``): batched
+random-access frame decode with fused short-side resize, writing directly
+into a caller-provided buffer.
+
+Until ``csrc/build.sh`` has produced ``libaimdecode.so``, ``is_available()``
+returns False and readers fall back to OpenCV.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+from adapt_image_models_tpu.data.video_reader import VideoReader, _dedup_gather
+
+_LIB = None
+_LIB_SEARCHED = False
+
+
+def _lib_path() -> str:
+    here = os.path.dirname(os.path.abspath(__file__))
+    return os.path.join(os.path.dirname(os.path.dirname(here)),
+                        "csrc", "build", "libaimdecode.so")
+
+
+def _load_lib():
+    global _LIB, _LIB_SEARCHED
+    if _LIB_SEARCHED:
+        return _LIB
+    _LIB_SEARCHED = True
+    path = os.environ.get("AIM_DECODE_LIB", _lib_path())
+    if not os.path.exists(path):
+        return None
+    lib = ctypes.CDLL(path)
+    lib.aim_open.restype = ctypes.c_void_p
+    lib.aim_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.aim_num_frames.restype = ctypes.c_long
+    lib.aim_num_frames.argtypes = [ctypes.c_void_p]
+    lib.aim_frame_size.restype = ctypes.c_int
+    lib.aim_frame_size.argtypes = [ctypes.c_void_p,
+                                   ctypes.POINTER(ctypes.c_int),
+                                   ctypes.POINTER(ctypes.c_int)]
+    lib.aim_get_frames.restype = ctypes.c_int
+    lib.aim_get_frames.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_long), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8)]
+    lib.aim_close.restype = None
+    lib.aim_close.argtypes = [ctypes.c_void_p]
+    _LIB = lib
+    return _LIB
+
+
+def is_available() -> bool:
+    return _load_lib() is not None
+
+
+class CppVideoReader(VideoReader):
+    """Random-access reader backed by the C++ FFmpeg library."""
+
+    def __init__(self, path: str, short_side: Optional[int] = None):
+        lib = _load_lib()
+        if lib is None:
+            raise ImportError("libaimdecode.so not built (csrc/build.sh)")
+        if not os.path.exists(path):
+            raise FileNotFoundError(path)
+        self._lib = lib
+        self._handle = lib.aim_open(path.encode(), int(short_side or 0))
+        if not self._handle:
+            raise IOError(f"cannot open video {path}")
+        self.path = path
+        self.num_frames = int(lib.aim_num_frames(self._handle))
+        h = ctypes.c_int()
+        w = ctypes.c_int()
+        lib.aim_frame_size(self._handle, ctypes.byref(h), ctypes.byref(w))
+        self.height, self.width = h.value, w.value
+
+    def get_frames(self, indices: Sequence[int]) -> np.ndarray:
+        uniq, inverse = _dedup_gather(indices)
+        n = len(uniq)
+        out = np.empty((n, self.height, self.width, 3), np.uint8)
+        idx_arr = np.ascontiguousarray(uniq, dtype=np.int64)
+        rc = self._lib.aim_get_frames(
+            self._handle,
+            idx_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_long)), n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        if rc != 0:
+            raise IOError(f"C++ decode failed (rc={rc}) for {self.path}")
+        return out[inverse]
+
+    def close(self):
+        if getattr(self, "_handle", None):
+            self._lib.aim_close(self._handle)
+            self._handle = None

@@ -1,0 +1,245 @@
+"""Sample processor: interprets mmaction-style pipeline configs.
+
+The reference expresses preprocessing as a ``Compose`` of registered
+transforms over a results dict (``pipelines/compose.py:9``). Here the same
+config lists (so reference configs port verbatim) are *compiled* once into a
+``SampleProcessor`` with two stages:
+
+* host stage (this module): decode + sampling + variable-shape geometry
+  (short-side resize, crop, fixed resize, flip) -> fixed-shape uint8
+  ``(V, T, H, W, C)`` clips
+* device stage (``transforms.make_prepare_fn``): normalize + NCTHW format +
+  dtype cast, fused by XLA into the model step
+
+Normalize/FormatShape/Collect/ToTensor entries are parsed for their
+parameters but execute on device — the reference's ``GPUNormalize`` idea
+(``utils/module_hooks.py:35``) applied to the whole tail.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from adapt_image_models_tpu.data import transforms_host as TH
+from adapt_image_models_tpu.data.sampling import SampleFrames
+from adapt_image_models_tpu.data.video_reader import open_video
+
+_DECODE_INITS = ("DecordInit", "OpenCVInit", "PyAVInit", "FusedDecordInit")
+_DECODE_OPS = ("DecordDecode", "OpenCVDecode", "PyAVDecode", "RawFrameDecode",
+               "ImageDecode")
+_NOOPS = ("Collect", "ToTensor", "FormatShape")
+
+
+@dataclasses.dataclass
+class SampleProcessor:
+    """Compiled per-sample host pipeline."""
+
+    sampler: SampleFrames
+    steps: List[Tuple[str, Dict[str, Any]]]
+    mean: Tuple[float, ...]
+    std: Tuple[float, ...]
+    to_bgr: bool
+    test_mode: bool
+    io_backend: str = "auto"
+    decode_short_side: Optional[int] = None
+
+    @property
+    def num_views(self) -> int:
+        """Total views per sample = temporal clips x spatial crops."""
+        crops = 1
+        for name, kw in self.steps:
+            if name == "ThreeCrop":
+                crops = 3
+            elif name == "TenCrop":
+                crops = 10
+        return self.sampler.views * crops
+
+    def output_size(self) -> Tuple[int, int]:
+        """Final (H, W) after the chain (static, required for XLA)."""
+        size = None
+        for name, kw in self.steps:
+            if name == "Resize" and not kw.get("keep_ratio_short", False):
+                size = kw["size"]
+            elif name in ("CenterCrop", "RandomCrop", "ThreeCrop", "TenCrop"):
+                size = kw["crop_size"]
+            elif name in ("RandomResizedCrop", "MultiScaleCrop"):
+                size = None  # followed by a fixed Resize in valid configs
+        if size is None:
+            raise ValueError("pipeline does not end at a fixed spatial size")
+        return size
+
+    def __call__(self, source, label, rng: Optional[np.random.Generator] = None,
+                 total_frames: Optional[int] = None,
+                 start_index: int = 0) -> Tuple[np.ndarray, Any]:
+        """source: path / VideoReader. Returns ((V, T, H, W, C) uint8, label)."""
+        if rng is None:
+            rng = np.random.default_rng()
+        reader = open_video(source, short_side=self.decode_short_side,
+                            backend=self.io_backend)
+        try:
+            nf = total_frames or reader.num_frames
+            inds = self.sampler(nf, start_index=start_index, rng=rng)
+            frames = reader.get_frames(inds)  # (V*T, H, W, C)
+        finally:
+            if reader is not source:
+                reader.close()
+
+        t = self.sampler.clip_len
+        clips = frames.reshape(-1, t, *frames.shape[1:])  # (Vt, T, H, W, C)
+
+        out_clips = []
+        for clip in clips:
+            out_clips.extend(self._apply_spatial(clip, rng))
+        out = np.stack(out_clips, axis=0)
+        if self.to_bgr:
+            out = out[..., ::-1]
+        return np.ascontiguousarray(out), label
+
+    # ------------------------------------------------------------------
+    def _apply_spatial(self, clip: np.ndarray,
+                       rng: np.random.Generator) -> List[np.ndarray]:
+        """One temporal clip (T, H, W, C) -> list of spatial-view clips."""
+        views = [clip]
+        for name, kw in self.steps:
+            new_views = []
+            for v in views:
+                hw = v.shape[1:3]
+                if name == "Resize":
+                    if kw.get("keep_ratio_short", False):
+                        new_views.append(TH.rescale_short_side(v, kw["short_side"]))
+                    else:
+                        h, w = kw["size"]
+                        new_views.append(TH.resize_clip(v, (w, h)))
+                elif name == "RandomResizedCrop":
+                    bbox = TH.random_resized_crop_bbox(
+                        rng, hw, kw.get("area_range", (0.08, 1.0)),
+                        kw.get("aspect_ratio_range", (3 / 4, 4 / 3)))
+                    new_views.append(TH.crop_clip(v, bbox))
+                elif name == "MultiScaleCrop":
+                    bbox = TH.multi_scale_crop_bbox(
+                        rng, hw, input_size=kw["crop_size"][::-1],
+                        scales=kw.get("scales", (1.0, 0.875, 0.75, 0.66)),
+                        max_wh_scale_gap=kw.get("max_wh_scale_gap", 1),
+                        random_crop=kw.get("random_crop", False))
+                    new_views.append(TH.crop_clip(v, bbox))
+                elif name == "CenterCrop":
+                    ch, cw = kw["crop_size"]
+                    bbox = TH.center_crop_bbox(hw, (cw, ch))
+                    new_views.append(TH.crop_clip(v, bbox))
+                elif name == "RandomCrop":
+                    ch, cw = kw["crop_size"]
+                    bbox = TH.random_crop_bbox(rng, hw, (cw, ch))
+                    new_views.append(TH.crop_clip(v, bbox))
+                elif name == "ThreeCrop":
+                    ch, cw = kw["crop_size"]
+                    for (x, y) in TH.three_crop_offsets(hw, (cw, ch)):
+                        new_views.append(v[:, y:y + ch, x:x + cw])
+                elif name == "TenCrop":
+                    ch, cw = kw["crop_size"]
+                    for (x, y) in TH.ten_crop_offsets(hw, (cw, ch)):
+                        c = v[:, y:y + ch, x:x + cw]
+                        new_views.append(c)
+                        new_views.append(TH.flip_clip(c))
+                elif name == "Flip":
+                    ratio = kw.get("flip_ratio", 0.5)
+                    if not self.test_mode and ratio and rng.random() < ratio:
+                        new_views.append(TH.flip_clip(v))
+                    else:
+                        new_views.append(v)
+                else:
+                    raise ValueError(f"unhandled spatial step {name}")
+            views = new_views
+        return views
+
+
+def _pair(x) -> Tuple[int, int]:
+    if isinstance(x, (tuple, list)):
+        return int(x[0]), int(x[1])
+    return int(x), int(x)
+
+
+def build_sample_processor(pipeline_cfg: Sequence[Dict[str, Any]],
+                           test_mode: Optional[bool] = None,
+                           io_backend: str = "auto") -> SampleProcessor:
+    """Compile an mmaction-style pipeline config list."""
+    sampler = None
+    steps: List[Tuple[str, Dict[str, Any]]] = []
+    mean, std, to_bgr = (122.769, 116.74, 104.04), (68.493, 66.63, 70.321), False
+    fused_short_side = None
+
+    for item in pipeline_cfg:
+        item = dict(item)
+        t = item.pop("type")
+        if t in _DECODE_INITS:
+            if t == "FusedDecordInit":
+                # fused decode+resize: honor the short-side hint
+                scale = item.get("scale") or item.get("short_side")
+                if scale:
+                    fused_short_side = int(scale if np.isscalar(scale) else max(scale))
+            continue
+        if t in _DECODE_OPS or t in _NOOPS:
+            continue
+        if t in ("SampleFrames", "DenseSampleFrames"):
+            item.setdefault("test_mode", False)
+            if test_mode is None:
+                test_mode = item["test_mode"]
+            sampler = SampleFrames(
+                clip_len=item["clip_len"],
+                frame_interval=item.get("frame_interval", 1),
+                num_clips=item.get("num_clips", 1),
+                temporal_jitter=item.get("temporal_jitter", False),
+                twice_sample=item.get("twice_sample", False),
+                out_of_bound_opt=item.get("out_of_bound_opt", "loop"),
+                test_mode=item["test_mode"],
+                frame_uniform=item.get("frame_uniform", False))
+            continue
+        if t == "Normalize":
+            mean = tuple(item.get("mean", mean))
+            std = tuple(item.get("std", std))
+            to_bgr = bool(item.get("to_bgr", False))
+            continue
+        if t == "Resize":
+            scale = item["scale"]
+            keep_ratio = item.get("keep_ratio", True)
+            if isinstance(scale, (tuple, list)) and -1 in tuple(scale):
+                steps.append(("Resize", dict(keep_ratio_short=True,
+                                             short_side=int(max(scale)))))
+            elif keep_ratio and not isinstance(scale, (tuple, list)):
+                raise ValueError("float rescale not supported; use (-1, N)")
+            else:
+                w, h = _pair(scale)
+                steps.append(("Resize", dict(keep_ratio_short=False,
+                                             size=(h, w))))
+            continue
+        if t in ("CenterCrop", "RandomCrop", "ThreeCrop", "TenCrop"):
+            ch, cw = _pair(item["crop_size"])[::-1] if isinstance(
+                item["crop_size"], (tuple, list)) else _pair(item["crop_size"])
+            steps.append((t, dict(crop_size=(ch, cw))))
+            continue
+        if t == "RandomResizedCrop":
+            steps.append((t, dict(
+                area_range=tuple(item.get("area_range", (0.08, 1.0))),
+                aspect_ratio_range=tuple(item.get("aspect_ratio_range",
+                                                  (3 / 4, 4 / 3))))))
+            continue
+        if t == "MultiScaleCrop":
+            steps.append((t, dict(
+                crop_size=_pair(item["input_size"]),
+                scales=tuple(item.get("scales", (1.0, 0.875, 0.75, 0.66))),
+                max_wh_scale_gap=item.get("max_wh_scale_gap", 1),
+                random_crop=item.get("random_crop", False))))
+            continue
+        if t == "Flip":
+            steps.append((t, dict(flip_ratio=item.get("flip_ratio", 0.5))))
+            continue
+        raise ValueError(f"unsupported pipeline transform: {t}")
+
+    if sampler is None:
+        raise ValueError("pipeline has no SampleFrames step")
+    return SampleProcessor(sampler=sampler, steps=steps, mean=mean, std=std,
+                           to_bgr=to_bgr, test_mode=bool(test_mode),
+                           io_backend=io_backend,
+                           decode_short_side=fused_short_side)

@@ -1,0 +1,116 @@
+"""Device-side (jitted XLA) preprocessing.
+
+The tail of the reference's CPU transform chain — Normalize
+(``augmentations.py:1393``; the fork moves it on-accelerator via the
+``GPUNormalize`` hook, ``mmaction/utils/module_hooks.py:35``), FormatShape
+NCTHW (``formating.py:252-277``) and the uint8->float cast — runs here as
+one jitted graph that XLA fuses straight into the first conv of the model.
+Host workers only ship fixed-shape uint8 clips.
+
+Also provides pure-jax resize/crop/flip for fully-on-device pipelines over
+fixed-size sources (synthetic benches, pre-resized datasets).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# CLIP normalization constants (0-255 scale), used by all AIM configs
+# (reference configs/recognition/vit/vitclip_base_k400.py img_norm_cfg).
+CLIP_MEAN = (122.769, 116.74, 104.04)
+CLIP_STD = (68.493, 66.63, 70.321)
+IMAGENET_MEAN = (123.675, 116.28, 103.53)
+IMAGENET_STD = (58.395, 57.12, 57.375)
+
+
+def normalize(imgs: jax.Array, mean: Sequence[float] = CLIP_MEAN,
+              std: Sequence[float] = CLIP_STD,
+              dtype: jnp.dtype = jnp.float32) -> jax.Array:
+    """(..., C) uint8/float -> normalized float."""
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    x = imgs.astype(jnp.float32)
+    return ((x - mean) / std).astype(dtype)
+
+
+def format_ncthw(clip: jax.Array) -> jax.Array:
+    """(..., T, H, W, C) -> (..., C, T, H, W)  (FormatShape('NCTHW'))."""
+    perm = tuple(range(clip.ndim - 4)) + (
+        clip.ndim - 1, clip.ndim - 4, clip.ndim - 3, clip.ndim - 2)
+    return clip.transpose(perm)
+
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def prepare_batch(clips_uint8: jax.Array,
+                  mean: jax.Array, std: jax.Array,
+                  dtype: jnp.dtype = jnp.float32) -> jax.Array:
+    """(B[, V], T, H, W, C) uint8 -> (B[, V], C, T, H, W) normalized."""
+    x = normalize(clips_uint8, mean, std, dtype)
+    return format_ncthw(x)
+
+
+def make_prepare_fn(mean=CLIP_MEAN, std=CLIP_STD, dtype=jnp.float32):
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+
+    def prepare(clips_uint8):
+        return prepare_batch(clips_uint8, mean, std, dtype)
+
+    return prepare
+
+
+# ---------------------------------------------------------------------------
+# pure-jax geometric ops (fixed static shapes)
+
+
+def resize_bilinear(clip: jax.Array, size_hw: Tuple[int, int]) -> jax.Array:
+    """(..., H, W, C) -> (..., h, w, C) bilinear resize on device."""
+    out_shape = clip.shape[:-3] + (size_hw[0], size_hw[1], clip.shape[-1])
+    return jax.image.resize(clip.astype(jnp.float32), out_shape, "bilinear")
+
+
+def center_crop(clip: jax.Array, crop_hw: Tuple[int, int]) -> jax.Array:
+    h, w = clip.shape[-3], clip.shape[-2]
+    ch, cw = crop_hw
+    top = (h - ch) // 2
+    left = (w - cw) // 2
+    return jax.lax.slice_in_dim(
+        jax.lax.slice_in_dim(clip, top, top + ch, axis=clip.ndim - 3),
+        left, left + cw, axis=clip.ndim - 2)
+
+
+def three_crop(clip: jax.Array, crop_hw: Tuple[int, int]) -> jax.Array:
+    """(..., H, W, C) -> stacked (3, ..., ch, cw, C), left/right/middle order."""
+    h, w = clip.shape[-3], clip.shape[-2]
+    ch, cw = crop_hw
+    ax_h, ax_w = clip.ndim - 3, clip.ndim - 2
+
+    def crop_at(left, top):
+        return jax.lax.slice_in_dim(
+            jax.lax.slice_in_dim(clip, top, top + ch, axis=ax_h),
+            left, left + cw, axis=ax_w)
+
+    if ch == h:
+        step = (w - cw) // 2
+        crops = [crop_at(0, 0), crop_at(2 * step, 0), crop_at(step, 0)]
+    elif cw == w:
+        step = (h - ch) // 2
+        crops = [crop_at(0, 0), crop_at(0, 2 * step), crop_at(0, step)]
+    else:
+        raise ValueError("three_crop needs crop matching one side")
+    return jnp.stack(crops, axis=0)
+
+
+def horizontal_flip(clip: jax.Array) -> jax.Array:
+    return jnp.flip(clip, axis=clip.ndim - 2)
+
+
+def random_flip(rng: jax.Array, clip: jax.Array, prob: float = 0.5) -> jax.Array:
+    """Per-sample random horizontal flip on the leading batch axis."""
+    b = clip.shape[0]
+    do = jax.random.bernoulli(rng, prob, (b,) + (1,) * (clip.ndim - 1))
+    return jnp.where(do, horizontal_flip(clip), clip)

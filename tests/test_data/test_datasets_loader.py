@@ -1,0 +1,126 @@
+"""Dataset parsing, evaluate(), loader batching + device transforms."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from adapt_image_models_tpu.data.datasets import VideoDataset, RawframeDataset, build_dataset
+from adapt_image_models_tpu.data.loader import VideoLoader
+from adapt_image_models_tpu.data.transforms import (
+    make_prepare_fn, CLIP_MEAN, CLIP_STD, three_crop, center_crop,
+)
+from adapt_image_models_tpu.core.metrics import (
+    top_k_accuracy, mean_class_accuracy, confusion_matrix,
+)
+
+PIPE = [
+    dict(type="SampleFrames", clip_len=4, frame_interval=2, num_clips=1),
+    dict(type="Resize", scale=(-1, 64)),
+    dict(type="CenterCrop", crop_size=64),
+    dict(type="Normalize", mean=list(CLIP_MEAN), std=list(CLIP_STD)),
+    dict(type="FormatShape", input_format="NCTHW"),
+]
+
+
+@pytest.fixture
+def ann_file(tmp_path):
+    p = tmp_path / "ann.txt"
+    lines = [f"synthetic://{i} {i % 3}" for i in range(10)]
+    p.write_text("\n".join(lines))
+    return str(p)
+
+
+def test_video_dataset_parse(ann_file):
+    ds = VideoDataset(ann_file, PIPE)
+    assert len(ds) == 10
+    assert ds[0]["filename"] == "synthetic://0"
+    assert ds[4]["label"] == 1
+    np.testing.assert_array_equal(ds.labels(), [i % 3 for i in range(10)])
+
+
+def test_dataset_registry(ann_file):
+    ds = build_dataset(dict(type="VideoDataset", ann_file=ann_file,
+                            pipeline=PIPE))
+    assert isinstance(ds, VideoDataset)
+
+
+def test_multiclass_and_weights(tmp_path):
+    p = tmp_path / "ann_mc.txt"
+    p.write_text("a.mp4 0 2\nb.mp4 1\n")
+    ds = VideoDataset(str(p), PIPE, multi_class=True, num_classes=4)
+    assert ds[0]["label"].tolist() == [1, 0, 1, 0]
+    p2 = tmp_path / "ann_w.txt"
+    p2.write_text("a 0\nb 0\nc 0\nd 1\n")
+    ds2 = VideoDataset(str(p2), PIPE)
+    w = ds2.class_weights()
+    assert w[3] > w[0]
+    np.testing.assert_allclose(w.sum() / w.sum(), 1.0)
+
+
+def test_evaluate_metrics(ann_file):
+    ds = VideoDataset(ann_file, PIPE)
+    labels = ds.labels()
+    scores = np.eye(3)[labels] + 0.01  # perfect predictions
+    res = ds.evaluate(scores, metrics=("top_k_accuracy", "mean_class_accuracy"),
+                      topk=(1, 2))
+    assert res["top1_acc"] == 1.0 and res["top2_acc"] == 1.0
+    assert res["mean_class_accuracy"] == 1.0
+    with pytest.raises(ValueError):
+        ds.evaluate(scores[:3])
+
+
+def test_loader_batches(ann_file):
+    ds = VideoDataset(ann_file, PIPE)
+    loader = VideoLoader(ds, PIPE, batch_size=4, shuffle=True, seed=1,
+                         num_workers=2, drop_last=True)
+    batches = list(loader)
+    assert len(batches) == 2 == len(loader)
+    assert batches[0]["imgs"].shape == (4, 1, 4, 64, 64, 3)
+    assert batches[0]["imgs"].dtype == np.uint8
+    assert batches[0]["label"].shape == (4,)
+    # epoch determinism
+    again = list(loader)
+    np.testing.assert_array_equal(batches[0]["imgs"], again[0]["imgs"])
+    loader.set_epoch(1)
+    shifted = list(loader)
+    assert not np.array_equal(batches[0]["label"], shifted[0]["label"])
+
+
+def test_loader_sharding(ann_file):
+    ds = VideoDataset(ann_file, PIPE)
+    l0 = VideoLoader(ds, PIPE, batch_size=2, num_shards=2, shard_index=0,
+                     num_workers=1)
+    l1 = VideoLoader(ds, PIPE, batch_size=2, num_shards=2, shard_index=1,
+                     num_workers=1)
+    lab0 = np.concatenate([b["label"] for b in l0])
+    lab1 = np.concatenate([b["label"] for b in l1])
+    assert len(lab0) == len(lab1) == 5
+
+
+def test_device_prepare():
+    prepare = make_prepare_fn(dtype=jnp.bfloat16)
+    clips = np.zeros((2, 3, 4, 8, 8, 3), np.uint8)
+    out = prepare(jnp.asarray(clips))
+    assert out.shape == (2, 3, 3, 4, 8, 8)  # (B, V, C, T, H, W)
+    assert out.dtype == jnp.bfloat16
+    # uint8 0 -> (0 - mean)/std
+    expected = (0 - CLIP_MEAN[0]) / CLIP_STD[0]
+    assert abs(float(out[0, 0, 0, 0, 0, 0]) - expected) < 0.05
+
+
+def test_jax_crops():
+    x = jnp.arange(1 * 8 * 12 * 3).reshape(1, 8, 12, 3).astype(jnp.float32)
+    cc = center_crop(x, (8, 8))
+    assert cc.shape == (1, 8, 8, 3)
+    tc = three_crop(x, (8, 8))
+    assert tc.shape == (3, 1, 8, 8, 3)
+    np.testing.assert_array_equal(np.asarray(tc[0]), np.asarray(x[:, :, :8]))
+    np.testing.assert_array_equal(np.asarray(tc[1]), np.asarray(x[:, :, 4:12]))
+
+
+def test_confusion_matrix():
+    pred = [0, 1, 2, 2]
+    real = [0, 1, 1, 2]
+    cm = confusion_matrix(pred, real)
+    np.testing.assert_array_equal(cm, [[1, 0, 0], [0, 1, 1], [0, 0, 1]])

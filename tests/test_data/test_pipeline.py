@@ -1,0 +1,133 @@
+"""Pipeline compilation + execution tests over synthetic/real video."""
+
+import os
+
+import numpy as np
+import pytest
+
+from adapt_image_models_tpu.data.pipeline import build_sample_processor
+from adapt_image_models_tpu.data.video_reader import (
+    SyntheticVideoReader, OpenCVVideoReader,
+)
+
+IMG_NORM = dict(mean=[122.769, 116.74, 104.04], std=[68.493, 66.63, 70.321],
+                to_bgr=False)
+
+TRAIN_PIPELINE = [
+    dict(type="DecordInit"),
+    dict(type="SampleFrames", clip_len=8, frame_interval=4, num_clips=1),
+    dict(type="DecordDecode"),
+    dict(type="Resize", scale=(-1, 256)),
+    dict(type="RandomResizedCrop"),
+    dict(type="Resize", scale=(224, 224), keep_ratio=False),
+    dict(type="Flip", flip_ratio=0.5),
+    dict(type="Normalize", **IMG_NORM),
+    dict(type="FormatShape", input_format="NCTHW"),
+    dict(type="Collect", keys=["imgs", "label"], meta_keys=[]),
+    dict(type="ToTensor", keys=["imgs", "label"]),
+]
+
+TEST_PIPELINE = [
+    dict(type="DecordInit"),
+    dict(type="SampleFrames", clip_len=8, frame_interval=4, num_clips=3,
+         test_mode=True),
+    dict(type="DecordDecode"),
+    dict(type="Resize", scale=(-1, 224)),
+    dict(type="CenterCrop", crop_size=224),
+    dict(type="Flip", flip_ratio=0),
+    dict(type="Normalize", **IMG_NORM),
+    dict(type="FormatShape", input_format="NCTHW"),
+]
+
+THREECROP_PIPELINE = [
+    dict(type="DecordInit"),
+    dict(type="SampleFrames", clip_len=8, frame_interval=4, num_clips=1,
+         test_mode=True),
+    dict(type="DecordDecode"),
+    dict(type="Resize", scale=(-1, 256)),
+    dict(type="ThreeCrop", crop_size=256),
+    dict(type="Normalize", **IMG_NORM),
+    dict(type="FormatShape", input_format="NCTHW"),
+]
+
+
+def test_train_pipeline_shapes_and_determinism():
+    proc = build_sample_processor(TRAIN_PIPELINE)
+    assert proc.num_views == 1 and not proc.test_mode
+    assert proc.output_size() == (224, 224)
+    reader = SyntheticVideoReader(num_frames=300)
+    clips, label = proc(reader, 7, rng=np.random.default_rng(0))
+    assert clips.shape == (1, 8, 224, 224, 3) and clips.dtype == np.uint8
+    assert label == 7
+    c2, _ = proc(reader, 7, rng=np.random.default_rng(0))
+    np.testing.assert_array_equal(clips, c2)  # same rng -> same sample
+    c3, _ = proc(reader, 7, rng=np.random.default_rng(1))
+    assert not np.array_equal(clips, c3)  # different rng -> different crop
+
+
+def test_test_pipeline_multiview():
+    proc = build_sample_processor(TEST_PIPELINE)
+    assert proc.test_mode and proc.num_views == 3
+    reader = SyntheticVideoReader(num_frames=300)
+    clips, _ = proc(reader, 0)
+    assert clips.shape == (3, 8, 224, 224, 3)
+    # deterministic
+    c2, _ = proc(reader, 0)
+    np.testing.assert_array_equal(clips, c2)
+
+
+def test_threecrop_pipeline():
+    proc = build_sample_processor(THREECROP_PIPELINE)
+    assert proc.num_views == 3  # 1 clip x 3 crops
+    reader = SyntheticVideoReader(num_frames=300, height=256, width=340)
+    clips, _ = proc(reader, 0)
+    assert clips.shape == (3, 8, 256, 256, 3)
+    # left and right crops must differ, middle is centered
+    assert not np.array_equal(clips[0], clips[1])
+
+
+def test_unsupported_transform_raises():
+    bad = TRAIN_PIPELINE[:3] + [dict(type="Imgaug", transforms=[])]
+    with pytest.raises(ValueError, match="unsupported pipeline transform"):
+        build_sample_processor(bad)
+
+
+@pytest.fixture(scope="module")
+def real_video(tmp_path_factory):
+    """Write a real video file with cv2 so the file-decode path is covered."""
+    cv2 = pytest.importorskip("cv2")
+    path = str(tmp_path_factory.mktemp("vids") / "test.avi")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 30, (64, 48))
+    assert w.isOpened()
+    rng = np.random.default_rng(0)
+    for i in range(40):
+        frame = np.full((48, 64, 3), i * 5 % 255, np.uint8)
+        frame[:10, :10] = rng.integers(0, 255, (10, 10, 3), dtype=np.uint8)
+        w.write(frame)
+    w.release()
+    return path
+
+
+def test_opencv_reader_real_file(real_video):
+    r = OpenCVVideoReader(real_video)
+    assert r.num_frames == 40
+    frames = r.get_frames([0, 5, 5, 39])
+    assert frames.shape == (4, 48, 64, 3)
+    np.testing.assert_array_equal(frames[1], frames[2])  # dedup gather
+    r.close()
+
+
+def test_full_pipeline_on_real_file(real_video):
+    proc = build_sample_processor([
+        dict(type="DecordInit"),
+        dict(type="SampleFrames", clip_len=4, frame_interval=1, num_clips=2,
+             test_mode=True),
+        dict(type="DecordDecode"),
+        dict(type="Resize", scale=(-1, 56)),
+        dict(type="CenterCrop", crop_size=56),
+        dict(type="Normalize", **IMG_NORM),
+        dict(type="FormatShape", input_format="NCTHW"),
+    ])
+    clips, label = proc(real_video, 3)
+    assert clips.shape == (2, 4, 56, 56, 3)
+    assert label == 3
