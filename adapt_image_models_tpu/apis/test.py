@@ -1,0 +1,116 @@
+"""Evaluation (reference ``mmaction/apis/test.py`` + ``tools/test.py``).
+
+``run_evaluation`` streams the val/test split through the loader, computes
+per-sample aggregated scores with a jitted multi-view eval step, and calls
+``dataset.evaluate``. Multi-device: batches are sharded over the mesh's data
+axis; resulting score arrays are already global (jit output is replicated) —
+the reference's pickled-bytes ``all_gather`` with tmpdir fallback
+(``apis/test.py:99-204``) disappears entirely.
+
+``max_testing_views`` (reference ``recognizer3d.py:38-60``) chunks the view
+axis to bound memory on long multi-view protocols (e.g. K700 32x3x3).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adapt_image_models_tpu.core.train_state import make_eval_step
+from adapt_image_models_tpu.data.datasets import build_dataset
+from adapt_image_models_tpu.data.loader import VideoLoader
+from adapt_image_models_tpu.data.pipeline import build_sample_processor
+from adapt_image_models_tpu.data.transforms import make_prepare_fn
+from adapt_image_models_tpu.models import build_model
+from adapt_image_models_tpu.models.recognizers.recognizer3d import average_clip
+from adapt_image_models_tpu.parallel.mesh import make_mesh, shard_batch
+
+
+def make_chunked_eval_step(model, prepare_fn, average_clips: str = "prob",
+                           max_testing_views: Optional[int] = None):
+    """Eval step that processes views in chunks of ``max_testing_views``."""
+
+    def eval_step(params, imgs_uint8):
+        imgs = prepare_fn(imgs_uint8)  # (B, V, C, T, H, W)
+        b, v = imgs.shape[:2]
+        if max_testing_views is None or v <= max_testing_views:
+            flat = imgs.reshape((b * v,) + imgs.shape[2:])
+            logits = model.apply({"params": params}, flat, deterministic=True)
+        else:
+            if v % max_testing_views:
+                raise ValueError(f"num views {v} not divisible by "
+                                 f"max_testing_views {max_testing_views}")
+            chunks = v // max_testing_views
+            per = imgs.reshape((b, chunks, max_testing_views) + imgs.shape[2:])
+
+            def one_chunk(c):
+                flat = c.reshape((b * max_testing_views,) + c.shape[2:])
+                out = model.apply({"params": params}, flat, deterministic=True)
+                return out.reshape(b, max_testing_views, -1)
+
+            logits = jax.lax.map(one_chunk, per.transpose(1, 0, 2, 3, 4, 5, 6))
+            logits = logits.transpose(1, 0, 2, 3).reshape(b * v, -1)
+        return average_clip(logits, v, average_clips)
+
+    return eval_step
+
+
+def run_evaluation(cfg: Dict[str, Any], model=None, params=None,
+                   split: str = "test", mesh=None,
+                   metrics=("top_k_accuracy", "mean_class_accuracy"),
+                   batch_size: Optional[int] = None,
+                   num_workers: Optional[int] = None) -> Dict[str, float]:
+    """Evaluate ``params`` (or a freshly built model) on cfg.data[split]."""
+    if model is None:
+        model_cfg = dict(cfg["model"])
+        test_cfg = model_cfg.pop("test_cfg", None)
+        model_cfg.pop("train_cfg", None)
+        model = build_model(model_cfg, test_cfg=test_cfg)
+    test_cfg = (cfg["model"].get("test_cfg") or {})
+
+    data_cfg = cfg["data"]
+    ds_cfg = dict(data_cfg[split])
+    pipeline = ds_cfg.pop("pipeline")
+    dataset = build_dataset({**ds_cfg, "pipeline": pipeline})
+
+    dl_cfg = data_cfg.get(f"{split}_dataloader", {}) or {}
+    batch_size = batch_size or int(dl_cfg.get("videos_per_gpu", 1))
+    num_workers = num_workers or int(dl_cfg.get("workers_per_gpu", 4))
+
+    proc = build_sample_processor(pipeline)
+    mean, std = proc.mean, proc.std
+    compute_dtype = cfg["model"].get("backbone", {}).get(
+        "compute_dtype", jnp.float32)
+    prepare = make_prepare_fn(mean, std, dtype=compute_dtype)
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = mesh.devices.size
+    eval_bs = batch_size * n_dev
+
+    loader = VideoLoader(dataset, proc, batch_size=eval_bs, shuffle=False,
+                         num_workers=num_workers, drop_last=False)
+
+    eval_step = jax.jit(make_chunked_eval_step(
+        model, prepare, test_cfg.get("average_clips", "prob"),
+        test_cfg.get("max_testing_views")))
+
+    scores = []
+    n = len(dataset)
+    with mesh:
+        for batch in loader:
+            imgs = batch["imgs"]
+            pad = 0
+            if imgs.shape[0] % n_dev:
+                pad = n_dev - imgs.shape[0] % n_dev
+                imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)])
+            device_imgs = shard_batch(mesh, imgs)
+            s = np.asarray(jax.device_get(eval_step(params, device_imgs)))
+            if pad:
+                s = s[:-pad]
+            scores.append(s)
+    scores = np.concatenate(scores)[:n]
+    return dataset.evaluate(scores, metrics=metrics)

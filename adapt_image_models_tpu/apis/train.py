@@ -1,0 +1,202 @@
+"""Training orchestration (reference ``mmaction/apis/train.py:20-199``).
+
+``train_model(cfg)`` drives the whole recipe from an mmcv-layout config:
+model / data / optimizer / lr_config / total_epochs / checkpointing /
+periodic evaluation — with the runner+hooks machinery replaced by a plain
+loop around one jitted train step.
+
+TPU mapping of the reference stack:
+* apex AMP O1 (`:87-99`)          -> bf16 compute dtype in the model
+* MMDistributedDataParallel       -> data-sharded mesh; XLA emits the psums
+* DistSamplerSeedHook             -> loader.set_epoch(seeded shuffling)
+* DistOptimizerHook.update_interval -> optax.MultiSteps (+ the reference
+  divides per-GPU batch by update_interval, ``apis/train.py:53`` — same here)
+* EvalHook/DistEvalHook           -> periodic run_evaluation + save_best
+* CheckpointHook + auto_resume    -> CheckpointManager epoch saves + latest
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adapt_image_models_tpu.core.checkpoint import CheckpointManager
+from adapt_image_models_tpu.core.optim import build_optimizer
+from adapt_image_models_tpu.core.schedule import build_schedule
+from adapt_image_models_tpu.core.train_state import (
+    create_train_state, make_train_step, make_eval_step,
+)
+from adapt_image_models_tpu.data.blending import build_blending
+from adapt_image_models_tpu.data.datasets import build_dataset
+from adapt_image_models_tpu.data.loader import VideoLoader
+from adapt_image_models_tpu.data.pipeline import build_sample_processor
+from adapt_image_models_tpu.data.transforms import make_prepare_fn
+from adapt_image_models_tpu.models import build_model
+from adapt_image_models_tpu.parallel.mesh import make_mesh, shard_batch
+from adapt_image_models_tpu.utils.logger import get_root_logger
+
+
+def _norm_cfg_from_pipeline(pipeline):
+    for item in pipeline:
+        if item.get("type") == "Normalize":
+            return item.get("mean"), item.get("std")
+    return None, None
+
+
+def train_model(cfg: Dict[str, Any], work_dir: Optional[str] = None,
+                validate: bool = True, seed: int = 0,
+                auto_resume: bool = False, max_steps: Optional[int] = None,
+                mesh=None):
+    """Run the full training recipe described by ``cfg`` (mmcv layout)."""
+    logger = get_root_logger()
+    work_dir = work_dir or cfg.get("work_dir", "./work_dir")
+
+    # ---- model -----------------------------------------------------------
+    model_cfg = dict(cfg["model"])
+    test_cfg = model_cfg.pop("test_cfg", None)
+    train_cfg = model_cfg.pop("train_cfg", None)
+    model = build_model(model_cfg, train_cfg=train_cfg, test_cfg=test_cfg)
+
+    data_cfg = cfg["data"]
+    train_ds_cfg = dict(data_cfg["train"])
+    train_pipeline = train_ds_cfg.pop("pipeline")
+    train_ds = build_dataset({**train_ds_cfg, "pipeline": train_pipeline})
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_data = mesh.devices.shape[0]
+
+    # grad accumulation divides the loader batch (reference apis/train.py:53);
+    # videos_per_gpu is per-device (DDP semantics), so the global micro-batch
+    # scales by the data axis
+    update_interval = int(cfg.get("optimizer_config", {}).get("update_interval", 1))
+    videos_per_dev = int(data_cfg.get("videos_per_gpu", 8))
+    if videos_per_dev % update_interval:
+        raise ValueError("videos_per_gpu must be divisible by update_interval")
+    micro_batch = (videos_per_dev // update_interval) * n_data
+
+    num_hosts = jax.process_count()
+    host_id = jax.process_index()
+    if micro_batch % num_hosts:
+        raise ValueError(f"global micro-batch {micro_batch} not divisible by "
+                         f"{num_hosts} hosts")
+    loader = VideoLoader(
+        train_ds, train_pipeline, batch_size=micro_batch // num_hosts,
+        shuffle=True, seed=seed,
+        num_workers=int(data_cfg.get("workers_per_gpu", 4)),
+        drop_last=True, num_shards=num_hosts, shard_index=host_id)
+
+    mean, std = _norm_cfg_from_pipeline(train_pipeline)
+    compute_dtype = model_cfg.get("backbone", {}).get("compute_dtype", jnp.float32)
+    prepare = make_prepare_fn(mean or (122.769, 116.74, 104.04),
+                              std or (68.493, 66.63, 70.321),
+                              dtype=compute_dtype)
+
+    # ---- init / pretrained ----------------------------------------------
+    proc = build_sample_processor(train_pipeline)
+    h, w = proc.output_size()
+    t = proc.sampler.clip_len
+    sample = jnp.zeros((1, 3, t, h, w), jnp.float32)
+    rng = jax.random.PRNGKey(seed)
+    variables = model.init(rng, sample)
+    params = variables["params"]
+
+    pretrained = cfg.get("load_from")
+    if pretrained:
+        from adapt_image_models_tpu.convert.aim_import import (
+            load_aim_checkpoint_into_params,
+        )
+        import torch
+        logger.info(f"loading checkpoint {pretrained}")
+        ckpt = torch.load(pretrained, map_location="cpu", weights_only=False)
+        params = load_aim_checkpoint_into_params(params, ckpt, strict=False)
+    clip_pretrained = cfg.get("clip_pretrained")
+    if clip_pretrained:
+        from adapt_image_models_tpu.convert.clip_import import load_clip_into_params
+        import torch
+        logger.info(f"loading CLIP weights {clip_pretrained}")
+        sd = torch.load(clip_pretrained, map_location="cpu", weights_only=False)
+        layers = model_cfg["backbone"].get("layers", 12)
+        params = load_clip_into_params(params, sd, layers)
+
+    # ---- optimizer / schedule -------------------------------------------
+    steps_per_epoch = max(1, len(loader) // update_interval)
+    total_epochs = int(cfg.get("total_epochs", 1))
+    schedule = build_schedule(cfg.get("lr_config", {}), cfg["optimizer"]["lr"],
+                              total_epochs, steps_per_epoch)
+    grad_clip = (cfg.get("optimizer_config") or {}).get("grad_clip")
+    if isinstance(grad_clip, dict):
+        grad_clip = grad_clip.get("max_norm")
+    from adapt_image_models_tpu.parallel.partition import partition_params
+    trainable, _ = partition_params(params)
+    tx = build_optimizer(cfg["optimizer"], trainable, schedule,
+                         grad_clip=grad_clip, update_interval=update_interval)
+
+    state = create_train_state(params, tx)
+    del params, variables
+
+    blending = None
+    if train_cfg and train_cfg.get("blending"):
+        blending = build_blending(train_cfg["blending"])
+
+    # ---- jit ---------------------------------------------------------------
+    train_step = make_train_step(model, tx, prepare_fn=prepare,
+                                 blending=blending)
+    train_step = jax.jit(train_step, donate_argnums=(0,))
+
+    ckpt_mgr = CheckpointManager(
+        work_dir, max_keep=(cfg.get("checkpoint_config") or {}).get("max_keep_ckpts"))
+    start_epoch = 0
+    if auto_resume and ckpt_mgr.latest_epoch() is not None:
+        state, start_epoch = ckpt_mgr.restore(state)
+        logger.info(f"auto-resumed from epoch {start_epoch}")
+
+    eval_cfg = cfg.get("evaluation", {}) or {}
+    eval_interval = int(eval_cfg.get("interval", 0)) if validate else 0
+    ckpt_interval = int((cfg.get("checkpoint_config") or {}).get("interval", 1))
+    log_interval = int((cfg.get("log_config") or {}).get("interval", 20))
+
+    base_rng = jax.random.PRNGKey(seed + 1)
+    global_step = 0
+    history = []
+    with mesh:
+        for epoch in range(start_epoch, total_epochs):
+            loader.set_epoch(epoch)
+            t0 = time.time()
+            n_clips = 0
+            for i, batch in enumerate(loader):
+                device_batch = shard_batch(mesh, {
+                    "imgs": batch["imgs"], "label": batch["label"]})
+                state, metrics = train_step(state, device_batch, base_rng)
+                n_clips += batch["imgs"].shape[0] * batch["imgs"].shape[1]
+                global_step += 1
+                if (i + 1) % log_interval == 0 or i + 1 == len(loader):
+                    m = {k: float(v) for k, v in
+                         jax.device_get(metrics).items()}
+                    ips = n_clips / max(time.time() - t0, 1e-9)
+                    logger.info(
+                        f"Epoch [{epoch + 1}][{i + 1}/{len(loader)}] "
+                        f"lr: {float(schedule(global_step // update_interval)):.3e} "
+                        f"loss: {m['loss']:.4f} top1: {m['top1_acc']:.4f} "
+                        f"top5: {m['top5_acc']:.4f} clips/s: {ips:.1f}")
+                    history.append({"epoch": epoch, "iter": i + 1, **m})
+                if max_steps and global_step >= max_steps:
+                    break
+            if (epoch + 1) % ckpt_interval == 0 or epoch + 1 == total_epochs:
+                ckpt_mgr.save(state, epoch + 1)
+            if eval_interval and ((epoch + 1) % eval_interval == 0
+                                  or epoch + 1 == total_epochs):
+                from adapt_image_models_tpu.apis.test import run_evaluation
+                results = run_evaluation(cfg, model, state.params, mesh=mesh,
+                                         split="val")
+                logger.info(f"Epoch [{epoch + 1}] val: {results}")
+                key = eval_cfg.get("save_best", "top1_acc")
+                if key in results:
+                    ckpt_mgr.save_best(state, epoch + 1, results[key])
+            if max_steps and global_step >= max_steps:
+                break
+    return state, history

@@ -101,11 +101,12 @@ def device_topk_accuracy(logits, labels, topk: Tuple[int, ...] = (1, 5)):
     """jax in-graph top-k accuracies for train-loop logging
     (parity: ``heads/base.py:79-95`` computes top1/top5 per iteration)."""
     import jax.numpy as jnp
-    maxk = max(topk)
+    num_classes = logits.shape[-1]
+    maxk = min(max(topk), num_classes)
     _, pred = jax_top_k(logits, maxk)
     hits = pred == labels[:, None]
-    return tuple(jnp.mean(jnp.any(hits[:, :k], axis=1).astype(jnp.float32))
-                 for k in topk)
+    return tuple(jnp.mean(jnp.any(hits[:, :min(k, num_classes)], axis=1)
+                          .astype(jnp.float32)) for k in topk)
 
 
 def jax_top_k(logits, k: int):

@@ -1,0 +1,120 @@
+"""Train state + jitted train/eval steps.
+
+The reference's runner/hook machinery (``EpochBasedRunnerAmp``,
+``DistOptimizerHook``, ``mmcv_custom/runner/epoch_based_runner.py:17``,
+``mmaction/utils/optimizer.py:9``) collapses into: a pytree ``TrainState``
+(trainable params, frozen params, optimizer state, step) and one jitted
+``train_step`` containing forward, loss, backward (w.r.t. the trainable
+sub-tree ONLY), optimizer update and in-graph top-1/top-5 metrics. Under a
+data-sharded mesh, XLA emits the gradient all-reduce that DDP did by hand —
+the ``_parse_losses`` all_reduce (``recognizers/base.py:239-242``) becomes
+a by-product of computing the (replicated) mean loss over a sharded batch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from adapt_image_models_tpu.core.metrics import device_topk_accuracy
+from adapt_image_models_tpu.models.losses.cross_entropy import (
+    cross_entropy, soft_cross_entropy,
+)
+from adapt_image_models_tpu.parallel.partition import merge_params, partition_params
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array
+    trainable: Any
+    frozen: Any
+    opt_state: Any
+
+    @property
+    def params(self):
+        return merge_params(self.trainable, self.frozen)
+
+
+def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
+    trainable, frozen = partition_params(params)
+    return TrainState(step=jnp.zeros((), jnp.int32), trainable=trainable,
+                      frozen=frozen, opt_state=tx.init(trainable))
+
+
+def make_train_step(model, tx: optax.GradientTransformation,
+                    prepare_fn: Optional[Callable] = None,
+                    blending: Optional[Callable] = None) -> Callable:
+    """Returns ``train_step(state, batch, rng) -> (state, metrics)``.
+
+    ``batch``: {'imgs': (B, V, T, H, W, C) uint8 or pre-prepared floats,
+    'label': (B,) int}. Train views are folded into the batch like the
+    reference (``recognizer3d.py:16``).
+    """
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array],
+                   rng: jax.Array) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        rng_step = jax.random.fold_in(rng, state.step)
+        rng_drop, rng_blend = jax.random.split(rng_step)
+
+        imgs = batch["imgs"]
+        if prepare_fn is not None:
+            imgs = prepare_fn(imgs)  # (B, V, C, T, H, W)
+        if imgs.ndim == 6:
+            imgs = imgs.reshape((-1,) + imgs.shape[2:])
+        labels = batch["label"]
+
+        if blending is not None:
+            imgs, targets = blending(rng_blend, imgs, labels)
+        else:
+            targets = labels
+
+        def loss_fn(trainable):
+            params = merge_params(trainable, state.frozen)
+            logits = model.apply({"params": params}, imgs,
+                                 deterministic=False,
+                                 rngs={"dropout": rng_drop})
+            if targets.ndim == logits.ndim:
+                loss = soft_cross_entropy(logits, targets)
+            else:
+                loss = cross_entropy(logits, targets)
+            return loss, logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.trainable)
+        updates, new_opt = tx.update(grads, state.opt_state, state.trainable)
+        new_trainable = optax.apply_updates(state.trainable, updates)
+
+        top1, top5 = device_topk_accuracy(logits, labels, (1, 5))
+        metrics = {
+            "loss": loss,
+            "top1_acc": top1,
+            "top5_acc": top5,
+            "grad_norm": optax.global_norm(grads),
+        }
+        new_state = state.replace(step=state.step + 1,
+                                  trainable=new_trainable,
+                                  opt_state=new_opt)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, prepare_fn: Optional[Callable] = None,
+                   average_clips: str = "prob") -> Callable:
+    """Returns ``eval_step(params, imgs) -> (B, C) scores`` with on-device
+    multi-view aggregation (no host round-trips, unlike ``apis/test.py``'s
+    pickled all_gather)."""
+    from adapt_image_models_tpu.models.recognizers.recognizer3d import average_clip
+
+    def eval_step(params, imgs):
+        if prepare_fn is not None:
+            imgs = prepare_fn(imgs)
+        num_views = imgs.shape[1] if imgs.ndim == 6 else 1
+        logits = model.apply({"params": params}, imgs, deterministic=True)
+        return average_clip(logits, num_views, average_clips)
+
+    return eval_step

@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark: flagship AIM ViT-B/16 8-frame eval throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: clips/sec/chip where a clip = one 8-frame 224x224 view through the
+full Recognizer3D (backbone + head), bf16 compute — the unit of work of the
+K400 8x3x1 protocol (each sample costs 3 clips). ~202 GFLOPs per clip
+(reference: 606 GFLOPs for the 3-view sample, README.md:90).
+
+Baseline: the reference (torch/A100) has no published AIM throughput, so we
+use a first-principles A100 estimate: 202 GFLOPs/clip at 312 TFLOP/s bf16
+dense and 40% achieved MFU (typical for eval-size ViT batches with
+flash-attn) -> ~618 clips/s. vs_baseline = value / 618.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+A100_BASELINE_CLIPS_PER_S = 618.0
+
+
+def main():
+    from adapt_image_models_tpu.models import build_model
+
+    model = build_model(dict(
+        type="Recognizer3D",
+        backbone=dict(type="AIM", input_resolution=224, patch_size=16,
+                      width=768, layers=12, heads=12, num_frames=8,
+                      drop_path_rate=0.0, compute_dtype="bfloat16"),
+        cls_head=dict(type="I3DHead", num_classes=400, in_channels=768,
+                      dropout_ratio=0.0),
+        test_cfg=dict(average_clips="prob"),
+    ))
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 3, 8, 224, 224), jnp.float32))
+
+    fwd = jax.jit(lambda p, v: model.apply(p, v))
+
+    import numpy as np
+
+    best = 0.0
+    for batch in (32, 64, 128):
+        # distinct inputs per iteration + a forced scalar fetch per
+        # iteration: on the axon relay backend, repeated identical dispatches
+        # are memoized and block_until_ready() does not synchronize — only a
+        # data fetch does. Median of per-iter wall times.
+        keys = jax.random.split(jax.random.PRNGKey(batch), 6)
+        xs = [jax.random.normal(k, (batch, 3, 8, 224, 224), jnp.bfloat16)
+              for k in keys]
+        float(fwd(params, xs[0]).sum())  # compile + warmup
+        times = []
+        for x in xs:
+            t0 = time.perf_counter()
+            out = fwd(params, x)
+            _ = float(out.sum())
+            times.append(time.perf_counter() - t0)
+        clips_per_s = batch / float(np.median(times))
+        best = max(best, clips_per_s)
+
+    print(json.dumps({
+        "metric": "aim_vitb16_8f_eval_throughput",
+        "value": round(best, 1),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(best / A100_BASELINE_CLIPS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,24 @@
+# Frozen CLIP ViT-B/16 + AIM adapters (parity: reference
+# configs/_base_/models/vitclip_base.py; backbone type AIM = the canonical
+# adapter block, reference mmaction/models/backbones/vitclip_aim.py:341)
+model = dict(
+    type="Recognizer3D",
+    backbone=dict(
+        type="AIM",
+        input_resolution=224,
+        patch_size=16,
+        num_frames=32,
+        width=768,
+        layers=12,
+        heads=12,
+        drop_path_rate=0.1,
+        compute_dtype="bfloat16",
+    ),
+    cls_head=dict(
+        type="I3DHead",
+        in_channels=768,
+        num_classes=400,
+        dropout_ratio=0.5,
+    ),
+    test_cfg=dict(average_clips="prob"),
+)

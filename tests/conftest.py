@@ -1,9 +1,24 @@
 """Test env: force CPU with 8 virtual devices so multi-device sharding
-paths are exercised without TPU hardware (SURVEY.md §4)."""
+paths are exercised without TPU hardware (SURVEY.md §4).
+
+NOTE: the axon TPU plugin's sitecustomize imports jax at interpreter
+startup with ``JAX_PLATFORMS=axon`` already baked into jax.config — env
+vars set later (even before our own ``import jax``) are ignored. The only
+reliable override is ``jax.config.update`` after import.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"  # belt-and-braces for fresh interpreters
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+
+def pytest_sessionstart(session):
+    assert jax.default_backend() == "cpu", (
+        f"tests must run on CPU, got {jax.default_backend()}")
+    assert len(jax.devices()) == 8, (
+        f"expected 8 virtual CPU devices, got {len(jax.devices())}")
