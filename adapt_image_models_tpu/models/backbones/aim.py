@@ -99,13 +99,13 @@ class AIMBlock(nn.Module):
             rng_t = rng_m = None
 
         # 1. temporal adaptation -------------------------------------------
-        # (B*T, N, D) -> (B*N, T, D): every patch position attends over frames
-        xt = x.reshape(b, t, n, d).transpose(0, 2, 1, 3).reshape(b * n, t, d)
-        xt = ln_1(xt)
+        # every patch position attends over frames; LN/adapters/projections
+        # are per-token so they run in the native (B*T, N, D) layout — only
+        # the attention core batches over frames (no materialized relayout)
+        xt = ln_1(x)
         if self.num_tadapter == 2:
             xt = Adapter(compute_dtype=self.compute_dtype, name="T_Adapter_in")(xt)
-        xt = t_adapter(attn(xt))
-        xt = xt.reshape(b, n, t, d).transpose(0, 2, 1, 3).reshape(bt, n, d)
+        xt = t_adapter(attn(xt, temporal_frames=t))
         x = x + drop_path(rng_t, xt, dpr, deterministic)
 
         # 2. spatial adaptation --------------------------------------------

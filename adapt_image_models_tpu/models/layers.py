@@ -179,8 +179,8 @@ def get_attention_core(name: str) -> Callable:
     if name == "xla":
         return xla_attention_core
     if name == "flash":
-        from adapt_image_models_tpu.ops.flash_attention import flash_attention_core
-        return flash_attention_core
+        from adapt_image_models_tpu.ops.flash_attention import flash_attention_entry
+        return flash_attention_entry
     raise ValueError(f"unknown attention core: {name}")
 
 
@@ -204,7 +204,16 @@ class CLIPAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, kv: Optional[jax.Array] = None,
-                 mask: Optional[jax.Array] = None) -> jax.Array:
+                 mask: Optional[jax.Array] = None,
+                 need_weights: bool = False,
+                 temporal_frames: Optional[int] = None) -> jax.Array:
+        """Self/cross attention over the sequence axis — or, when
+        ``temporal_frames=T`` is given, over the FRAME axis of a
+        ``(B*T, N, D)`` tensor without materializing the
+        ``(B T) N D <-> (B N) T D`` relayout (SURVEY.md §7 hard part 2):
+        projections run per-token in the native layout and only the tiny
+        attention core uses a batched einsum across frames.
+        """
         d = x.shape[-1]
         if d % self.num_heads:
             raise ValueError(f"d_model {d} not divisible by heads {self.num_heads}")
@@ -222,6 +231,26 @@ class CLIPAttention(nn.Module):
 
         B, Lq = q.shape[0], q.shape[1]
         Lk = k.shape[1]
+
+        if temporal_frames is not None:
+            if kv is not None or mask is not None or need_weights:
+                raise ValueError("temporal_frames supports plain self-attention")
+            t = temporal_frames
+            bb = B // t
+            scale = 1.0 / jnp.sqrt(jnp.asarray(hd, jnp.float32))
+            qh = q.reshape(bb, t, Lq, self.num_heads, hd)
+            kh = k.reshape(bb, t, Lq, self.num_heads, hd)
+            vh = v.reshape(bb, t, Lq, self.num_heads, hd)
+            logits = jnp.einsum("bqnhd,bknhd->bnhqk", qh, kh,
+                                preferred_element_type=jnp.float32) * scale
+            probs = jax.nn.softmax(logits, axis=-1)
+            out = jnp.einsum("bnhqk,bknhd->bqnhd", probs.astype(vh.dtype), vh,
+                             preferred_element_type=jnp.float32)
+            out = out.astype(cdt).reshape(B, Lq, d)
+            return nn.Dense(d, kernel_init=trunc_normal_02,
+                            bias_init=nn.initializers.zeros,
+                            dtype=cdt, name="out_proj")(out)
+
         q = q.reshape(B, Lq, self.num_heads, hd).transpose(0, 2, 1, 3)
         k = k.reshape(B, Lk, self.num_heads, hd).transpose(0, 2, 1, 3)
         v = v.reshape(B, Lk, self.num_heads, hd).transpose(0, 2, 1, 3)
@@ -232,6 +261,16 @@ class CLIPAttention(nn.Module):
         out = nn.Dense(d, kernel_init=trunc_normal_02,
                        bias_init=nn.initializers.zeros,
                        dtype=cdt, name="out_proj")(out)
+        if need_weights:
+            # fork's per-sample attention mass statistic
+            # (vit_clip.py:147-152): sum over queries/keys of
+            # exp(sum over heads of raw logits); used for the lambda blend.
+            # stop_gradient mirrors the reference's torch.no_grad.
+            logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+            logits = logits / jnp.sqrt(jnp.asarray(hd, jnp.float32))
+            w = jnp.sum(jnp.exp(jnp.sum(logits, axis=1)).reshape(B, -1), -1)
+            return out, jax.lax.stop_gradient(w)
         return out
 
 
