@@ -19,7 +19,12 @@ from adapt_image_models_tpu.convert.clip_import import (
     convert_clip_visual, state_dict_to_numpy,
 )
 
-ADAPTER_NAMES = ("S_Adapter", "T_Adapter", "T_Adapter_in", "MLP_Adapter")
+ADAPTER_NAMES = (
+    "S_Adapter", "T_Adapter", "T_Adapter_in", "MLP_Adapter",
+    # ZeroI2V linear adapters (vit_clip_zeroI2V.py:125-136)
+    "Attn_Adapter_in", "Attn_Adapter_q", "Attn_Adapter_k", "Attn_Adapter_v",
+    "Attn_Adapter_out", "MLP_Adapter_in", "MLP_Adapter_out",
+)
 
 
 def _num_layers(sd: Mapping[str, np.ndarray], prefix: str) -> int:

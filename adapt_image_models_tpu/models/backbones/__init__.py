@@ -1,2 +1,5 @@
 from adapt_image_models_tpu.models.backbones.aim import AIM, AIMBlock, drop_path
 from adapt_image_models_tpu.models.backbones.vit_clip import ViT_CLIP, patch_shift
+from adapt_image_models_tpu.models.backbones.zeroi2v import (
+    ViT_CLIP_ZEROI2V, head_shift,
+)

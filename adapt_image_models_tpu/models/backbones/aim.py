@@ -119,6 +119,123 @@ class AIMBlock(nn.Module):
         return x, None
 
 
+class AIMWindowBlock(nn.Module):
+    """AIM block with 3D (shifted-)window attention + temporal-cls prompt
+    (reference ``vitclip_aim.py:212-287``).
+
+    Per layer: window attention over patch tokens (cyclic shift + additive
+    mask on odd layers unless ``not_shift``), temporal attention on the cls
+    token, ``T_Adapter`` over both, optional prompt insertion of the
+    temporal cls into spatial attention, then the canonical spatial/joint
+    adaptation. Scan-compatible: the per-layer shift rides in as a scanned
+    0/1 flag (roll amount and mask are multiplied by it).
+    """
+
+    num_heads: int
+    num_frames: int
+    input_hw: int  # H == W of the patch grid
+    adapter_scale: float = 0.5
+    window_size: tuple = (32, 2, 2)
+    prompt: bool = True
+    compute_dtype: Dtype = jnp.float32
+    attention_core: str = "xla"
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, scan_in) -> Tuple[jax.Array, None]:
+        from adapt_image_models_tpu.models.backbones.window import (
+            get_window_size, window_partition, window_reverse,
+            compute_shift_mask, pad_to_windows,
+        )
+        dpr, shift_flag = scan_in
+        deterministic = self.deterministic
+        bt, n, d = x.shape
+        t = self.num_frames
+        b = bt // t
+        h = w = self.input_hw
+        if h * w != n - 1:
+            raise ValueError(f"token count {n} != {h}x{w}+1")
+
+        attn = CLIPAttention(self.num_heads, compute_dtype=self.compute_dtype,
+                             attention_core=self.attention_core, name="attn")
+        ln_1 = LayerNormFP32(name="ln_1")
+        ln_2 = LayerNormFP32(name="ln_2")
+        mlp = CLIPMLP(compute_dtype=self.compute_dtype, name="mlp")
+        s_adapter = Adapter(compute_dtype=self.compute_dtype, name="S_Adapter")
+        t_adapter = Adapter(skip_connect=False, compute_dtype=self.compute_dtype,
+                            name="T_Adapter")
+        mlp_adapter = Adapter(skip_connect=False, compute_dtype=self.compute_dtype,
+                              name="MLP_Adapter")
+
+        rng = self.make_rng("dropout") if not deterministic else None
+        rng_t, rng_m = (jax.random.split(rng) if rng is not None
+                        else (None, None))
+
+        base_shift = tuple(i // 2 for i in self.window_size)
+        window_size, shift_size = get_window_size((t, h, w),
+                                                  self.window_size, base_shift)
+        # static mask for the shifted configuration; zeroed by the flag on
+        # unshifted layers
+        import numpy as _np
+        wt, wh, ww = window_size
+        tp = -(-t // wt) * wt
+        hp = -(-h // wh) * wh
+        wp = -(-w // ww) * ww
+        if any(shift_size):
+            mask_np = compute_shift_mask(tp, hp, wp, window_size, shift_size)
+        else:
+            l_win = wt * wh * ww
+            n_win = (tp // wt) * (hp // wh) * (wp // ww)
+            mask_np = _np.zeros((n_win, l_win, l_win), _np.float32)
+        shift_mask = jnp.asarray(mask_np)
+
+        cls_tok, patches = x[:, :1, :], x[:, 1:, :]
+
+        # ---- window attention over patch tokens ---------------------------
+        win = ln_1(patches).reshape(b, t, h, w, d)
+        win = pad_to_windows(win, window_size)
+        roll_t = (-shift_size[0] * shift_flag).astype(jnp.int32)
+        roll_h = (-shift_size[1] * shift_flag).astype(jnp.int32)
+        roll_w = (-shift_size[2] * shift_flag).astype(jnp.int32)
+        win = jnp.roll(win, (roll_t, roll_h, roll_w), axis=(1, 2, 3))
+        parts = window_partition(win, window_size)  # (B*nW, L, D)
+        n_win = parts.shape[0] // b
+        mask = (shift_flag.astype(jnp.float32)
+                * jnp.tile(shift_mask, (b, 1, 1))[:, None])  # (B*nW, 1, L, L)
+        parts = attn(parts, mask=mask)
+        win = window_reverse(parts.astype(self.compute_dtype), window_size,
+                             b, tp, hp, wp)
+        win = jnp.roll(win, (-roll_t, -roll_h, -roll_w), axis=(1, 2, 3))
+        win = win[:, :t, :h, :w, :].reshape(bt, h * w, d)
+
+        # ---- temporal attention on the cls token --------------------------
+        cls_attn = attn(ln_1(cls_tok), temporal_frames=t)  # (BT, 1, D)
+
+        xt = jnp.concatenate([cls_attn, win], axis=1)
+        x = x + drop_path(rng_t, t_adapter(xt), dpr, deterministic)
+
+        # ---- spatial adaptation (+ temporal-cls prompt token) -------------
+        if self.prompt:
+            # insert the temporal cls as a prompt token for spatial attention
+            # then drop it (reference `:271-281`); S_Adapter is per-token so
+            # dropping before the adapter equals the reference's drop-after
+            xp = jnp.concatenate([x[:, :1], cls_attn.astype(x.dtype),
+                                  x[:, 1:]], axis=1)
+            attn_out = attn(ln_1(xp))
+            attn_kept = jnp.concatenate([attn_out[:, :1], attn_out[:, 2:]],
+                                        axis=1)
+            x = x + s_adapter(attn_kept)
+        else:
+            x = x + s_adapter(attn(ln_1(x)))
+
+        # ---- joint adaptation ---------------------------------------------
+        xn = ln_2(x)
+        scale = jnp.asarray(self.adapter_scale, x.dtype)
+        x = x + mlp(xn) + drop_path(rng_m, scale * mlp_adapter(xn), dpr,
+                                    deterministic)
+        return x, None
+
+
 class AIMTransformer(nn.Module):
     """Depth-stacked AIM blocks via ``nn.scan`` (one traced block body)."""
 
@@ -131,10 +248,45 @@ class AIMTransformer(nn.Module):
     use_checkpoint: bool = False
     compute_dtype: Dtype = jnp.float32
     attention_core: str = "xla"
+    wind_attn: bool = False
+    window_size: tuple = (32, 2, 2)
+    not_shift: bool = True
+    prompt: bool = True
+    input_hw: int = 14
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         dpr = jnp.linspace(0.0, self.drop_path_rate, self.layers)
+
+        if self.wind_attn:
+            # alternating shifted windows on odd layers (vitclip_aim.py:317)
+            shift_flags = jnp.asarray(
+                [0.0 if (i % 2 == 0 or self.not_shift) else 1.0
+                 for i in range(self.layers)], jnp.float32)
+            block_cls = AIMWindowBlock
+            if self.use_checkpoint:
+                block_cls = nn.remat(AIMWindowBlock)
+            ScanBlocks = nn.scan(
+                block_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=((0, 0),),
+                length=self.layers,
+            )
+            blocks = ScanBlocks(
+                num_heads=self.num_heads,
+                num_frames=self.num_frames,
+                input_hw=self.input_hw,
+                adapter_scale=self.adapter_scale,
+                window_size=tuple(self.window_size),
+                prompt=self.prompt,
+                compute_dtype=self.compute_dtype,
+                attention_core=self.attention_core,
+                deterministic=deterministic,
+                name="resblocks",
+            )
+            x, _ = blocks(x, (dpr, shift_flags))
+            return x
 
         block_cls = AIMBlock
         if self.use_checkpoint:
@@ -183,6 +335,11 @@ class AIM(nn.Module):
     use_checkpoint: bool = False
     compute_dtype: Dtype = jnp.float32
     attention_core: str = "xla"
+    # window-attention path (reference vitclip_aim.py:212-287, :343-344)
+    wind_attn: bool = False
+    window_size: tuple = (32, 2, 2)
+    not_shift: bool = True
+    prompt: bool = True
     pretrained: Optional[str] = None  # handled by convert/clip_import.py
 
     @nn.compact
@@ -230,8 +387,11 @@ class AIM(nn.Module):
             num_frames=self.num_frames, adapter_scale=self.adapter_scale,
             num_tadapter=self.num_tadapter, drop_path_rate=self.drop_path_rate,
             use_checkpoint=self.use_checkpoint, compute_dtype=cdt,
-            attention_core=self.attention_core, name="transformer")(
-                xt, deterministic=deterministic)
+            attention_core=self.attention_core,
+            wind_attn=self.wind_attn, window_size=tuple(self.window_size),
+            not_shift=self.not_shift, prompt=self.prompt,
+            input_hw=self.input_resolution // self.patch_size,
+            name="transformer")(xt, deterministic=deterministic)
 
         xt = LayerNormFP32(name="ln_post")(xt)
         cls_tok = xt[:, 0]  # (B*T, D)
