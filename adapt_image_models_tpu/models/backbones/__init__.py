@@ -3,3 +3,7 @@ from adapt_image_models_tpu.models.backbones.vit_clip import ViT_CLIP, patch_shi
 from adapt_image_models_tpu.models.backbones.zeroi2v import (
     ViT_CLIP_ZEROI2V, head_shift,
 )
+from adapt_image_models_tpu.models.backbones.vit_imagenet import ViT_ImageNet
+from adapt_image_models_tpu.models.backbones.restuning import (
+    ViT_CLIP_RES_TUNING,
+)

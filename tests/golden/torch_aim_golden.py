@@ -158,3 +158,97 @@ class GoldenRecognizer(nn.Module):
         feat = self.backbone(x)  # (B, T, D)
         pooled = feat.mean(dim=1)
         return self.cls_head.fc_cls(pooled)
+
+
+# ---------------------------------------------------------------------------
+# timm-style golden (for ViT_ImageNet parity tests)
+
+
+class GoldenTimmAttention(nn.Module):
+    """timm naming: packed qkv Linear + proj."""
+
+    def __init__(self, d, heads, qkv_bias=True):
+        super().__init__()
+        self.heads = heads
+        self.qkv = nn.Linear(d, 3 * d, bias=qkv_bias)
+        self.proj = nn.Linear(d, d)
+
+    def forward(self, x):
+        b, l, d = x.shape
+        hd = d // self.heads
+        q, k, v = self.qkv(x).chunk(3, dim=-1)
+        q = q.view(b, l, self.heads, hd).transpose(1, 2)
+        k = k.view(b, l, self.heads, hd).transpose(1, 2)
+        v = v.view(b, l, self.heads, hd).transpose(1, 2)
+        att = (q @ k.transpose(-2, -1)) / math.sqrt(hd)
+        out = (att.softmax(dim=-1) @ v).transpose(1, 2).reshape(b, l, d)
+        return self.proj(out)
+
+
+class GoldenTimmMLP(nn.Module):
+    def __init__(self, d, ratio=4.0):
+        super().__init__()
+        self.fc1 = nn.Linear(d, int(d * ratio))
+        self.fc2 = nn.Linear(int(d * ratio), d)
+
+    def forward(self, x):
+        return self.fc2(F.gelu(self.fc1(x)))
+
+
+class GoldenTimmBlock(nn.Module):
+    def __init__(self, d, heads, frames, scale=0.5):
+        super().__init__()
+        self.frames = frames
+        self.scale = scale
+        self.attn = GoldenTimmAttention(d, heads)
+        self.norm1 = nn.LayerNorm(d, eps=1e-6)
+        self.norm2 = nn.LayerNorm(d, eps=1e-6)
+        self.mlp = GoldenTimmMLP(d)
+        self.S_Adapter = GoldenAdapter(d)
+        self.T_Adapter = GoldenAdapter(d, skip=False)
+        self.MLP_Adapter = GoldenAdapter(d, skip=False)
+
+    def forward(self, x):
+        bt, n, d = x.shape
+        t = self.frames
+        b = bt // t
+        xt = x.view(b, t, n, d).permute(0, 2, 1, 3).reshape(b * n, t, d)
+        xt = self.T_Adapter(self.attn(self.norm1(xt)))
+        xt = xt.view(b, n, t, d).permute(0, 2, 1, 3).reshape(bt, n, d)
+        x = x + xt
+        x = x + self.S_Adapter(self.attn(self.norm1(x)))
+        xn = self.norm2(x)
+        return x + self.mlp(xn) + self.scale * self.MLP_Adapter(xn)
+
+
+class GoldenTimmViT(nn.Module):
+    """timm-checkpoint-compatible skeleton (keys: patch_embed.proj, blocks.*,
+    norm) + AIM adapters."""
+
+    def __init__(self, res=32, patch=16, d=64, heads=4, layers=2, frames=4):
+        super().__init__()
+        self.frames = frames
+        self.patch_embed = nn.Module()
+        self.patch_embed.proj = nn.Conv2d(3, d, patch, patch, bias=True)
+        n = (res // patch) ** 2
+        self.cls_token = nn.Parameter(torch.zeros(1, 1, d))
+        self.pos_embed = nn.Parameter(torch.zeros(1, n + 1, d))
+        self.temporal_embedding = nn.Parameter(torch.zeros(1, frames, d))
+        self.blocks = nn.ModuleList(
+            [GoldenTimmBlock(d, heads, frames) for _ in range(layers)])
+        self.norm = nn.LayerNorm(d, eps=1e-6)
+
+    def forward(self, x):
+        b, c, t, h, w = x.shape
+        x = x.permute(0, 2, 1, 3, 4).reshape(b * t, c, h, w)
+        x = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
+        cls = self.cls_token.expand(x.shape[0], -1, -1)
+        x = torch.cat([cls, x], dim=1) + self.pos_embed
+        n, d = x.shape[1], x.shape[2]
+        x = x.view(b, t, n, d).permute(0, 2, 1, 3).reshape(b * n, t, d)
+        x = x + self.temporal_embedding
+        x = x.view(b, n, t, d).permute(0, 2, 1, 3).reshape(b * t, n, d)
+        for blk in self.blocks:
+            x = blk(x)
+        x = self.norm(x)
+        return x[:, 0].view(b, t, d)
