@@ -70,6 +70,22 @@ def _parse_value(v: str) -> Any:
         return v
 
 
+def add_cfg_options_arg(parser):
+    """Attach the standard ``--cfg-options k=v ...`` argument."""
+    parser.add_argument("--cfg-options", nargs="+", default=[],
+                        help="dot-key overrides, e.g. data.videos_per_gpu=4")
+    return parser
+
+
+def apply_cfg_options(cfg: "Config", items) -> "Config":
+    overrides = {}
+    for item in items or []:
+        k, _, v = item.partition("=")
+        overrides[k] = v
+    cfg.merge_from_dict(overrides)
+    return cfg
+
+
 class Config:
     """Dict-like config with attribute access."""
 

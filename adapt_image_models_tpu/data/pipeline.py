@@ -149,6 +149,20 @@ class SampleProcessor:
                         new_views.append(TH.flip_clip(v))
                     else:
                         new_views.append(v)
+                elif name == "RandAugment":
+                    from adapt_image_models_tpu.data.randaugment import rand_augment
+                    new_views.append(rand_augment(rng, v, n=kw.get("n", 4),
+                                                  m=kw.get("m", 7)))
+                elif name == "RandomErasing":
+                    from adapt_image_models_tpu.data.randaugment import random_erasing
+                    new_views.append(random_erasing(
+                        rng, v, probability=kw.get("probability", 0.25)))
+                elif name == "ColorJitter":
+                    from adapt_image_models_tpu.data.randaugment import color_jitter
+                    new_views.append(color_jitter(
+                        rng, v, brightness=kw.get("brightness", 0.5),
+                        contrast=kw.get("contrast", 0.5),
+                        saturation=kw.get("saturation", 0.5)))
                 else:
                     raise ValueError(f"unhandled spatial step {name}")
             views = new_views
@@ -234,6 +248,26 @@ def build_sample_processor(pipeline_cfg: Sequence[Dict[str, Any]],
             continue
         if t == "Flip":
             steps.append((t, dict(flip_ratio=item.get("flip_ratio", 0.5))))
+            continue
+        if t == "Imgaug":
+            # the reference wraps imgaug; we support its RandAugment use
+            # (vitclip_base_sthv2.py:25) natively
+            for tr in item.get("transforms", []):
+                if tr.get("type") == "RandAugment":
+                    steps.append(("RandAugment", dict(n=tr.get("n", 4),
+                                                      m=tr.get("m", 7))))
+                else:
+                    raise ValueError(f"unsupported Imgaug transform {tr}")
+            continue
+        if t == "RandomErasing":
+            # NOTE: reference erases after Normalize (float noise); we erase
+            # uint8 with uniform noise pre-normalize — same distribution role
+            steps.append((t, dict(probability=item.get("probability", 0.25))))
+            continue
+        if t == "ColorJitter":
+            steps.append((t, dict(brightness=item.get("brightness", 0.5),
+                                  contrast=item.get("contrast", 0.5),
+                                  saturation=item.get("saturation", 0.5))))
             continue
         raise ValueError(f"unsupported pipeline transform: {t}")
 

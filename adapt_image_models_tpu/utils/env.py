@@ -33,6 +33,20 @@ def collect_env() -> str:
     return "\n".join(lines)
 
 
+def apply_device_override():
+    """Honor ``AIM_DEVICE=cpu[:N]`` before any jax op — needed because the
+    axon sitecustomize pins jax_platforms at interpreter startup, making
+    plain env vars ineffective. Call first thing in CLI tools."""
+    spec = os.environ.get("AIM_DEVICE")
+    if not spec:
+        return
+    plat, _, n = spec.partition(":")
+    import jax
+    jax.config.update("jax_platforms", plat)
+    if plat == "cpu" and n:
+        jax.config.update("jax_num_cpu_devices", int(n))
+
+
 def set_global_seed(seed: int):
     """Seed host-side RNGs (JAX keys are explicit everywhere else)."""
     random.seed(seed)

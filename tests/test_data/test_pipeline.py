@@ -87,7 +87,7 @@ def test_threecrop_pipeline():
 
 
 def test_unsupported_transform_raises():
-    bad = TRAIN_PIPELINE[:3] + [dict(type="Imgaug", transforms=[])]
+    bad = TRAIN_PIPELINE[:3] + [dict(type="PytorchVideoWrapper", op="AugMix")]
     with pytest.raises(ValueError, match="unsupported pipeline transform"):
         build_sample_processor(bad)
 

@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Backbone feature extraction over a dataset
+(reference ``tools/misc/clip_feature_extraction.py:228``).
+
+    python tools/misc/clip_feature_extraction.py <config> <out.npz> \
+        [--checkpoint ckpt] [--split test]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
+
+from adapt_image_models_tpu.utils.env import apply_device_override
+apply_device_override()
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("config")
+    p.add_argument("out")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--split", default="test")
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--cfg-options", nargs="+", default=[])
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from adapt_image_models_tpu.config import Config
+    from adapt_image_models_tpu.apis.inference import init_recognizer
+    from adapt_image_models_tpu.data.datasets import build_dataset
+    from adapt_image_models_tpu.data.loader import VideoLoader
+    from adapt_image_models_tpu.data.pipeline import build_sample_processor
+    from adapt_image_models_tpu.data.transforms import make_prepare_fn
+
+    cfg = Config.fromfile(args.config)
+    from adapt_image_models_tpu.config.config import apply_cfg_options
+    apply_cfg_options(cfg, args.cfg_options)
+    model, params = init_recognizer(cfg.to_dict(), checkpoint=args.checkpoint)
+
+    ds_cfg = dict(cfg["data"][args.split])
+    pipeline = ds_cfg.pop("pipeline")
+    dataset = build_dataset({**ds_cfg, "pipeline": pipeline})
+    proc = build_sample_processor(pipeline)
+    loader = VideoLoader(dataset, proc, batch_size=args.batch, shuffle=False,
+                         num_workers=4, drop_last=False)
+    prepare = make_prepare_fn(proc.mean, proc.std)
+
+    extract = jax.jit(lambda p, v: model.apply(
+        {"params": p["params"]} if "params" in p else {"params": p},
+        v.reshape((-1,) + v.shape[2:]), method=model.extract_feat))
+
+    feats, labels = [], []
+    for batch in loader:
+        views = prepare(jnp.asarray(batch["imgs"]))
+        f = np.asarray(extract({"params": params}, views))  # (B*V, T, D)
+        bv = batch["imgs"].shape[0] * batch["imgs"].shape[1]
+        f = f.reshape(batch["imgs"].shape[0], -1, *f.shape[1:]).mean(axis=1)
+        feats.append(f)
+        labels.append(np.asarray(batch["label"]))
+    feats = np.concatenate(feats)[:len(dataset)]
+    labels = np.concatenate(labels)[:len(dataset)]
+    np.savez(args.out, features=feats, labels=labels)
+    print(f"saved {feats.shape} features -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -17,6 +17,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from adapt_image_models_tpu.utils.env import apply_device_override
+apply_device_override()
+
 from adapt_image_models_tpu.config import Config
 from adapt_image_models_tpu.utils.logger import get_root_logger
 
