@@ -7,3 +7,6 @@ from adapt_image_models_tpu.models.backbones.vit_imagenet import ViT_ImageNet
 from adapt_image_models_tpu.models.backbones.restuning import (
     ViT_CLIP_RES_TUNING,
 )
+from adapt_image_models_tpu.models.backbones.swin2d_adapter import (
+    SwinTransformer2D_Adapter,
+)

@@ -25,8 +25,10 @@ class I3DHead(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        # x: (B, T, D) -> (B, D)
-        x = jnp.mean(x, axis=1)
+        # AdaptiveAvgPool3d((1,1,1)) analog: pool every non-(batch, channel)
+        # axis. Accepts (B, T, D) from ViT backbones or (B, T, H, W, D)
+        # feature maps from hierarchical backbones (Swin).
+        x = jnp.mean(x, axis=tuple(range(1, x.ndim - 1)))
         if self.dropout_ratio > 0:
             x = nn.Dropout(rate=self.dropout_ratio)(x, deterministic=deterministic)
         # classification logits in fp32 for a stable softmax/loss

@@ -21,7 +21,10 @@ import jax.numpy as jnp
 from flax import traverse_util
 from flax.core import FrozenDict
 
-TRAINABLE_KEYWORDS = ("Adapter", "temporal_embedding", "ln_post")
+TRAINABLE_KEYWORDS = ("Adapter", "temporal_embedding", "ln_post",
+                      # Swin2D-Adapter's learned temporal relative bias is a
+                      # new (non-pretrained) temporal parameter
+                      "temporal_position_bias_table")
 TRAINABLE_MODULES = ("head_module", "cls_head", "fc_cls")
 
 
