@@ -1,0 +1,46 @@
+# AIM ViT-B/16, Kinetics-700, 32x3x3 (reference vitclip_base_k700.py:21 —
+# frame_interval=16, 700 classes; README.md:101: 76.9 top-1)
+_base_ = ["./vitclip_base_k400.py"]
+
+model = dict(cls_head=dict(num_classes=700))
+
+dataset_type = "VideoDataset"
+data_root = "data/kinetics700/train_256"
+data_root_val = "data/kinetics700/val_256"
+ann_file_train = "data/kinetics700/train_video_list.txt"
+ann_file_val = "data/kinetics700/val_video_list.txt"
+ann_file_test = "data/kinetics700/val_video_list.txt"
+img_norm_cfg = dict(
+    mean=[122.769, 116.74, 104.04], std=[68.493, 66.63, 70.321], to_bgr=False)
+
+train_pipeline = [
+    dict(type="DecordInit"),
+    dict(type="SampleFrames", clip_len=32, frame_interval=16, num_clips=1),
+    dict(type="DecordDecode"),
+    dict(type="Resize", scale=(-1, 256)),
+    dict(type="RandomResizedCrop"),
+    dict(type="Resize", scale=(224, 224), keep_ratio=False),
+    dict(type="Flip", flip_ratio=0.5),
+    dict(type="Normalize", **img_norm_cfg),
+    dict(type="FormatShape", input_format="NCTHW"),
+]
+test_pipeline = [
+    dict(type="DecordInit"),
+    dict(type="SampleFrames", clip_len=32, frame_interval=16, num_clips=3,
+         test_mode=True),
+    dict(type="DecordDecode"),
+    dict(type="Resize", scale=(-1, 256)),
+    dict(type="ThreeCrop", crop_size=256),
+    dict(type="Normalize", **img_norm_cfg),
+    dict(type="FormatShape", input_format="NCTHW"),
+]
+
+data = dict(
+    train=dict(ann_file=ann_file_train, data_prefix=data_root,
+               pipeline=train_pipeline),
+    val=dict(ann_file=ann_file_val, data_prefix=data_root_val,
+             pipeline=test_pipeline),
+    test=dict(ann_file=ann_file_test, data_prefix=data_root_val,
+              pipeline=test_pipeline),
+)
+work_dir = "./work_dirs/vitclip_base_k700"

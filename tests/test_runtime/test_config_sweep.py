@@ -1,0 +1,61 @@
+"""Config sweep (reference tests/test_runtime/test_config.py:26-45):
+load EVERY config under configs/, build its model at tiny-compatible
+settings where possible, and compile the pipelines — catches registry/config
+drift without touching weights or data."""
+
+import glob
+import os
+
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from adapt_image_models_tpu.config import Config
+from adapt_image_models_tpu.models import build_model
+from adapt_image_models_tpu.data.pipeline import build_sample_processor
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+CONFIGS = sorted(
+    p for p in glob.glob(os.path.join(REPO, "configs", "**", "*.py"),
+                         recursive=True)
+    if os.sep + "_base_" + os.sep not in p)
+
+
+@pytest.mark.parametrize("path", CONFIGS, ids=[os.path.basename(p) for p in CONFIGS])
+def test_config_loads_and_builds(path):
+    cfg = Config.fromfile(path)
+    model_cfg = dict(cfg["model"])
+    test_cfg = model_cfg.pop("test_cfg", None)
+    train_cfg = model_cfg.pop("train_cfg", None)
+    model = build_model(model_cfg, train_cfg=train_cfg, test_cfg=test_cfg)
+    assert model is not None
+
+    # all three pipelines must compile and agree on a static output size
+    for split in ("train", "val", "test"):
+        if split not in cfg["data"]:
+            continue
+        proc = build_sample_processor(cfg["data"][split]["pipeline"])
+        h, w = proc.output_size()
+        assert h > 0 and w > 0
+        assert proc.num_views >= 1
+
+    # recipe fields used by the trainer must be present and well-formed
+    assert "optimizer" in cfg and "lr" in cfg["optimizer"]
+    assert cfg.get("total_epochs", 1) >= 1
+
+
+@pytest.mark.parametrize("path", [p for p in CONFIGS if "debug_tiny" in p])
+def test_tiny_config_model_forward(path):
+    """The debug config must actually run a forward pass."""
+    cfg = Config.fromfile(path)
+    model_cfg = dict(cfg["model"])
+    test_cfg = model_cfg.pop("test_cfg", None)
+    model_cfg.pop("train_cfg", None)
+    model = build_model(model_cfg, test_cfg=test_cfg)
+    bb = model_cfg["backbone"]
+    x = jnp.zeros((1, 3, bb["num_frames"], bb["input_resolution"],
+                   bb["input_resolution"]))
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert out.shape[0] == 1
