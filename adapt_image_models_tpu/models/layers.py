@@ -184,6 +184,27 @@ def get_attention_core(name: str) -> Callable:
     raise ValueError(f"unknown attention core: {name}")
 
 
+class DenseParams(nn.Module):
+    """Dense layer with directly-accessible params (kernel/bias names match
+    nn.Dense so checkpoint converters see an identical tree). Used where a
+    fused Pallas kernel needs the raw weights."""
+
+    features_in: int
+    features_out: int
+    compute_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.kernel = self.param("kernel", trunc_normal_02,
+                                 (self.features_in, self.features_out),
+                                 jnp.float32)
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.features_out,), jnp.float32)
+
+    def __call__(self, x):
+        cdt = self.compute_dtype
+        return x.astype(cdt) @ self.kernel.astype(cdt) + self.bias.astype(cdt)
+
+
 class CLIPAttention(nn.Module):
     """Multi-head attention with CLIP's packed in-projection.
 
@@ -221,6 +242,20 @@ class CLIPAttention(nn.Module):
         w = self.param("in_proj_kernel", trunc_normal_02, (d, 3 * d), jnp.float32)
         b = self.param("in_proj_bias", nn.initializers.zeros, (3 * d,), jnp.float32)
         cdt = self.compute_dtype
+        out_proj = DenseParams(d, d, compute_dtype=cdt, name="out_proj")
+
+        if (self.attention_core == "fused" and kv is None and mask is None
+                and not need_weights and temporal_frames is None):
+            # fully-fused Pallas path: QKV proj + attention + out proj in one
+            # kernel (TPU only; ~1.5x the XLA path at ViT-B shapes)
+            from adapt_image_models_tpu.ops.fused_qkv_attention import (
+                fused_attention_block,
+            )
+            return fused_attention_block(
+                x.astype(cdt), w.astype(cdt), b.astype(cdt),
+                out_proj.kernel.astype(cdt), out_proj.bias.astype(cdt),
+                self.num_heads)
+
         xq = x.astype(cdt)
         xkv = (kv if kv is not None else x).astype(cdt)
         wq, wk, wv = jnp.split(w.astype(cdt), 3, axis=1)
@@ -247,20 +282,17 @@ class CLIPAttention(nn.Module):
             out = jnp.einsum("bnhqk,bknhd->bqnhd", probs.astype(vh.dtype), vh,
                              preferred_element_type=jnp.float32)
             out = out.astype(cdt).reshape(B, Lq, d)
-            return nn.Dense(d, kernel_init=trunc_normal_02,
-                            bias_init=nn.initializers.zeros,
-                            dtype=cdt, name="out_proj")(out)
+            return out_proj(out)
 
         q = q.reshape(B, Lq, self.num_heads, hd).transpose(0, 2, 1, 3)
         k = k.reshape(B, Lk, self.num_heads, hd).transpose(0, 2, 1, 3)
         v = v.reshape(B, Lk, self.num_heads, hd).transpose(0, 2, 1, 3)
 
-        core = get_attention_core(self.attention_core)
+        core_name = self.attention_core if self.attention_core != "fused" else "xla"
+        core = get_attention_core(core_name)
         out = core(q, k, v, mask)
         out = out.transpose(0, 2, 1, 3).reshape(B, Lq, d)
-        out = nn.Dense(d, kernel_init=trunc_normal_02,
-                       bias_init=nn.initializers.zeros,
-                       dtype=cdt, name="out_proj")(out)
+        out = out_proj(out)
         if need_weights:
             # fork's per-sample attention mass statistic
             # (vit_clip.py:147-152): sum over queries/keys of

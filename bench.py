@@ -9,9 +9,11 @@ K400 8x3x1 protocol (each sample costs 3 clips). ~202 GFLOPs per clip
 (reference: 606 GFLOPs for the 3-view sample, README.md:90).
 
 Baseline: the reference (torch/A100) has no published AIM throughput, so we
-use a first-principles A100 estimate: 202 GFLOPs/clip at 312 TFLOP/s bf16
-dense and 40% achieved MFU (typical for eval-size ViT batches with
-flash-attn) -> ~618 clips/s. vs_baseline = value / 618.
+use a first-principles A100 estimate. The fork's AIM ViT-B/16 8-frame clip
+costs ~404 GFLOPs (FMA=2 convention; the README's "202 G" per clip counts
+MACs). A100 bf16 dense peak 312 TFLOP/s at 40% achieved MFU (generous for
+eval-size ViT batches with flash-attn) -> 312e12*0.4/404e9 ~= 309 clips/s.
+vs_baseline = value / 309.
 """
 
 import json
@@ -20,7 +22,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-A100_BASELINE_CLIPS_PER_S = 618.0
+A100_BASELINE_CLIPS_PER_S = 309.0
 
 
 def main():
@@ -30,7 +32,8 @@ def main():
         type="Recognizer3D",
         backbone=dict(type="AIM", input_resolution=224, patch_size=16,
                       width=768, layers=12, heads=12, num_frames=8,
-                      drop_path_rate=0.0, compute_dtype="bfloat16"),
+                      drop_path_rate=0.0, compute_dtype="bfloat16",
+                      attention_core="fused"),
         cls_head=dict(type="I3DHead", num_classes=400, in_channels=768,
                       dropout_ratio=0.0),
         test_cfg=dict(average_clips="prob"),
