@@ -33,16 +33,25 @@ class TrainState:
     trainable: Any
     frozen: Any
     opt_state: Any
+    # non-param variable collections (e.g. BatchNorm batch_stats for the
+    # CNN backbone families); empty for the pure-ViT AIM models
+    model_state: Any = struct.field(default_factory=dict)
 
     @property
     def params(self):
         return merge_params(self.trainable, self.frozen)
 
+    @property
+    def variables(self):
+        return {"params": self.params, **self.model_state}
 
-def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
+
+def create_train_state(params, tx: optax.GradientTransformation,
+                       model_state: Any = None) -> TrainState:
     trainable, frozen = partition_params(params)
     return TrainState(step=jnp.zeros((), jnp.int32), trainable=trainable,
-                      frozen=frozen, opt_state=tx.init(trainable))
+                      frozen=frozen, opt_state=tx.init(trainable),
+                      model_state=model_state or {})
 
 
 def make_train_step(model, tx: optax.GradientTransformation,
@@ -72,19 +81,28 @@ def make_train_step(model, tx: optax.GradientTransformation,
         else:
             targets = labels
 
+        has_model_state = bool(jax.tree_util.tree_leaves(state.model_state))
+
         def loss_fn(trainable):
             params = merge_params(trainable, state.frozen)
-            logits = model.apply({"params": params}, imgs,
-                                 deterministic=False,
-                                 rngs={"dropout": rng_drop})
+            variables = {"params": params, **state.model_state}
+            if has_model_state:
+                logits, new_mstate = model.apply(
+                    variables, imgs, deterministic=False,
+                    rngs={"dropout": rng_drop},
+                    mutable=list(state.model_state.keys()))
+            else:
+                logits = model.apply(variables, imgs, deterministic=False,
+                                     rngs={"dropout": rng_drop})
+                new_mstate = state.model_state
             if targets.ndim == logits.ndim:
                 loss = soft_cross_entropy(logits, targets)
             else:
                 loss = cross_entropy(logits, targets)
-            return loss, logits
+            return loss, (logits, new_mstate)
 
-        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.trainable)
+        (loss, (logits, new_mstate)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.trainable)
         updates, new_opt = tx.update(grads, state.opt_state, state.trainable)
         new_trainable = optax.apply_updates(state.trainable, updates)
 
@@ -97,7 +115,8 @@ def make_train_step(model, tx: optax.GradientTransformation,
         }
         new_state = state.replace(step=state.step + 1,
                                   trainable=new_trainable,
-                                  opt_state=new_opt)
+                                  opt_state=new_opt,
+                                  model_state=new_mstate)
         return new_state, metrics
 
     return train_step

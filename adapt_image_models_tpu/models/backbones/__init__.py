@@ -10,3 +10,10 @@ from adapt_image_models_tpu.models.backbones.restuning import (
 from adapt_image_models_tpu.models.backbones.swin2d_adapter import (
     SwinTransformer2D_Adapter,
 )
+from adapt_image_models_tpu.models.backbones.resnet import (
+    ResNet, ResNetTSM, temporal_shift,
+)
+from adapt_image_models_tpu.models.backbones.resnet3d import (
+    ResNet3d, ResNet3dSlowOnly, C3D,
+)
+from adapt_image_models_tpu.models.backbones.timesformer import TimeSformer

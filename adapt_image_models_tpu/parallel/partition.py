@@ -14,7 +14,7 @@ matmuls, which is most of the backward FLOPs.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -52,9 +52,21 @@ def trainable_mask(params) -> Any:
     return traverse_util.unflatten_dict(mask)
 
 
-def partition_params(params) -> Tuple[Dict, Dict]:
-    """Split into (trainable, frozen) flat-path dicts (both unflattened)."""
+def partition_params(params, freeze_backbone: Optional[bool] = None
+                     ) -> Tuple[Dict, Dict]:
+    """Split into (trainable, frozen) sub-trees.
+
+    ``freeze_backbone=None`` auto-detects: models WITH adapters get the AIM
+    freeze (only adapters/temporal/ln_post/head train — the reference's
+    recipe); models without adapters (plain CNN/transformer baselines, e.g.
+    TSN/SlowOnly/C3D) train everything, exactly like the reference's
+    non-adapter configs.
+    """
     flat = traverse_util.flatten_dict(_as_dict(params))
+    if freeze_backbone is None:
+        freeze_backbone = any("Adapter" in part for k in flat for part in k)
+    if not freeze_backbone:
+        return traverse_util.unflatten_dict(dict(flat)), {}
     train = {k: v for k, v in flat.items() if is_trainable_path(k)}
     frozen = {k: v for k, v in flat.items() if not is_trainable_path(k)}
     return traverse_util.unflatten_dict(train), traverse_util.unflatten_dict(frozen)

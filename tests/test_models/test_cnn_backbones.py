@@ -1,0 +1,129 @@
+"""CNN-family + TimeSformer backbones (SURVEY §2.2 coverage)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from adapt_image_models_tpu.models.backbones.resnet import (
+    ResNet, ResNetTSM, temporal_shift,
+)
+from adapt_image_models_tpu.models.backbones.resnet3d import (
+    ResNet3dSlowOnly, C3D,
+)
+from adapt_image_models_tpu.models.backbones.timesformer import TimeSformer
+from adapt_image_models_tpu.models import build_model
+
+
+def test_temporal_shift_semantics():
+    x = jnp.arange(2 * 4 * 1 * 1 * 8, dtype=jnp.float32).reshape(8, 1, 1, 8)
+    y = temporal_shift(x, num_frames=4, shift_div=8)
+    xf = np.asarray(x).reshape(2, 4, 1, 1, 8)
+    yf = np.asarray(y).reshape(2, 4, 1, 1, 8)
+    # channel 0 shifted forward (t sees t+1), zero at the end
+    np.testing.assert_allclose(yf[:, :3, ..., 0], xf[:, 1:, ..., 0])
+    assert (yf[:, 3, ..., 0] == 0).all()
+    # channel 1 shifted backward, zero at the start
+    np.testing.assert_allclose(yf[:, 1:, ..., 1], xf[:, :3, ..., 1])
+    assert (yf[:, 0, ..., 1] == 0).all()
+    # remaining channels untouched
+    np.testing.assert_allclose(yf[..., 2:], xf[..., 2:])
+
+
+def test_resnet18_forward_with_batchstats():
+    model = ResNet(depth=18)
+    x = jnp.ones((2, 3, 32, 32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    assert "batch_stats" in variables
+    out = model.apply(variables, x)
+    assert out.shape == (2, 512)
+    # train mode mutates stats
+    out2, updates = model.apply(variables, x, deterministic=False,
+                                mutable=["batch_stats"])
+    assert "batch_stats" in updates
+
+
+def test_resnet_tsm():
+    model = ResNetTSM(depth=18, num_frames=4)
+    x = jnp.ones((8, 3, 32, 32))  # B=2, T=4 folded
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert out.shape == (8, 512)
+    with pytest.raises(ValueError, match="num_frames"):
+        m = ResNetTSM(depth=18)
+        m.init(jax.random.PRNGKey(0), x)
+
+
+def test_slowonly():
+    model = ResNet3dSlowOnly(stage_blocks=(1, 1, 1, 1))
+    x = jnp.ones((1, 3, 4, 32, 32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert out.shape == (1, 4, 1, 1, 2048)  # no temporal downsampling
+
+
+def test_c3d():
+    model = C3D()
+    x = jnp.ones((1, 3, 16, 112, 112))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert out.shape == (1, 4096)
+
+
+def test_timesformer():
+    model = TimeSformer(num_frames=4, img_size=32, patch_size=16,
+                        embed_dims=64, num_heads=4, num_transformer_layers=2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 4, 32, 32))
+    variables = model.init(jax.random.PRNGKey(1), x)
+    out = model.apply(variables, x)
+    assert out.shape == (2, 1, 64)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_tsn_recognizer_with_resnet():
+    cfg = dict(
+        type="Recognizer2D",
+        backbone=dict(type="ResNet", depth=18),
+        cls_head=dict(type="TSNHead", num_classes=5, in_channels=512),
+        test_cfg=dict(average_clips="prob"),
+    )
+    model = build_model(cfg)
+    x = jnp.ones((2, 3, 3, 32, 32))  # (B, S, C, H, W)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    logits = model.apply(variables, x)
+    assert logits.shape == (2, 5)
+
+
+def test_slowonly_train_step_with_batchstats():
+    """BN models must train through the shared train step (model_state)."""
+    from adapt_image_models_tpu.core.train_state import (
+        create_train_state, make_train_step,
+    )
+    from adapt_image_models_tpu.core.optim import build_optimizer
+    from adapt_image_models_tpu.parallel.partition import partition_params
+
+    model = build_model(dict(
+        type="Recognizer3D",
+        backbone=dict(type="ResNet3dSlowOnly", stage_blocks=(1, 1, 1, 1)),
+        cls_head=dict(type="I3DHead", num_classes=3, in_channels=2048,
+                      dropout_ratio=0.0),
+        test_cfg=dict(average_clips="prob")))
+    x = jnp.ones((2, 3, 4, 32, 32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    params = variables["params"]
+    mstate = {k: v for k, v in variables.items() if k != "params"}
+    trainable, _ = partition_params(params)
+    tx = build_optimizer(dict(type="SGD", lr=0.1, weight_decay=0.0),
+                         trainable, schedule=0.1)
+    state = create_train_state(params, tx, model_state=mstate)
+    step = jax.jit(make_train_step(model, tx))
+    batch = {"imgs": jnp.ones((2, 1, 3, 4, 32, 32)),
+             "label": jnp.array([0, 2])}
+    state2, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    # batch stats must have moved
+    a = jax.tree_util.tree_leaves(state.model_state)
+    b = jax.tree_util.tree_leaves(state2.model_state)
+    assert any(not np.allclose(np.asarray(x1), np.asarray(x2))
+               for x1, x2 in zip(a, b))
