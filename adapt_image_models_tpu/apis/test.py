@@ -62,7 +62,8 @@ def run_evaluation(cfg: Dict[str, Any], model=None, params=None,
                    split: str = "test", mesh=None,
                    metrics=("top_k_accuracy", "mean_class_accuracy"),
                    batch_size: Optional[int] = None,
-                   num_workers: Optional[int] = None) -> Dict[str, float]:
+                   num_workers: Optional[int] = None,
+                   return_scores: bool = False):
     """Evaluate ``params`` (or a freshly built model) on cfg.data[split]."""
     if model is None:
         model_cfg = dict(cfg["model"])
@@ -113,4 +114,7 @@ def run_evaluation(cfg: Dict[str, Any], model=None, params=None,
                 s = s[:-pad]
             scores.append(s)
     scores = np.concatenate(scores)[:n]
-    return dataset.evaluate(scores, metrics=metrics)
+    results = dataset.evaluate(scores, metrics=metrics)
+    if return_scores:
+        return results, scores, dataset.labels()
+    return results

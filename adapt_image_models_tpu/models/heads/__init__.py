@@ -1,2 +1,5 @@
 from adapt_image_models_tpu.models.heads.i3d_head import I3DHead
 from adapt_image_models_tpu.models.heads.tsn_head import TSNHead
+from adapt_image_models_tpu.models.heads.misc_heads import (
+    TSMHead, SlowFastHead, X3DHead, TimeSformerHead,
+)

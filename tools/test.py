@@ -34,6 +34,8 @@ def parse_args():
     p.add_argument("--average-clips", default=None,
                    choices=["prob", "score"])
     p.add_argument("--out", default=None, help="dump metrics json")
+    p.add_argument("--dump-scores", default=None,
+                   help="save per-sample scores npz (for report_accuracy)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cfg-options", nargs="+", default=[])
     return p.parse_args()
@@ -78,8 +80,16 @@ def main():
     model, params = load_params(cfg, args.checkpoint, args.seed)
 
     from adapt_image_models_tpu.apis.test import run_evaluation
-    results = run_evaluation(cfg.to_dict(), model=model, params=params,
-                             split=args.split, metrics=tuple(args.metrics))
+    out = run_evaluation(cfg.to_dict(), model=model, params=params,
+                         split=args.split, metrics=tuple(args.metrics),
+                         return_scores=bool(args.dump_scores))
+    if args.dump_scores:
+        import numpy as np
+        results, scores, labels = out
+        np.savez(args.dump_scores, scores=scores, labels=labels)
+        logger.info(f"dumped scores to {args.dump_scores}")
+    else:
+        results = out
     logger.info(f"Results: {results}")
     print(json.dumps(results))
     if args.out:
