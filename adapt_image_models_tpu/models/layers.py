@@ -245,16 +245,25 @@ class CLIPAttention(nn.Module):
         out_proj = DenseParams(d, d, compute_dtype=cdt, name="out_proj")
 
         if (self.attention_core == "fused" and kv is None and mask is None
-                and not need_weights and temporal_frames is None):
-            # fully-fused Pallas path: QKV proj + attention + out proj in one
-            # kernel (TPU only; ~1.5x the XLA path at ViT-B shapes)
-            from adapt_image_models_tpu.ops.fused_qkv_attention import (
-                fused_attention_block,
+                and not need_weights):
+            # fully-fused Pallas paths (TPU only): QKV proj + attention +
+            # out proj in one kernel — spatial (~1.5x XLA) and frame-axis
+            # temporal (~1.7x XLA) variants
+            if temporal_frames is None:
+                from adapt_image_models_tpu.ops.fused_qkv_attention import (
+                    fused_attention_block,
+                )
+                return fused_attention_block(
+                    x.astype(cdt), w.astype(cdt), b.astype(cdt),
+                    out_proj.kernel.astype(cdt), out_proj.bias.astype(cdt),
+                    self.num_heads)
+            from adapt_image_models_tpu.ops.fused_temporal_attention import (
+                fused_temporal_block,
             )
-            return fused_attention_block(
+            return fused_temporal_block(
                 x.astype(cdt), w.astype(cdt), b.astype(cdt),
                 out_proj.kernel.astype(cdt), out_proj.bias.astype(cdt),
-                self.num_heads)
+                temporal_frames, self.num_heads)
 
         xq = x.astype(cdt)
         xkv = (kv if kv is not None else x).astype(cdt)

@@ -1,0 +1,173 @@
+"""Fused temporal-attention branch: QKV projection -> frame-axis attention
+-> output projection, one Pallas kernel.
+
+AIM's temporal attention runs over T=8..32 frames per patch position
+(``vitclip_aim.py:200``) — thousands of (T x hd) x (hd x T) matmuls that
+strand the MXU and, in XLA, cost ~6.5 ms/layer of mostly HBM traffic at
+ViT-B batch-32 shapes. This kernel reads x/q/k/v once per (batch, token
+tile) cell and computes the tiny frame-axis attention entirely in VMEM:
+
+* per (tq, tk) frame pair the head logits come from one VPU multiply plus a
+  (tile, D) @ (D, H) SEGMENT-SUM matmul (a constant 0/1 matrix that sums
+  each head's 64 lanes) — MXU-shaped instead of 75k tiny GEMMs;
+* probabilities broadcast back to lanes with the transposed segment matrix;
+* the projections are ordinary large matmuls on the (T*tile, D) block.
+
+Layout contract: x is (B, T, N_pad, D); grid is (B, N_pad / TILE). Padded
+tokens compute garbage attention only among themselves (attention is
+per-token-position over frames) and are sliced off by the caller.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, seg_ref, o_ref,
+            *, t: int, heads: int, scale: float):
+    _, tt, tile, d = x_ref.shape
+    hd = d // heads
+    x = x_ref[0].reshape(t * tile, d)  # (T*tile, D)
+
+    qkv = jnp.dot(x, wqkv_ref[...], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[...].astype(jnp.float32)).astype(x.dtype)
+    qkv = qkv.reshape(t, tile, 3 * d)
+    seg = seg_ref[...]  # (D, H) 0/1 head-segment matrix, bf16
+
+    # per (tq, tk) frame pair: one VPU multiply + one segment-sum matmul.
+    # (folding the tk loop into a single (T*tile, D) matmul forces VMEM
+    # relayouts across the merged dims and is 3-4x SLOWER — measured.)
+    rows = []
+    for tq in range(t):
+        q_tq = qkv[tq, :, :d]
+        pair_logits = []
+        for tk in range(t):
+            k_tk = qkv[tk, :, d:2 * d]
+            prod = (q_tq * k_tk).astype(jnp.bfloat16)
+            pair_logits.append(jnp.dot(prod, seg,
+                                       preferred_element_type=jnp.float32))
+        rows.append(jnp.stack(pair_logits, axis=0))  # (T, tile, H)
+
+    out_rows = []
+    segT = seg.T  # (H, D)
+    for tq in range(t):
+        logits = rows[tq] * scale  # (T, tile, H)
+        m = jnp.max(logits, axis=0, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=0, keepdims=True)
+        acc = jnp.zeros((tile, d), jnp.float32)
+        for tk in range(t):
+            p_lanes = jnp.dot(p[tk].astype(jnp.bfloat16), segT,
+                              preferred_element_type=jnp.float32)
+            acc = acc + p_lanes * qkv[tk, :, 2 * d:].astype(jnp.float32)
+        out_rows.append(acc.astype(x.dtype))
+
+    out = jnp.stack(out_rows, axis=0).reshape(t * tile, d)
+    y = jnp.dot(out, wout_ref[...], preferred_element_type=jnp.float32)
+    y = y + bout_ref[...].astype(jnp.float32)
+    o_ref[0] = y.astype(o_ref.dtype).reshape(t, tile, d)
+
+
+def fused_temporal_attention(x: jax.Array, w_qkv: jax.Array, b_qkv: jax.Array,
+                             w_out: jax.Array, b_out: jax.Array,
+                             num_frames: int, num_heads: int,
+                             tile: int = 128) -> jax.Array:
+    """x: (B*T, N, D) post-LN tokens -> (B*T, N, D) temporal-attention
+    branch output (qkv -> frame-axis attention per token -> out proj)."""
+    bt, n, d = x.shape
+    t = num_frames
+    b = bt // t
+    hd = d // num_heads
+    n_pad = _round_up(n, tile)
+    scale = 1.0 / (hd ** 0.5)
+
+    xr = x.reshape(b, t, n, d)
+    xr = jnp.pad(xr, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
+
+    seg = np.zeros((d, num_heads), np.float32)
+    for h in range(num_heads):
+        seg[h * hd:(h + 1) * hd, h] = 1.0
+    seg = jnp.asarray(seg, jnp.bfloat16)
+
+    kernel = functools.partial(_kernel, t=t, heads=num_heads, scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, t, n_pad, d), x.dtype),
+        grid=(b, n_pad // tile),
+        in_specs=[
+            pl.BlockSpec((1, t, tile, d), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 3 * d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * d,), lambda i, j: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, num_heads), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t, tile, d), lambda i, j: (i, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bt * n_pad * d * (3 * d + d) // n_pad * 1,
+            bytes_accessed=2 * (2 * bt * n_pad * d * 2 + 4 * d * d),
+            transcendentals=b * n_pad * num_heads * t * t,
+        ),
+    )(xr, w_qkv, b_qkv, w_out, b_out, seg)
+    return out[:, :, :n, :].reshape(bt, n, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_temporal_block(x, w_qkv, b_qkv, w_out, b_out, num_frames, num_heads):
+    return fused_temporal_attention(x, w_qkv, b_qkv, w_out, b_out,
+                                    num_frames, num_heads)
+
+
+def _ref_impl(x, w_qkv, b_qkv, w_out, b_out, num_frames, num_heads):
+    bt, n, d = x.shape
+    t = num_frames
+    b = bt // t
+    hd = d // num_heads
+    qkv = x @ w_qkv.astype(x.dtype) + b_qkv.astype(x.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    qh = q.reshape(b, t, n, num_heads, hd)
+    kh = k.reshape(b, t, n, num_heads, hd)
+    vh = v.reshape(b, t, n, num_heads, hd)
+    logits = jnp.einsum("bqnhd,bknhd->bnhqk", qh, kh,
+                        preferred_element_type=jnp.float32) / (hd ** 0.5)
+    p = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bnhqk,bknhd->bqnhd", p.astype(vh.dtype), vh,
+                     preferred_element_type=jnp.float32)
+    out = out.astype(x.dtype).reshape(bt, n, d)
+    return out @ w_out.astype(x.dtype) + b_out.astype(x.dtype)
+
+
+def _fwd(x, w_qkv, b_qkv, w_out, b_out, num_frames, num_heads):
+    y = fused_temporal_attention(x, w_qkv, b_qkv, w_out, b_out,
+                                 num_frames, num_heads)
+    return y, (x, w_qkv, b_qkv, w_out, b_out)
+
+
+def _bwd(num_frames, num_heads, res, g):
+    x, w_qkv, b_qkv, w_out, b_out = res
+    _, vjp = jax.vjp(lambda *a: _ref_impl(*a, num_frames, num_heads),
+                     x, w_qkv, b_qkv, w_out, b_out)
+    return vjp(g)
+
+
+fused_temporal_block.defvjp(_fwd, _bwd)
