@@ -86,8 +86,14 @@ class AIMBlock(nn.Module):
         ln_1 = LayerNormFP32(name="ln_1")
         ln_2 = LayerNormFP32(name="ln_2")
         mlp = CLIPMLP(compute_dtype=self.compute_dtype, name="mlp")
-        s_adapter = Adapter(compute_dtype=self.compute_dtype, name="S_Adapter")
-        t_adapter = Adapter(skip_connect=False, compute_dtype=self.compute_dtype,
+        # NOTE: fused attention+adapter-epilogue kernels exist
+        # (ops/fused_*_attention.py) but measured SLOWER than letting XLA
+        # overlap the small adapter matmuls with the next kernel
+        # (223 -> 215 clips/s), so blocks keep the separate adapters.
+        s_adapter = Adapter(compute_dtype=self.compute_dtype,
+                            name="S_Adapter")
+        t_adapter = Adapter(skip_connect=False,
+                            compute_dtype=self.compute_dtype,
                             name="T_Adapter")
         mlp_adapter = Adapter(skip_connect=False, compute_dtype=self.compute_dtype,
                               name="MLP_Adapter")

@@ -192,9 +192,10 @@ class DenseParams(nn.Module):
     features_in: int
     features_out: int
     compute_dtype: Dtype = jnp.float32
+    kernel_init: Callable = trunc_normal_02
 
     def setup(self):
-        self.kernel = self.param("kernel", trunc_normal_02,
+        self.kernel = self.param("kernel", self.kernel_init,
                                  (self.features_in, self.features_out),
                                  jnp.float32)
         self.bias = self.param("bias", nn.initializers.zeros,
@@ -203,6 +204,33 @@ class DenseParams(nn.Module):
     def __call__(self, x):
         cdt = self.compute_dtype
         return x.astype(cdt) @ self.kernel.astype(cdt) + self.bias.astype(cdt)
+
+
+class AdapterParams(nn.Module):
+    """Setup-based :class:`Adapter` twin with directly-accessible weights
+    (identical param tree: D_fc1/D_fc2 kernel+bias, zero-init D_fc2) for the
+    fused attention+adapter Pallas kernels."""
+
+    d_model: int
+    mlp_ratio: float = 0.25
+    skip_connect: bool = True
+    compute_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        hidden = int(self.d_model * self.mlp_ratio)
+        self.D_fc1 = DenseParams(self.d_model, hidden,
+                                 compute_dtype=self.compute_dtype)
+        self.D_fc2 = DenseParams(hidden, self.d_model,
+                                 compute_dtype=self.compute_dtype,
+                                 kernel_init=nn.initializers.zeros)
+
+    def __call__(self, x):
+        xs = self.D_fc2(exact_gelu(self.D_fc1(x)))
+        return x + xs if self.skip_connect else xs
+
+    def weights(self, dtype):
+        return (self.D_fc1.kernel.astype(dtype), self.D_fc1.bias.astype(dtype),
+                self.D_fc2.kernel.astype(dtype), self.D_fc2.bias.astype(dtype))
 
 
 class CLIPAttention(nn.Module):
@@ -227,7 +255,8 @@ class CLIPAttention(nn.Module):
     def __call__(self, x: jax.Array, kv: Optional[jax.Array] = None,
                  mask: Optional[jax.Array] = None,
                  need_weights: bool = False,
-                 temporal_frames: Optional[int] = None) -> jax.Array:
+                 temporal_frames: Optional[int] = None,
+                 adapter: Optional["AdapterParams"] = None) -> jax.Array:
         """Self/cross attention over the sequence axis — or, when
         ``temporal_frames=T`` is given, over the FRAME axis of a
         ``(B*T, N, D)`` tensor without materializing the
@@ -247,23 +276,29 @@ class CLIPAttention(nn.Module):
         if (self.attention_core == "fused" and kv is None and mask is None
                 and not need_weights):
             # fully-fused Pallas paths (TPU only): QKV proj + attention +
-            # out proj in one kernel — spatial (~1.5x XLA) and frame-axis
-            # temporal (~1.7x XLA) variants
+            # out proj (+ optional bottleneck-adapter epilogue) in one kernel
+            common = (x.astype(cdt), w.astype(cdt), b.astype(cdt),
+                      out_proj.kernel.astype(cdt), out_proj.bias.astype(cdt))
             if temporal_frames is None:
                 from adapt_image_models_tpu.ops.fused_qkv_attention import (
-                    fused_attention_block,
+                    fused_attention_block, fused_attention_adapter_block,
                 )
-                return fused_attention_block(
-                    x.astype(cdt), w.astype(cdt), b.astype(cdt),
-                    out_proj.kernel.astype(cdt), out_proj.bias.astype(cdt),
-                    self.num_heads)
+                if adapter is not None:
+                    return fused_attention_adapter_block(
+                        *common, *adapter.weights(cdt), self.num_heads,
+                        adapter.skip_connect)
+                return fused_attention_block(*common, self.num_heads)
             from adapt_image_models_tpu.ops.fused_temporal_attention import (
-                fused_temporal_block,
+                fused_temporal_block, fused_temporal_adapter_block,
             )
-            return fused_temporal_block(
-                x.astype(cdt), w.astype(cdt), b.astype(cdt),
-                out_proj.kernel.astype(cdt), out_proj.bias.astype(cdt),
-                temporal_frames, self.num_heads)
+            if adapter is not None:
+                return fused_temporal_adapter_block(
+                    *common, *adapter.weights(cdt), temporal_frames,
+                    self.num_heads, adapter.skip_connect)
+            return fused_temporal_block(*common, temporal_frames,
+                                        self.num_heads)
+        if adapter is not None:
+            raise ValueError("adapter fusion requires attention_core='fused'")
 
         xq = x.astype(cdt)
         xkv = (kv if kv is not None else x).astype(cdt)

@@ -34,6 +34,21 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _adapter_epilogue(y, w1_ref, b1_ref, w2_ref, b2_ref, skip: bool,
+                      dtype):
+    """Bottleneck-adapter epilogue in VMEM: fc1 -> gelu -> fc2 (+skip).
+
+    Uses tanh-gelu: exact erf does not lower in Mosaic; max deviation vs the
+    erf form is ~5e-4 — below bf16 resolution at these activations."""
+    a = jnp.dot(y.astype(dtype), w1_ref[...],
+                preferred_element_type=jnp.float32)
+    a = jax.nn.gelu(a + b1_ref[...].astype(jnp.float32), approximate=True)
+    z = jnp.dot(a.astype(dtype), w2_ref[...],
+                preferred_element_type=jnp.float32)
+    z = z + b2_ref[...].astype(jnp.float32)
+    return y + z if skip else z
+
+
 def _kernel(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, o_ref,
             *, heads: int, l_actual: int, scale: float):
     x = x_ref[0]  # (L_pad, D)
@@ -66,6 +81,39 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, o_ref,
     y = jnp.dot(out, wout_ref[...],
                 preferred_element_type=jnp.float32)
     y = y + bout_ref[...].astype(jnp.float32)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _kernel_adapter(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+                    w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+                    *, heads: int, l_actual: int, scale: float, skip: bool):
+    """Same as ``_kernel`` plus the S_Adapter epilogue fused in."""
+    x = x_ref[0]
+    lp, d = x.shape
+    hd = d // heads
+    qkv = jnp.dot(x, wqkv_ref[...], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[...].astype(jnp.float32)).astype(x.dtype)
+    col = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 1)
+    keymask = jnp.where(col < l_actual, jnp.float32(0.0),
+                        jnp.float32(MASK_VALUE))
+    outs = []
+    for h in range(heads):
+        q = qkv[:, h * hd:(h + 1) * hd]
+        k = qkv[:, d + h * hd:d + (h + 1) * hd]
+        v = qkv[:, 2 * d + h * hd:2 * d + (h + 1) * hd]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * scale + keymask
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=1, keepdims=True)
+        o_h = jax.lax.dot(p.astype(v.dtype), v,
+                          preferred_element_type=jnp.float32) / denom
+        outs.append(o_h.astype(x.dtype))
+    out = jnp.concatenate(outs, axis=1)
+    y = jnp.dot(out, wout_ref[...], preferred_element_type=jnp.float32)
+    y = y + bout_ref[...].astype(jnp.float32)
+    y = _adapter_epilogue(y, w1_ref, b1_ref, w2_ref, b2_ref, skip, x.dtype)
     o_ref[0] = y.astype(o_ref.dtype)
 
 
@@ -107,6 +155,73 @@ def fused_qkv_attention(x: jax.Array, w_qkv: jax.Array, b_qkv: jax.Array,
         ),
     )(xp, w_qkv, b_qkv, w_out, b_out)
     return out[:, :l, :]
+
+
+def fused_qkv_attention_adapter(x, w_qkv, b_qkv, w_out, b_out,
+                                w1, b1, w2, b2, num_heads: int,
+                                skip: bool) -> jax.Array:
+    """Attention block + fused bottleneck-adapter epilogue."""
+    b, l, d = x.shape
+    lp = _round_up(l, 128)
+    xp = jnp.pad(x, ((0, 0), (0, lp - l), (0, 0)))
+    scale = 1.0 / ((d // num_heads) ** 0.5)
+    dh = w1.shape[1]
+    kernel = functools.partial(_kernel_adapter, heads=num_heads, l_actual=l,
+                               scale=scale, skip=skip)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, lp, d), x.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, lp, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 3 * d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * d,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, dh), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dh,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dh, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, lp, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+    )(xp, w_qkv, b_qkv, w_out, b_out, w1, b1, w2, b2)
+    return out[:, :l, :]
+
+
+def _ref_adapter_impl(x, w_qkv, b_qkv, w_out, b_out, w1, b1, w2, b2,
+                      num_heads, skip):
+    y = _ref_impl(x, w_qkv, b_qkv, w_out, b_out, num_heads)
+    a = jax.nn.gelu(y.astype(jnp.float32) @ w1.astype(jnp.float32)
+                    + b1.astype(jnp.float32), approximate=False)
+    z = (a @ w2.astype(jnp.float32) + b2.astype(jnp.float32)).astype(y.dtype)
+    return y + z if skip else z
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def fused_attention_adapter_block(x, w_qkv, b_qkv, w_out, b_out,
+                                  w1, b1, w2, b2, num_heads, skip):
+    return fused_qkv_attention_adapter(x, w_qkv, b_qkv, w_out, b_out,
+                                       w1, b1, w2, b2, num_heads, skip)
+
+
+def _fwd_ad(x, w_qkv, b_qkv, w_out, b_out, w1, b1, w2, b2, num_heads, skip):
+    y = fused_qkv_attention_adapter(x, w_qkv, b_qkv, w_out, b_out,
+                                    w1, b1, w2, b2, num_heads, skip)
+    return y, (x, w_qkv, b_qkv, w_out, b_out, w1, b1, w2, b2)
+
+
+def _bwd_ad(num_heads, skip, res, g):
+    _, vjp = jax.vjp(lambda *a: _ref_adapter_impl(*a, num_heads, skip), *res)
+    return vjp(g)
+
+
+fused_attention_adapter_block.defvjp(_fwd_ad, _bwd_ad)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))

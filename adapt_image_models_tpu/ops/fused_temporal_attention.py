@@ -35,7 +35,9 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, seg_ref, o_ref,
-            *, t: int, heads: int, scale: float):
+            *, t: int, heads: int, scale: float,
+            w1_ref=None, b1_ref=None, w2_ref=None, b2_ref=None,
+            adapter_skip: bool = False):
     _, tt, tile, d = x_ref.shape
     hd = d // heads
     x = x_ref[0].reshape(t * tile, d)  # (T*tile, D)
@@ -76,7 +78,22 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, seg_ref, o_ref,
     out = jnp.stack(out_rows, axis=0).reshape(t * tile, d)
     y = jnp.dot(out, wout_ref[...], preferred_element_type=jnp.float32)
     y = y + bout_ref[...].astype(jnp.float32)
+    if w1_ref is not None:
+        from adapt_image_models_tpu.ops.fused_qkv_attention import (
+            _adapter_epilogue,
+        )
+        y = _adapter_epilogue(y, w1_ref, b1_ref, w2_ref, b2_ref,
+                              adapter_skip, x.dtype)
     o_ref[0] = y.astype(o_ref.dtype).reshape(t, tile, d)
+
+
+def _kernel_with_adapter(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+                         seg_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+                         *, t: int, heads: int, scale: float,
+                         adapter_skip: bool):
+    _kernel(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, seg_ref, o_ref,
+            t=t, heads=heads, scale=scale, w1_ref=w1_ref, b1_ref=b1_ref,
+            w2_ref=w2_ref, b2_ref=b2_ref, adapter_skip=adapter_skip)
 
 
 def fused_temporal_attention(x: jax.Array, w_qkv: jax.Array, b_qkv: jax.Array,
@@ -130,6 +147,95 @@ def fused_temporal_attention(x: jax.Array, w_qkv: jax.Array, b_qkv: jax.Array,
         ),
     )(xr, w_qkv, b_qkv, w_out, b_out, seg)
     return out[:, :, :n, :].reshape(bt, n, d)
+
+
+def fused_temporal_attention_adapter(x, w_qkv, b_qkv, w_out, b_out,
+                                     w1, b1, w2, b2, num_frames: int,
+                                     num_heads: int, adapter_skip: bool,
+                                     tile: int = 128) -> jax.Array:
+    """Temporal branch + fused T_Adapter epilogue."""
+    bt, n, d = x.shape
+    t = num_frames
+    b = bt // t
+    hd = d // num_heads
+    n_pad = _round_up(n, tile)
+    scale = 1.0 / (hd ** 0.5)
+    xr = jnp.pad(x.reshape(b, t, n, d),
+                 ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
+    seg = np.zeros((d, num_heads), np.float32)
+    for h in range(num_heads):
+        seg[h * hd:(h + 1) * hd, h] = 1.0
+    seg = jnp.asarray(seg, jnp.bfloat16)
+    dh = w1.shape[1]
+
+    kernel = functools.partial(_kernel_with_adapter, t=t, heads=num_heads,
+                               scale=scale, adapter_skip=adapter_skip)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, t, n_pad, d), x.dtype),
+        grid=(b, n_pad // tile),
+        in_specs=[
+            pl.BlockSpec((1, t, tile, d), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 3 * d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * d,), lambda i, j: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, num_heads), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, dh), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dh,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dh, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t, tile, d), lambda i, j: (i, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+    )(xr, w_qkv, b_qkv, w_out, b_out, seg, w1, b1, w2, b2)
+    return out[:, :, :n, :].reshape(bt, n, d)
+
+
+def _ref_adapter_impl(x, w_qkv, b_qkv, w_out, b_out, w1, b1, w2, b2,
+                      num_frames, num_heads, adapter_skip):
+    y = _ref_impl(x, w_qkv, b_qkv, w_out, b_out, num_frames, num_heads)
+    a = jax.nn.gelu(y.astype(jnp.float32) @ w1.astype(jnp.float32)
+                    + b1.astype(jnp.float32), approximate=False)
+    z = (a @ w2.astype(jnp.float32) + b2.astype(jnp.float32)).astype(y.dtype)
+    return y + z if adapter_skip else z
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def fused_temporal_adapter_block(x, w_qkv, b_qkv, w_out, b_out,
+                                 w1, b1, w2, b2, num_frames, num_heads,
+                                 adapter_skip):
+    return fused_temporal_attention_adapter(
+        x, w_qkv, b_qkv, w_out, b_out, w1, b1, w2, b2,
+        num_frames, num_heads, adapter_skip)
+
+
+def _fwd_ad(x, w_qkv, b_qkv, w_out, b_out, w1, b1, w2, b2,
+            num_frames, num_heads, adapter_skip):
+    y = fused_temporal_attention_adapter(
+        x, w_qkv, b_qkv, w_out, b_out, w1, b1, w2, b2,
+        num_frames, num_heads, adapter_skip)
+    return y, (x, w_qkv, b_qkv, w_out, b_out, w1, b1, w2, b2)
+
+
+def _bwd_ad(num_frames, num_heads, adapter_skip, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: _ref_adapter_impl(*a, num_frames, num_heads, adapter_skip),
+        *res)
+    return vjp(g)
+
+
+fused_temporal_adapter_block.defvjp(_fwd_ad, _bwd_ad)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
