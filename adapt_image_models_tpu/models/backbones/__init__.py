@@ -17,3 +17,6 @@ from adapt_image_models_tpu.models.backbones.resnet3d import (
     ResNet3d, ResNet3dSlowOnly, C3D,
 )
 from adapt_image_models_tpu.models.backbones.timesformer import TimeSformer
+from adapt_image_models_tpu.models.backbones.slowfast import (
+    ResNet3dSlowFast, X3D,
+)

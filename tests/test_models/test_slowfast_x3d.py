@@ -1,0 +1,51 @@
+"""SlowFast + X3D backbones."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from adapt_image_models_tpu.models.backbones.slowfast import (
+    ResNet3dSlowFast, X3D,
+)
+from adapt_image_models_tpu.models import build_model
+
+
+def test_slowfast_forward():
+    model = ResNet3dSlowFast(stage_blocks=(1, 1, 1, 1), alpha=4, beta_inv=8)
+    x = jnp.ones((1, 3, 8, 32, 32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    slow, fast = model.apply(variables, x)
+    assert slow.shape[1] == 2  # T/alpha
+    assert fast.shape[1] == 8
+    assert slow.shape[-1] == 2048  # 64 * 2**3 * 4 (bottleneck expansion)
+    assert fast.shape[-1] == 256   # 2048 / beta_inv
+    with pytest.raises(ValueError, match="alpha"):
+        model.apply(variables, jnp.ones((1, 3, 6, 32, 32)))
+
+
+def test_slowfast_recognizer():
+    cfg = dict(
+        type="Recognizer3D",
+        backbone=dict(type="ResNet3dSlowFast", stage_blocks=(1, 1, 1, 1),
+                      alpha=4),
+        cls_head=dict(type="SlowFastHead", num_classes=5,
+                      in_channels=2048 + 256, dropout_ratio=0.0),
+        test_cfg=dict(average_clips="prob"),
+    )
+    model = build_model(cfg)
+    x = jnp.ones((1, 3, 8, 32, 32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    logits = model.apply(variables, x)
+    assert logits.shape == (1, 5)
+    assert bool(jnp.isfinite(logits).all())
+
+
+def test_x3d_forward():
+    model = X3D(stage_blocks=(1, 1, 1, 1), gamma_d=1.0)
+    x = jnp.ones((1, 3, 4, 64, 64))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert out.ndim == 5 and out.shape[1] == 4  # no temporal downsample
+    assert bool(jnp.isfinite(out).all())
