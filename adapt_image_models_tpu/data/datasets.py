@@ -124,6 +124,29 @@ class VideoDataset(BaseVideoDataset):
 
 
 @DATASETS.register_module()
+class AudioDataset(BaseVideoDataset):
+    """``<audio_path> <total_frames> <label>`` lines (reference
+    ``mmaction/datasets/audio_dataset.py``)."""
+
+    def load_annotations(self):
+        infos = []
+        with open(self.ann_file) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                parts = line.split()
+                path = parts[0]
+                if self.data_prefix:
+                    path = osp.join(self.data_prefix, path)
+                infos.append(dict(audio_path=path,
+                                  total_frames=int(parts[1]),
+                                  label=int(parts[2]),
+                                  start_index=self.start_index))
+        return infos
+
+
+@DATASETS.register_module()
 class RawframeDataset(BaseVideoDataset):
     """``<frame_dir> <total_frames> <label...>`` lines."""
 
