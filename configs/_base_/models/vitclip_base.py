@@ -13,6 +13,7 @@ model = dict(
         heads=12,
         drop_path_rate=0.1,
         compute_dtype="bfloat16",
+        attention_core="fused",  # Pallas fused kernels (TPU); set "xla" for CPU runs
     ),
     cls_head=dict(
         type="I3DHead",

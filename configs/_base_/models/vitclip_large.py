@@ -11,6 +11,7 @@ model = dict(
         heads=16,
         drop_path_rate=0.1,
         compute_dtype="bfloat16",
+        attention_core="fused",  # Pallas fused kernels (TPU); set "xla" for CPU runs
     ),
     cls_head=dict(
         type="I3DHead",
