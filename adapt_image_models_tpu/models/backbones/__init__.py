@@ -20,3 +20,6 @@ from adapt_image_models_tpu.models.backbones.timesformer import TimeSformer
 from adapt_image_models_tpu.models.backbones.slowfast import (
     ResNet3dSlowFast, X3D,
 )
+from adapt_image_models_tpu.models.backbones.mobilenet import (
+    MobileNetV2, MobileNetV2TSM, TANet, ResNet2Plus1d,
+)

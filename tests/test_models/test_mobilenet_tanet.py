@@ -1,0 +1,67 @@
+"""MobileNetV2(TSM), TANet, ResNet2Plus1d backbones."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from adapt_image_models_tpu.models.backbones.mobilenet import (
+    MobileNetV2, MobileNetV2TSM, TANet, ResNet2Plus1d,
+)
+from adapt_image_models_tpu.models.common import TAM, Conv2plus1d
+
+
+def test_mobilenetv2():
+    model = MobileNetV2()
+    x = jnp.ones((2, 3, 64, 64))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert out.shape == (2, 1280)
+
+
+def test_mobilenetv2_tsm():
+    model = MobileNetV2TSM(num_frames=4)
+    x = jnp.ones((4, 3, 64, 64))  # B=1, T=4
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert out.shape == (4, 1280)
+    with pytest.raises(ValueError):
+        MobileNetV2TSM().init(jax.random.PRNGKey(0), x)
+
+
+def test_tam_module():
+    tam = TAM(num_segments=4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 6, 6, 16))
+    variables = tam.init(jax.random.PRNGKey(1), x)
+    out = tam.apply(variables, x)
+    assert out.shape == x.shape
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_tanet():
+    model = TANet(depth=50, num_segments=4)
+    x = jnp.ones((4, 3, 32, 32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert out.shape == (4, 2048)
+
+
+def test_conv2plus1d_param_budget():
+    m = Conv2plus1d(out_channels=8, kernel_size=(3, 3, 3))
+    x = jnp.ones((1, 4, 8, 8, 4))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(variables, x)
+    assert out.shape == (1, 4, 8, 8, 8)
+    # mid channels per the (2+1)D parameter-matching formula
+    mid = (3 * 3 * 3 * 4 * 8) // (3 * 3 * 4 + 3 * 8)
+    k = variables["params"]["conv_s"]["kernel"]
+    assert k.shape[-1] == mid
+
+
+def test_resnet2plus1d():
+    model = ResNet2Plus1d(stage_blocks=(1, 1, 1, 1))
+    x = jnp.ones((1, 3, 4, 32, 32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert out.shape[1] == 4 and out.shape[-1] == 512
