@@ -14,7 +14,7 @@ from adapt_image_models_tpu.models.backbones.resnet import (
     ResNet, ResNetTSM, temporal_shift,
 )
 from adapt_image_models_tpu.models.backbones.resnet3d import (
-    ResNet3d, ResNet3dSlowOnly, C3D,
+    ResNet3d, ResNet3dSlowOnly, ResNet3dCSN, ResNetAudio, C3D,
 )
 from adapt_image_models_tpu.models.backbones.timesformer import TimeSformer
 from adapt_image_models_tpu.models.backbones.slowfast import (

@@ -27,6 +27,9 @@ class Bottleneck3d(nn.Module):
     planes: int
     spatial_stride: int = 1
     temporal_kernel: int = 1  # 1 or 3 (the "inflate" switch)
+    # 'ir' = interaction-reduced CSN: the 3x3x3 conv becomes depthwise
+    # (reference ``resnet3d_csn.py``)
+    csn_mode: str = ""
     compute_dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -39,8 +42,13 @@ class Bottleneck3d(nn.Module):
         h = nn.relu(nn.BatchNorm(use_running_average=deterministic,
                                  momentum=0.9, name="bn1")(h))
         s = self.spatial_stride
-        h = nn.Conv(self.planes, (1, 3, 3), (1, s, s), use_bias=False,
-                    dtype=cdt, name="conv2")(h)
+        if self.csn_mode == "ir":
+            h = nn.Conv(self.planes, (3, 3, 3), (1, s, s), use_bias=False,
+                        feature_group_count=self.planes, dtype=cdt,
+                        name="conv2")(h)
+        else:
+            h = nn.Conv(self.planes, (1, 3, 3), (1, s, s), use_bias=False,
+                        dtype=cdt, name="conv2")(h)
         h = nn.relu(nn.BatchNorm(use_running_average=deterministic,
                                  momentum=0.9, name="bn2")(h))
         h = nn.Conv(self.planes * 4, (1, 1, 1), use_bias=False, dtype=cdt,
@@ -96,6 +104,70 @@ class ResNet3d(ResNet3dSlowOnly):
     inflation by default."""
 
     inflate: Sequence[int] = (1, 1, 1, 1)
+
+
+@BACKBONES.register_module()
+class ResNet3dCSN(ResNet3dSlowOnly):
+    """Channel-separated 3D ResNet (reference ``resnet3d_csn.py``, ir mode:
+    bottlenecks with depthwise 3x3x3 convs)."""
+
+    inflate: Sequence[int] = (1, 1, 1, 1)
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        cdt = self.compute_dtype
+        h = x.transpose(0, 2, 3, 4, 1).astype(cdt)
+        h = nn.Conv(64, (3, 7, 7), (1, 2, 2), use_bias=False, dtype=cdt,
+                    name="conv1")(h)
+        h = nn.relu(nn.BatchNorm(use_running_average=deterministic,
+                                 momentum=0.9, name="bn1")(h))
+        h = nn.max_pool(h, (1, 3, 3), (1, 2, 2), padding="SAME")
+        planes = 64
+        for i, n_blocks in enumerate(self.stage_blocks):
+            for j in range(n_blocks):
+                stride = 2 if (i > 0 and j == 0) else 1
+                h = Bottleneck3d(planes, spatial_stride=stride,
+                                 temporal_kernel=3 if self.inflate[i] else 1,
+                                 csn_mode="ir", compute_dtype=cdt,
+                                 name=f"layer{i + 1}_{j}")(
+                                     h, deterministic=deterministic)
+            planes *= 2
+        return h.astype(jnp.float32)
+
+
+@BACKBONES.register_module()
+class ResNetAudio(nn.Module):
+    """Audio spectrogram ResNet (reference ``resnet_audio.py``, 373 LoC):
+    conv stem over (frames, mels) + 2D ResNet stages -> pooled features."""
+
+    depth: int = 50
+    base_channels: int = 32
+    compute_dtype: Dtype = jnp.float32
+    pretrained: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        from adapt_image_models_tpu.models.backbones.resnet import (
+            ARCH_SETTINGS, Bottleneck, BasicBlock,
+        )
+        kind, stage_blocks = ARCH_SETTINGS[self.depth]
+        block_cls = BasicBlock if kind == "basic" else Bottleneck
+        cdt = self.compute_dtype
+        # x: (B*S, 1, frames, mels) NCHW
+        h = x.transpose(0, 2, 3, 1).astype(cdt)
+        h = nn.Conv(self.base_channels, (9, 1), (1, 1), use_bias=False,
+                    dtype=cdt, name="conv1")(h)
+        h = nn.relu(nn.BatchNorm(use_running_average=deterministic,
+                                 momentum=0.9, name="bn1")(h))
+        planes = self.base_channels
+        for i, n_blocks in enumerate(stage_blocks):
+            for j in range(n_blocks):
+                stride = 2 if j == 0 else 1
+                h = block_cls(planes, stride=stride, compute_dtype=cdt,
+                              name=f"layer{i + 1}_{j}")(
+                                  h, deterministic=deterministic)
+            planes *= 2
+        return jnp.mean(h, axis=(1, 2)).astype(jnp.float32)
 
 
 @BACKBONES.register_module()
