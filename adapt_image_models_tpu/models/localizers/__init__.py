@@ -1,0 +1,3 @@
+from adapt_image_models_tpu.models.localizers.bmn import (
+    BMN, soft_nms, generate_bmn_labels,
+)
