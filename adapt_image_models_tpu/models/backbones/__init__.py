@@ -23,3 +23,6 @@ from adapt_image_models_tpu.models.backbones.slowfast import (
 from adapt_image_models_tpu.models.backbones.mobilenet import (
     MobileNetV2, MobileNetV2TSM, TANet, ResNet2Plus1d,
 )
+from adapt_image_models_tpu.models.backbones.flash_variants import (
+    AIM_FLASH, AIM_FLASH_WIN,
+)
