@@ -62,7 +62,14 @@ def train_model(cfg: Dict[str, Any], work_dir: Optional[str] = None,
     model = build_model(model_cfg, train_cfg=train_cfg, test_cfg=test_cfg)
 
     data_cfg = cfg["data"]
-    train_ds_cfg = dict(data_cfg["train"])
+    omni_cfgs = None
+    if isinstance(data_cfg["train"], (list, tuple)):
+        # OmniSource-style multi-dataset training: first entry is the main
+        # source, the rest cycle between its batches
+        omni_cfgs = [dict(c) for c in data_cfg["train"]]
+        train_ds_cfg = omni_cfgs[0]
+    else:
+        train_ds_cfg = dict(data_cfg["train"])
     train_pipeline = train_ds_cfg.pop("pipeline")
     train_ds = build_dataset({**train_ds_cfg, "pipeline": train_pipeline})
 
@@ -84,11 +91,23 @@ def train_model(cfg: Dict[str, Any], work_dir: Optional[str] = None,
     if micro_batch % num_hosts:
         raise ValueError(f"global micro-batch {micro_batch} not divisible by "
                          f"{num_hosts} hosts")
-    loader = VideoLoader(
-        train_ds, train_pipeline, batch_size=micro_batch // num_hosts,
-        shuffle=True, seed=seed,
-        num_workers=int(data_cfg.get("workers_per_gpu", 4)),
-        drop_last=True, num_shards=num_hosts, shard_index=host_id)
+    def _make_loader(ds, pipeline):
+        return VideoLoader(
+            ds, pipeline, batch_size=micro_batch // num_hosts,
+            shuffle=True, seed=seed,
+            num_workers=int(data_cfg.get("workers_per_gpu", 4)),
+            drop_last=True, num_shards=num_hosts, shard_index=host_id)
+
+    loader = _make_loader(train_ds, train_pipeline)
+    if omni_cfgs:
+        from adapt_image_models_tpu.data.loader import RoundRobinLoader
+        aux_loaders = []
+        for aux_cfg in omni_cfgs[1:]:
+            aux_cfg = dict(aux_cfg)
+            aux_pipe = aux_cfg.pop("pipeline")
+            aux_ds = build_dataset({**aux_cfg, "pipeline": aux_pipe})
+            aux_loaders.append(_make_loader(aux_ds, aux_pipe))
+        loader = RoundRobinLoader([loader] + aux_loaders)
 
     mean, std = _norm_cfg_from_pipeline(train_pipeline)
     compute_dtype = model_cfg.get("backbone", {}).get("compute_dtype", jnp.float32)

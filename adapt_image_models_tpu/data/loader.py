@@ -26,6 +26,33 @@ import numpy as np
 from adapt_image_models_tpu.data.pipeline import SampleProcessor, build_sample_processor
 
 
+class RoundRobinLoader:
+    """OmniSource-style alternation over multiple loaders (reference
+    ``mmaction/core/runner/omnisource_runner.py``: the main loader drives the
+    epoch; auxiliary loaders cycle)."""
+
+    def __init__(self, loaders):
+        if not loaders:
+            raise ValueError("need at least one loader")
+        self.loaders = list(loaders)
+
+    def set_epoch(self, epoch: int):
+        for l in self.loaders:
+            l.set_epoch(epoch)
+
+    def __len__(self):
+        return len(self.loaders[0]) * len(self.loaders)
+
+    def __iter__(self):
+        import itertools
+        main = iter(self.loaders[0])
+        aux = [itertools.cycle(l) for l in self.loaders[1:]]
+        for batch in main:
+            yield batch
+            for a in aux:
+                yield next(a)
+
+
 class VideoLoader:
     def __init__(self, dataset, pipeline, batch_size: int,
                  *, shuffle: bool = False, seed: int = 0,

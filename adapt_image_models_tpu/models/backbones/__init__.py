@@ -26,3 +26,4 @@ from adapt_image_models_tpu.models.backbones.mobilenet import (
 from adapt_image_models_tpu.models.backbones.flash_variants import (
     AIM_FLASH, AIM_FLASH_WIN,
 )
+from adapt_image_models_tpu.models.backbones.resnet_tin import ResNetTIN

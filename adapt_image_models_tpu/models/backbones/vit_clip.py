@@ -34,20 +34,26 @@ from adapt_image_models_tpu.models.backbones.aim import drop_path
 
 Dtype = jnp.dtype
 
-# PatchShift pattern C (reference vit_clip.py:38-46): (row%3, col%3) -> roll
-PATCH_SHIFT_PATTERN_C = (
-    ((0, 0), -4), ((0, 1), 1), ((1, 0), -1), ((0, 2), 2),
-    ((2, 0), -2), ((1, 2), 3), ((2, 1), -3), ((2, 2), 4),
-)
+# PatchShift pattern C (reference vit_clip.py:38-46): (row%3, col%3) -> roll.
+# 9-fold + 4-fold receptive-field variants per vit_clip_flash.py:42-57.
+PATCH_SHIFT_PATTERNS = {
+    9: (3, (((0, 0), -4), ((0, 1), 1), ((1, 0), -1), ((0, 2), 2),
+            ((2, 0), -2), ((1, 2), 3), ((2, 1), -3), ((2, 2), 4))),
+    4: (2, (((0, 0), -2), ((0, 1), 1), ((1, 0), -1), ((1, 1), 2))),
+}
 
 
-def patch_shift(x: jax.Array, inv: bool = False) -> jax.Array:
-    """x: (B, T, H, W, C); rolls 8 of 9 (h%3,w%3) cells along T."""
+def patch_shift(x: jax.Array, inv: bool = False, rf: int = 9) -> jax.Array:
+    """x: (B, T, H, W, C); rolls (h%s, w%s) cells along T per the rf-fold
+    pattern (rf in {9, 4})."""
+    if rf not in PATCH_SHIFT_PATTERNS:
+        raise ValueError(f"patch_shift rf must be 9 or 4, got {rf}")
+    step, pattern = PATCH_SHIFT_PATTERNS[rf]
     mult = -1 if inv else 1
     out = x
-    for (i, j), shift in PATCH_SHIFT_PATTERN_C:
-        rolled = jnp.roll(x[:, :, i::3, j::3, :], mult * shift, axis=1)
-        out = out.at[:, :, i::3, j::3, :].set(rolled)
+    for (i, j), shift in pattern:
+        rolled = jnp.roll(x[:, :, i::step, j::step, :], mult * shift, axis=1)
+        out = out.at[:, :, i::step, j::step, :].set(rolled)
     return out
 
 

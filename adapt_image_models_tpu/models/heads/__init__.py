@@ -3,3 +3,4 @@ from adapt_image_models_tpu.models.heads.tsn_head import TSNHead
 from adapt_image_models_tpu.models.heads.misc_heads import (
     TSMHead, SlowFastHead, X3DHead, TimeSformerHead,
 )
+from adapt_image_models_tpu.models.heads.trn_head import TRNHead
