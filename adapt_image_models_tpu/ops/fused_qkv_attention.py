@@ -49,14 +49,28 @@ def _adapter_epilogue(y, w1_ref, b1_ref, w2_ref, b2_ref, skip: bool,
     return y + z if skip else z
 
 
+def _project_qkv(x, wqkv_ref, bqkv_ref):
+    """Per-projection matmuls (a single packed (L,3D) fp32 intermediate
+    blows the VMEM budget at ViT-L widths)."""
+    d = x.shape[-1]
+    w = wqkv_ref[...]
+    b = bqkv_ref[...]
+    outs = []
+    for i in range(3):
+        y = jnp.dot(x, w[:, i * d:(i + 1) * d],
+                    preferred_element_type=jnp.float32)
+        outs.append((y + b[i * d:(i + 1) * d].astype(jnp.float32))
+                    .astype(x.dtype))
+    return jnp.concatenate(outs, axis=1)
+
+
 def _kernel(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, o_ref,
             *, heads: int, l_actual: int, scale: float):
     x = x_ref[0]  # (L_pad, D)
     lp, d = x.shape
     hd = d // heads
 
-    qkv = jnp.dot(x, wqkv_ref[...], preferred_element_type=jnp.float32)
-    qkv = (qkv + bqkv_ref[...].astype(jnp.float32)).astype(x.dtype)  # (L_pad, 3D)
+    qkv = _project_qkv(x, wqkv_ref, bqkv_ref)  # (L_pad, 3D) bf16
 
     col = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 1)
     keymask = jnp.where(col < l_actual, jnp.float32(0.0),
@@ -91,8 +105,7 @@ def _kernel_adapter(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
     x = x_ref[0]
     lp, d = x.shape
     hd = d // heads
-    qkv = jnp.dot(x, wqkv_ref[...], preferred_element_type=jnp.float32)
-    qkv = (qkv + bqkv_ref[...].astype(jnp.float32)).astype(x.dtype)
+    qkv = _project_qkv(x, wqkv_ref, bqkv_ref)
     col = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 1)
     keymask = jnp.where(col < l_actual, jnp.float32(0.0),
                         jnp.float32(MASK_VALUE))

@@ -42,8 +42,8 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, seg_ref, o_ref,
     hd = d // heads
     x = x_ref[0].reshape(t * tile, d)  # (T*tile, D)
 
-    qkv = jnp.dot(x, wqkv_ref[...], preferred_element_type=jnp.float32)
-    qkv = (qkv + bqkv_ref[...].astype(jnp.float32)).astype(x.dtype)
+    from adapt_image_models_tpu.ops.fused_qkv_attention import _project_qkv
+    qkv = _project_qkv(x, wqkv_ref, bqkv_ref)
     qkv = qkv.reshape(t, tile, 3 * d)
     seg = seg_ref[...]  # (D, H) 0/1 head-segment matrix, bf16
 
@@ -96,13 +96,25 @@ def _kernel_with_adapter(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
             w2_ref=w2_ref, b2_ref=b2_ref, adapter_skip=adapter_skip)
 
 
+def _auto_tile(d: int, t: int, requested: Optional[int]) -> int:
+    """Token-tile size keeping the per-cell VMEM (x + qkv + weights) under
+    the 16MB scoped limit: ~ (t*tile*d*8B activations + 8*d*d*2B weights)."""
+    if requested is not None:
+        return requested
+    tile = 128
+    while tile > 32 and (t * tile * d * 8 + 8 * d * d * 2) > 14 * 2 ** 20:
+        tile //= 2
+    return tile
+
+
 def fused_temporal_attention(x: jax.Array, w_qkv: jax.Array, b_qkv: jax.Array,
                              w_out: jax.Array, b_out: jax.Array,
                              num_frames: int, num_heads: int,
-                             tile: int = 128) -> jax.Array:
+                             tile: Optional[int] = None) -> jax.Array:
     """x: (B*T, N, D) post-LN tokens -> (B*T, N, D) temporal-attention
     branch output (qkv -> frame-axis attention per token -> out proj)."""
     bt, n, d = x.shape
+    tile = _auto_tile(d, num_frames, tile)
     t = num_frames
     b = bt // t
     hd = d // num_heads
@@ -152,9 +164,10 @@ def fused_temporal_attention(x: jax.Array, w_qkv: jax.Array, b_qkv: jax.Array,
 def fused_temporal_attention_adapter(x, w_qkv, b_qkv, w_out, b_out,
                                      w1, b1, w2, b2, num_frames: int,
                                      num_heads: int, adapter_skip: bool,
-                                     tile: int = 128) -> jax.Array:
+                                     tile: Optional[int] = None) -> jax.Array:
     """Temporal branch + fused T_Adapter epilogue."""
     bt, n, d = x.shape
+    tile = _auto_tile(d, num_frames, tile)
     t = num_frames
     b = bt // t
     hd = d // num_heads
