@@ -24,6 +24,6 @@ from adapt_image_models_tpu.models.backbones.mobilenet import (
     MobileNetV2, MobileNetV2TSM, TANet, ResNet2Plus1d,
 )
 from adapt_image_models_tpu.models.backbones.flash_variants import (
-    AIM_FLASH, AIM_FLASH_WIN,
+    AIM_FLASH, AIM_FLASH_WIN, AIM_FLASH_DUAL,
 )
 from adapt_image_models_tpu.models.backbones.resnet_tin import ResNetTIN

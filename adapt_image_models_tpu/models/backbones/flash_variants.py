@@ -212,6 +212,92 @@ class AIMFlashWindowBlock(nn.Module):
         return x, None
 
 
+class AIMFlashDualBlock(nn.Module):
+    """AIM_FLASH_DUAL block (reference ``vitclip_aim_flash_dual.py:100-186``):
+    a FROZEN main stream (plain CLIP block under no-grad) and a trainable
+    side stream doing window attention with per-window prompt tokens,
+    temporal attention over the pooled prompts, and cross-stream injection
+    ``xt += scale * S_Adapter(x)``.
+
+    Reference quirk: it slices the window prompts from the tensor AFTER
+    removing them (``:159-160``), reading window tokens instead; we take the
+    actual prompt outputs (the intended semantics), documented deviation.
+    """
+
+    num_heads: int
+    num_frames: int
+    input_hw: int
+    adapter_scale: float = 0.5
+    window_size: tuple = (32, 2, 2)
+    compute_dtype: Dtype = jnp.float32
+    attention_core: str = "xla"
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, carry, dpr: jax.Array):
+        x, xt = carry
+        deterministic = self.deterministic
+        bt, n, d = x.shape
+        t = self.num_frames
+        b = bt // t
+        h = w = self.input_hw
+        cdt = self.compute_dtype
+
+        attn = CLIPAttention(self.num_heads, compute_dtype=cdt,
+                             attention_core=self.attention_core, name="attn")
+        ln_1 = LayerNormFP32(name="ln_1")
+        ln_2 = LayerNormFP32(name="ln_2")
+        mlp = CLIPMLP(compute_dtype=cdt, name="mlp")
+        s_adapter = Adapter(skip_connect=False, compute_dtype=cdt,
+                            name="S_Adapter")
+        t_adapter = Adapter(skip_connect=False, compute_dtype=cdt,
+                            name="T_Adapter")
+        mlp_adapter = Adapter(skip_connect=False, compute_dtype=cdt,
+                              name="MLP_Adapter")
+        rng = self.make_rng("dropout") if not deterministic else None
+        scale = jnp.asarray(self.adapter_scale, x.dtype)
+
+        # frozen main stream (reference runs it under torch.no_grad)
+        x = jax.lax.stop_gradient(x + attn(ln_1(x)))
+        x = jax.lax.stop_gradient(x + mlp(ln_2(x)))
+
+        # side stream: windows + per-window prompts
+        window_size, _ = get_window_size((t, h, w), self.window_size,
+                                         (0, 0, 0))
+        wt, wh, ww = window_size
+        cls_tok, patches = xt[:, :1, :], xt[:, 1:, :]
+        win = patches.reshape(b, t, h, w, d)
+        win = pad_to_windows(win, window_size)
+        tp, hp, wp = win.shape[1:4]
+        parts = window_partition(win, window_size)
+        n_win = parts.shape[0] // b
+        n_wt = tp // wt
+        clsw = cls_tok.reshape(b, n_wt, wt, d)
+        clsw = jnp.broadcast_to(clsw[:, :, None],
+                                (b, n_wt, n_win // n_wt, wt, d))
+        win_p = clsw.reshape(-1, wt, d)
+        parts = jnp.concatenate([win_p.astype(parts.dtype), parts], axis=1)
+        parts = attn(ln_1(parts))
+        prompt_out = parts[:, :wt]  # (B*nW, wt, D) — intended semantics
+        parts = parts[:, wt:]
+        win = window_reverse(parts.astype(cdt), window_size, b, tp, hp, wp)
+        windows_attn = win[:, :t, :h, :w, :].reshape(bt, h * w, d)
+
+        # pooled window prompts become the per-frame cls; temporal attention
+        win_p = prompt_out.reshape(b, n_wt, n_win // n_wt, wt, d)
+        win_p = win_p.transpose(0, 1, 3, 2, 4).reshape(bt, n_win // n_wt, d)
+        cls_new = win_p.mean(axis=1, keepdims=True)  # (BT, 1, D)
+        cls_attn = attn(ln_1(cls_new), temporal_frames=t)
+
+        xt_new = jnp.concatenate([cls_attn.astype(cdt), windows_attn], axis=1)
+        xt_new = t_adapter(xt_new)
+        xt_new = xt_new + scale * s_adapter(x)
+        xn = ln_2(xt_new)
+        xt_new = xt_new + mlp(xn) + drop_path(rng, scale * mlp_adapter(xn),
+                                              dpr, deterministic)
+        return (x, xt_new.astype(xt.dtype)), None
+
+
 class _FlashTransformer(nn.Module):
     """Scan wrapper named so params land at ``transformer/resblocks`` (the
     CLIP/AIM converter key map)."""
@@ -340,3 +426,83 @@ class AIM_FLASH(_FlashBackboneBase):
 class AIM_FLASH_WIN(_FlashBackboneBase):
     wind_attn: bool = True
     window_size: tuple = (16, 7, 7)
+
+
+@BACKBONES.register_module()
+class AIM_FLASH_DUAL(_FlashBackboneBase):
+    """Dual-stream variant; the transformer carries (frozen x, trainable xt)
+    and returns x + xt (reference ``vitclip_aim_flash_dual.py:218-233``)."""
+
+    window_size: tuple = (8, 7, 7)
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        b, c, t, hh, ww = x.shape
+        if t != self.num_frames:
+            raise ValueError(f"got T={t}, model built for num_frames={self.num_frames}")
+        d = self.width
+        n_patches = (self.input_resolution // self.patch_size) ** 2
+        cdt = self.compute_dtype
+
+        xt = x.transpose(0, 2, 3, 4, 1).reshape(b * t, hh, ww, c).astype(cdt)
+        xt = nn.Conv(d, kernel_size=(self.patch_size, self.patch_size),
+                     strides=(self.patch_size, self.patch_size), use_bias=False,
+                     dtype=cdt, kernel_init=trunc_normal_02, name="conv1")(xt)
+        xt = xt.reshape(b * t, -1, d)
+        s = d ** -0.5
+        class_embedding = self.param(
+            "class_embedding",
+            lambda k, sh: s * jax.random.normal(k, sh, jnp.float32), (d,))
+        positional_embedding = self.param(
+            "positional_embedding",
+            lambda k, sh: s * jax.random.normal(k, sh, jnp.float32),
+            (n_patches + 1, d))
+        temporal_embedding = self.param(
+            "temporal_embedding", nn.initializers.zeros,
+            (1, self.num_frames, d), jnp.float32)
+        cls = jnp.broadcast_to(class_embedding.astype(cdt), (b * t, 1, d))
+        xt = jnp.concatenate([cls, xt], axis=1)
+        xt = xt + positional_embedding.astype(cdt)
+        n = xt.shape[1]
+        xt = xt.reshape(b, t, n, d).transpose(0, 2, 1, 3)
+        xt = xt + temporal_embedding.astype(cdt)[None]
+        xt = xt.transpose(0, 2, 1, 3).reshape(b * t, n, d)
+        xt = LayerNormFP32(name="ln_pre")(xt)
+
+        wrapper = _DualTransformer(
+            layers=self.layers, heads=self.heads, num_frames=self.num_frames,
+            adapter_scale=self.adapter_scale,
+            window_size=tuple(self.window_size),
+            input_hw=self.input_resolution // self.patch_size,
+            drop_path_rate=self.drop_path_rate, compute_dtype=cdt,
+            attention_core=self.attention_core, name="transformer")
+        xt = wrapper(xt, deterministic=deterministic)
+        xt = LayerNormFP32(name="ln_post")(xt)
+        return xt[:, 0].reshape(b, t, d)
+
+
+class _DualTransformer(nn.Module):
+    layers: int
+    heads: int
+    num_frames: int
+    adapter_scale: float = 0.5
+    window_size: tuple = (8, 7, 7)
+    input_hw: int = 14
+    drop_path_rate: float = 0.2
+    compute_dtype: Dtype = jnp.float32
+    attention_core: str = "xla"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        dpr = jnp.linspace(0.0, self.drop_path_rate, self.layers)
+        Scan = nn.scan(AIMFlashDualBlock, variable_axes={"params": 0},
+                       split_rngs={"params": True, "dropout": True},
+                       in_axes=(0,), length=self.layers)
+        (x_out, xt_out), _ = Scan(
+            num_heads=self.heads, num_frames=self.num_frames,
+            adapter_scale=self.adapter_scale,
+            window_size=tuple(self.window_size), input_hw=self.input_hw,
+            compute_dtype=self.compute_dtype,
+            attention_core=self.attention_core,
+            deterministic=deterministic, name="resblocks")((x, x), dpr)
+        return x_out + xt_out  # reference: `xt = x + xt` after the blocks
