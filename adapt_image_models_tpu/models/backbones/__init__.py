@@ -27,3 +27,6 @@ from adapt_image_models_tpu.models.backbones.flash_variants import (
     AIM_FLASH, AIM_FLASH_WIN, AIM_FLASH_DUAL,
 )
 from adapt_image_models_tpu.models.backbones.resnet_tin import ResNetTIN
+from adapt_image_models_tpu.models.backbones.swin3d import (
+    SwinTransformer3D, SwinTransformer2D,
+)
