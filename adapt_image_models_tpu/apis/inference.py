@@ -34,6 +34,7 @@ def init_recognizer(cfg: Dict[str, Any], checkpoint: Optional[str] = None,
     variables = model.init(jax.random.PRNGKey(seed),
                            jnp.zeros((1, 3, t, h, w), jnp.float32))
     params = variables["params"]
+    model_state = {k: v for k, v in variables.items() if k != "params"}
     if checkpoint:
         import torch
         from adapt_image_models_tpu.convert.aim_import import (
@@ -41,6 +42,8 @@ def init_recognizer(cfg: Dict[str, Any], checkpoint: Optional[str] = None,
         )
         ckpt = torch.load(checkpoint, map_location="cpu", weights_only=False)
         params = load_aim_checkpoint_into_params(params, ckpt, strict=False)
+    if model_state:  # BN families: hand back the full variables dict
+        return model, {"params": params, **model_state}
     return model, params
 
 
@@ -57,13 +60,16 @@ def inference_recognizer(model, params, cfg: Dict[str, Any], video: str,
     views = prepare(jnp.asarray(imgs))
 
     test_cfg = cfg["model"].get("test_cfg") or {}
+    from adapt_image_models_tpu.core.train_state import split_variables
     from adapt_image_models_tpu.models.recognizers.recognizer3d import average_clip
+    params, model_state = split_variables(params)
+    variables = {"params": params, **model_state}
     b, v = views.shape[:2]
     flat = views.reshape((b * v,) + views.shape[2:])
     if return_features:
-        feats = model.apply({"params": params}, flat, deterministic=True,
+        feats = model.apply(variables, flat, deterministic=True,
                             method=model.extract_feat)
-    logits = model.apply({"params": params}, flat, deterministic=True)
+    logits = model.apply(variables, flat, deterministic=True)
     scores = average_clip(logits, v, test_cfg.get("average_clips", "prob"))
     scores = np.asarray(scores)[0]
     order = np.argsort(scores)[::-1][:topk]

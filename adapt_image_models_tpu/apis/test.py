@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from adapt_image_models_tpu.core.train_state import make_eval_step
+from adapt_image_models_tpu.core.train_state import make_eval_step, split_variables
 from adapt_image_models_tpu.data.datasets import build_dataset
 from adapt_image_models_tpu.data.loader import VideoLoader
 from adapt_image_models_tpu.data.pipeline import build_sample_processor
@@ -33,12 +33,14 @@ def make_chunked_eval_step(model, prepare_fn, average_clips: str = "prob",
                            max_testing_views: Optional[int] = None):
     """Eval step that processes views in chunks of ``max_testing_views``."""
 
-    def eval_step(params, imgs_uint8):
+    def eval_step(variables, imgs_uint8):
+        params, model_state = split_variables(variables)
+        variables = {"params": params, **model_state}
         imgs = prepare_fn(imgs_uint8)  # (B, V, C, T, H, W)
         b, v = imgs.shape[:2]
         if max_testing_views is None or v <= max_testing_views:
             flat = imgs.reshape((b * v,) + imgs.shape[2:])
-            logits = model.apply({"params": params}, flat, deterministic=True)
+            logits = model.apply(variables, flat, deterministic=True)
         else:
             if v % max_testing_views:
                 raise ValueError(f"num views {v} not divisible by "
@@ -48,7 +50,7 @@ def make_chunked_eval_step(model, prepare_fn, average_clips: str = "prob",
 
             def one_chunk(c):
                 flat = c.reshape((b * max_testing_views,) + c.shape[2:])
-                out = model.apply({"params": params}, flat, deterministic=True)
+                out = model.apply(variables, flat, deterministic=True)
                 return out.reshape(b, max_testing_views, -1)
 
             logits = jax.lax.map(one_chunk, per.transpose(1, 0, 2, 3, 4, 5, 6))
@@ -63,8 +65,15 @@ def run_evaluation(cfg: Dict[str, Any], model=None, params=None,
                    metrics=("top_k_accuracy", "mean_class_accuracy"),
                    batch_size: Optional[int] = None,
                    num_workers: Optional[int] = None,
-                   return_scores: bool = False):
-    """Evaluate ``params`` (or a freshly built model) on cfg.data[split]."""
+                   return_scores: bool = False,
+                   model_state: Optional[Dict[str, Any]] = None):
+    """Evaluate ``params`` (or a freshly built model) on cfg.data[split].
+
+    ``params`` may be a bare param tree or a full variables dict; non-param
+    collections (BatchNorm stats) can also be passed via ``model_state``.
+    """
+    params, state_from_params = split_variables(params)
+    model_state = model_state or state_from_params or {}
     if model is None:
         model_cfg = dict(cfg["model"])
         test_cfg = model_cfg.pop("test_cfg", None)
@@ -109,7 +118,8 @@ def run_evaluation(cfg: Dict[str, Any], model=None, params=None,
                 pad = n_dev - imgs.shape[0] % n_dev
                 imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)])
             device_imgs = shard_batch(mesh, imgs)
-            s = np.asarray(jax.device_get(eval_step(params, device_imgs)))
+            s = np.asarray(jax.device_get(
+                eval_step({"params": params, **model_state}, device_imgs)))
             if pad:
                 s = s[:-pad]
             scores.append(s)

@@ -123,6 +123,10 @@ def train_model(cfg: Dict[str, Any], work_dir: Optional[str] = None,
     rng = jax.random.PRNGKey(seed)
     variables = model.init(rng, sample)
     params = variables["params"]
+    # non-param collections (BatchNorm batch_stats for the CNN families) must
+    # survive end-to-end: train step mutates them, eval consumes them,
+    # checkpoints persist them
+    model_state = {k: v for k, v in variables.items() if k != "params"}
 
     pretrained = cfg.get("load_from")
     if pretrained:
@@ -155,8 +159,8 @@ def train_model(cfg: Dict[str, Any], work_dir: Optional[str] = None,
     tx = build_optimizer(cfg["optimizer"], trainable, schedule,
                          grad_clip=grad_clip, update_interval=update_interval)
 
-    state = create_train_state(params, tx)
-    del params, variables
+    state = create_train_state(params, tx, model_state=model_state)
+    del params, variables, model_state
 
     blending = None
     if train_cfg and train_cfg.get("blending"):
@@ -197,9 +201,12 @@ def train_model(cfg: Dict[str, Any], work_dir: Optional[str] = None,
                     m = {k: float(v) for k, v in
                          jax.device_get(metrics).items()}
                     ips = n_clips / max(time.time() - t0, 1e-9)
+                    # LR derives from the optimizer's own step count (survives
+                    # auto_resume, unlike the loop-local global_step)
+                    opt_step = int(jax.device_get(state.step))
                     logger.info(
                         f"Epoch [{epoch + 1}][{i + 1}/{len(loader)}] "
-                        f"lr: {float(schedule(global_step // update_interval)):.3e} "
+                        f"lr: {float(schedule(opt_step // update_interval)):.3e} "
                         f"loss: {m['loss']:.4f} top1: {m['top1_acc']:.4f} "
                         f"top5: {m['top5_acc']:.4f} clips/s: {ips:.1f}")
                     history.append({"epoch": epoch, "iter": i + 1, **m})
@@ -211,7 +218,8 @@ def train_model(cfg: Dict[str, Any], work_dir: Optional[str] = None,
                                   or epoch + 1 == total_epochs):
                 from adapt_image_models_tpu.apis.test import run_evaluation
                 results = run_evaluation(cfg, model, state.params, mesh=mesh,
-                                         split="val")
+                                         split="val",
+                                         model_state=state.model_state)
                 logger.info(f"Epoch [{epoch + 1}] val: {results}")
                 key = eval_cfg.get("save_best", "top1_acc")
                 if key in results:

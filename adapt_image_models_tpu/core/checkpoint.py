@@ -46,7 +46,8 @@ class CheckpointManager:
             json.dump(meta, f, indent=1)
 
     # ------------------------------------------------------------------
-    def save(self, state, epoch: int, extra: Optional[Dict[str, Any]] = None):
+    @staticmethod
+    def _state_tree(state, epoch: int) -> Dict[str, Any]:
         tree = {
             "trainable": state.trainable,
             "frozen": state.frozen,
@@ -54,6 +55,14 @@ class CheckpointManager:
             "step": np.asarray(state.step),
             "epoch": np.asarray(epoch),
         }
+        # BatchNorm/batch_stats collections (orbax rejects empty subtrees, so
+        # only include when present)
+        if jax.tree_util.tree_leaves(state.model_state):
+            tree["model_state"] = state.model_state
+        return tree
+
+    def save(self, state, epoch: int, extra: Optional[Dict[str, Any]] = None):
+        tree = self._state_tree(state, epoch)
         path = self._path(epoch)
         if os.path.exists(path):
             shutil.rmtree(path)
@@ -83,13 +92,7 @@ class CheckpointManager:
                   (score > prev if rule == "greater" else score < prev))
         if not better:
             return False
-        tree = {
-            "trainable": state.trainable,
-            "frozen": state.frozen,
-            "opt_state": state.opt_state,
-            "step": np.asarray(state.step),
-            "epoch": np.asarray(epoch),
-        }
+        tree = self._state_tree(state, epoch)
         path = self._path("best")
         if os.path.exists(path):
             shutil.rmtree(path)
@@ -109,17 +112,12 @@ class CheckpointManager:
             epoch = self.latest_epoch()
             if epoch is None:
                 raise FileNotFoundError(f"no checkpoints in {self.work_dir}")
-        template = {
-            "trainable": state.trainable,
-            "frozen": state.frozen,
-            "opt_state": state.opt_state,
-            "step": np.asarray(state.step),
-            "epoch": np.asarray(0),
-        }
+        template = self._state_tree(state, 0)
         tree = self._ckpt.restore(self._path(epoch), item=template)
         import jax.numpy as jnp
         new_state = state.replace(
             trainable=tree["trainable"], frozen=tree["frozen"],
             opt_state=tree["opt_state"],
+            model_state=tree.get("model_state", state.model_state),
             step=jnp.asarray(tree["step"], jnp.int32))
         return new_state, int(tree["epoch"])

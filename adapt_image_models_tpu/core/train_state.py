@@ -46,6 +46,27 @@ class TrainState:
         return {"params": self.params, **self.model_state}
 
 
+def split_variables(params_or_variables) -> Tuple[Any, Dict[str, Any]]:
+    """Normalize to ``(params, model_state)``.
+
+    Accepts either a bare param tree or a full flax variables dict (with a
+    ``params`` key plus non-param collections such as ``batch_stats`` for the
+    BN-based CNN families). Lets every eval/inference entry point take either
+    form, so BatchNorm state is never silently dropped.
+    """
+    if isinstance(params_or_variables, dict) and "params" in params_or_variables:
+        model_state = {k: v for k, v in params_or_variables.items()
+                       if k != "params"}
+        return params_or_variables["params"], model_state
+    return params_or_variables, {}
+
+
+def as_variables(params_or_variables) -> Dict[str, Any]:
+    """Normalize bare params or a variables dict to a variables dict."""
+    params, model_state = split_variables(params_or_variables)
+    return {"params": params, **model_state}
+
+
 def create_train_state(params, tx: optax.GradientTransformation,
                        model_state: Any = None) -> TrainState:
     trainable, frozen = partition_params(params)
@@ -130,10 +151,12 @@ def make_eval_step(model, prepare_fn: Optional[Callable] = None,
     from adapt_image_models_tpu.models.recognizers.recognizer3d import average_clip
 
     def eval_step(params, imgs):
+        params, model_state = split_variables(params)
         if prepare_fn is not None:
             imgs = prepare_fn(imgs)
         num_views = imgs.shape[1] if imgs.ndim == 6 else 1
-        logits = model.apply({"params": params}, imgs, deterministic=True)
+        logits = model.apply({"params": params, **model_state}, imgs,
+                             deterministic=True)
         return average_clip(logits, num_views, average_clips)
 
     return eval_step

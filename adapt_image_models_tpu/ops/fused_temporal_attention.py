@@ -153,7 +153,9 @@ def fused_temporal_attention(x: jax.Array, w_qkv: jax.Array, b_qkv: jax.Array,
             dimension_semantics=("parallel", "parallel"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * bt * n_pad * d * (3 * d + d) // n_pad * 1,
+            # qkv + out projections, plus the frame-axis attention core
+            # (qk^T and attn@v, each 2*b*n*t*t*d)
+            flops=2 * bt * n_pad * d * 4 * d + 2 * b * n_pad * t * t * d * 2,
             bytes_accessed=2 * (2 * bt * n_pad * d * 2 + 4 * d * d),
             transcendentals=b * n_pad * num_heads * t * t,
         ),

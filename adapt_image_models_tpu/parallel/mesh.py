@@ -46,7 +46,21 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a host batch pytree with leading-axis sharding."""
+    """Assemble a host batch pytree into a batch-sharded global array.
+
+    Single-process: a plain ``device_put`` with leading-axis sharding.
+    Multi-process: the loader is already sharded per host (each host's numpy
+    batch holds only its ``1/num_hosts`` slice of the global batch), so the
+    global array must be assembled from per-process shards — ``device_put``
+    with a global NamedSharding would instead treat each local batch as the
+    whole global array and silently shrink the effective batch.
+    """
+    multiprocess = jax.process_count() > 1
+
     def _put(x):
-        return jax.device_put(x, batch_sharding(mesh, np.ndim(x)))
+        sharding = batch_sharding(mesh, np.ndim(x))
+        if multiprocess:
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
+
     return jax.tree_util.tree_map(_put, batch)

@@ -25,6 +25,8 @@ def gradcam(model, params, imgs: jax.Array,
     Uses the patch-token features of the backbone (grid h x w) as the CAM
     source — the ViT analog of the reference's last conv feature map.
     """
+    from adapt_image_models_tpu.core.train_state import as_variables
+    variables = as_variables(params)
     b, c, t, h, w = imgs.shape
 
     def features(x):
@@ -32,11 +34,11 @@ def gradcam(model, params, imgs: jax.Array,
         # Recognizer3D.extract_feat returns (B, T, D) cls features; for CAM
         # we need the spatial grid, so re-run the head on pooled cls while
         # differentiating w.r.t. the cls features per frame.
-        feat = model.apply({"params": params}, x, method=model.extract_feat)
+        feat = model.apply(variables, x, method=model.extract_feat)
         return feat  # (B, T, D)
 
     def head_scores(feat):
-        logits = model.apply({"params": params}, feat, deterministic=True,
+        logits = model.apply(variables, feat, deterministic=True,
                              method=lambda m, f, deterministic: m.head_module(
                                  f, deterministic=deterministic))
         return logits

@@ -46,8 +46,9 @@ def main():
     t = proc.sampler.clip_len
     h, w = proc.output_size()
     prepare = make_prepare_fn(proc.mean, proc.std)
+    from adapt_image_models_tpu.core.train_state import as_variables
     fwd = jax.jit(lambda pr, v: jax.nn.softmax(
-        model.apply({"params": pr}, v), axis=-1))
+        model.apply(as_variables(pr), v), axis=-1))
     labels = ([l.strip() for l in open(args.label_map)]
               if args.label_map else None)
 

@@ -155,6 +155,43 @@ def test_checkpoint_roundtrip(tmp_path, ann):
     assert mgr.save_best(state, 5, 0.9)
 
 
+def test_bn_model_trains_and_evals_end_to_end(tmp_path, ann):
+    """BatchNorm collections must survive train -> checkpoint -> eval
+    (ADVICE r1 high: batch_stats were dropped end-to-end, crashing every
+    BN-based family)."""
+    cfg = tiny_cfg(tmp_path, ann)
+    cfg["model"] = dict(
+        type="Recognizer3D",
+        backbone=dict(type="ResNet3dSlowOnly", stage_blocks=(1, 1),
+                      inflate=(0, 1)),
+        cls_head=dict(type="I3DHead", num_classes=3, in_channels=512),
+        test_cfg=dict(average_clips="prob"),
+    )
+    cfg["total_epochs"] = 1
+    cfg["evaluation"] = dict(interval=1, save_best="top1_acc")
+    state, history = train_model(cfg, validate=True, seed=0)
+    assert np.isfinite(history[-1]["loss"])
+    # batch_stats exist and were mutated by training
+    stats = jax.tree_util.tree_leaves(state.model_state)
+    assert stats, "BN model produced no model_state"
+    assert any(float(jnp.abs(s).sum()) > 0 for s in stats)
+    # eval consumes them (crashes with ScopeCollectionNotFound if dropped)
+    res = run_evaluation(cfg, params=state.params, split="test",
+                         model_state=state.model_state)
+    assert "top1_acc" in res
+    # variables-dict form works too
+    res2 = run_evaluation(cfg, params=state.variables, split="test")
+    assert res2["top1_acc"] == res["top1_acc"]
+    # checkpoints round-trip the BN stats
+    mgr = CheckpointManager(cfg["work_dir"])
+    zeroed = state.replace(model_state=jax.tree_util.tree_map(
+        jnp.zeros_like, state.model_state))
+    restored, _ = mgr.restore(zeroed)
+    for a, b in zip(jax.tree_util.tree_leaves(state.model_state),
+                    jax.tree_util.tree_leaves(restored.model_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_blending_shapes():
     from adapt_image_models_tpu.data.blending import mixup, cutmix, build_blending
     rng = jax.random.PRNGKey(0)

@@ -58,8 +58,11 @@ def main():
     t = proc.sampler.clip_len
 
     # close over params so the artifact is self-contained
+    from adapt_image_models_tpu.core.train_state import as_variables
+    variables = as_variables(params)
+
     def infer(x):
-        return model.apply({"params": params}, x)
+        return model.apply(variables, x)
 
     x_spec = jax.ShapeDtypeStruct((args.batch, 3, t, h, w), jnp.float32)
     exported = jexport.export(jax.jit(infer))(x_spec)

@@ -50,14 +50,15 @@ def main():
                          num_workers=4, drop_last=False)
     prepare = make_prepare_fn(proc.mean, proc.std)
 
+    from adapt_image_models_tpu.core.train_state import as_variables
     extract = jax.jit(lambda p, v: model.apply(
-        {"params": p["params"]} if "params" in p else {"params": p},
+        as_variables(p),
         v.reshape((-1,) + v.shape[2:]), method=model.extract_feat))
 
     feats, labels = [], []
     for batch in loader:
         views = prepare(jnp.asarray(batch["imgs"]))
-        f = np.asarray(extract({"params": params}, views))  # (B*V, T, D)
+        f = np.asarray(extract(params, views))  # (B*V, T, D)
         bv = batch["imgs"].shape[0] * batch["imgs"].shape[1]
         f = f.reshape(batch["imgs"].shape[0], -1, *f.shape[1:]).mean(axis=1)
         feats.append(f)

@@ -46,22 +46,27 @@ def load_params(cfg, checkpoint, seed):
     import jax.numpy as jnp
     from adapt_image_models_tpu.apis.inference import init_recognizer
 
+    from adapt_image_models_tpu.core.train_state import split_variables
+
     model, params = init_recognizer(cfg.to_dict(), checkpoint=None, seed=seed)
+    params, model_state = split_variables(params)
     if checkpoint is None:
-        return model, params
-    if os.path.isdir(checkpoint):  # orbax dir from our trainer
+        pass
+    elif os.path.isdir(checkpoint):  # orbax dir from our trainer
         import orbax.checkpoint as ocp
         tree = ocp.PyTreeCheckpointer().restore(os.path.abspath(checkpoint))
         from adapt_image_models_tpu.parallel.partition import merge_params
         params = merge_params(tree["trainable"], tree["frozen"])
-        return model, params
-    # torch .pth released checkpoint
-    import torch
-    from adapt_image_models_tpu.convert.aim_import import (
-        load_aim_checkpoint_into_params,
-    )
-    ckpt = torch.load(checkpoint, map_location="cpu", weights_only=False)
-    params = load_aim_checkpoint_into_params(params, ckpt, strict=False)
+        model_state = tree.get("model_state") or model_state
+    else:  # torch .pth released checkpoint
+        import torch
+        from adapt_image_models_tpu.convert.aim_import import (
+            load_aim_checkpoint_into_params,
+        )
+        ckpt = torch.load(checkpoint, map_location="cpu", weights_only=False)
+        params = load_aim_checkpoint_into_params(params, ckpt, strict=False)
+    if model_state:
+        return model, {"params": params, **model_state}
     return model, params
 
 
