@@ -19,7 +19,11 @@ Deviation (documented): the reference's linear-adapter MLP path computes
 ``x + delta`` (``:305-308``) — i.e. it feeds ``2*xn + delta``, which breaks
 the paper's adapter-as-identity-at-init property (and likewise doubles the
 MLP output). We implement the init-preserving form
-``MLP_Adapter_out(mlp(MLP_Adapter_in(xn)))``.
+``MLP_Adapter_out(mlp(MLP_Adapter_in(xn)))`` by default;
+``reference_compat=True`` reproduces the reference's doubled-residual math
+bit-for-bit so released checkpoints trained with that code replicate
+(tested against the actual reference module in
+tests/test_convert/test_reference_parity.py).
 """
 
 from __future__ import annotations
@@ -124,6 +128,9 @@ class ZeroI2VBlock(nn.Module):
     share_adapter: bool = False
     bottleneck: int = 192
     linear_adapter: bool = False
+    # reproduce the reference's doubled-residual linear-adapter MLP path
+    # (vit_clip_zeroI2V.py:305-308) for released-checkpoint compatibility
+    reference_compat: bool = False
     compute_dtype: Dtype = jnp.float32
     deterministic: bool = True
 
@@ -249,7 +256,14 @@ class ZeroI2VBlock(nn.Module):
         if self.shift_type == "ths" and self.linear_adapter:
             a_in = ZeroI2VLinearAdapter(self.bottleneck, cdt, name="MLP_Adapter_in")
             a_out = ZeroI2VLinearAdapter(self.bottleneck, cdt, name="MLP_Adapter_out")
-            x = x + a_out(mlp(a_in(xn)))
+            if self.reference_compat:
+                # reference math (vit_clip_zeroI2V.py:305-308): the linear
+                # adapters' internal residuals are ADDED AGAIN, feeding
+                # 2*xn + delta into the MLP and doubling its output
+                m = mlp(xn + a_in(xn))
+                x = x + m + a_out(m)
+            else:
+                x = x + a_out(mlp(a_in(xn)))
         else:
             mlp_adapter = Adapter(skip_connect=False, compute_dtype=cdt,
                                   name="MLP_Adapter")
@@ -269,6 +283,7 @@ class ZeroI2VTransformer(nn.Module):
     share_adapter: bool = False
     bottleneck: int = 192
     linear_adapter: bool = False
+    reference_compat: bool = False
     drop_path_rate: float = 0.1
     compute_dtype: Dtype = jnp.float32
 
@@ -287,6 +302,7 @@ class ZeroI2VTransformer(nn.Module):
             with_t_cls_token=self.with_t_cls_token,
             share_adapter=self.share_adapter, bottleneck=self.bottleneck,
             linear_adapter=self.linear_adapter,
+            reference_compat=self.reference_compat,
             compute_dtype=self.compute_dtype,
             deterministic=deterministic, name="resblocks")(x, dpr)
         return x
@@ -309,6 +325,7 @@ class ViT_CLIP_ZEROI2V(nn.Module):
     share_adapter: bool = False
     bottleneck: int = 192
     linear_adapter: bool = False
+    reference_compat: bool = False
     shift_type: str = "ths"
     compute_dtype: Dtype = jnp.float32
     pretrained: Optional[str] = None
@@ -356,6 +373,7 @@ class ViT_CLIP_ZEROI2V(nn.Module):
             with_t_cls_token=self.with_t_cls_token,
             share_adapter=self.share_adapter, bottleneck=self.bottleneck,
             linear_adapter=self.linear_adapter,
+            reference_compat=self.reference_compat,
             drop_path_rate=self.drop_path_rate, compute_dtype=cdt,
             name="transformer")(xt, deterministic=deterministic)
 
