@@ -45,7 +45,8 @@ import flax.linen as nn
 
 from adapt_image_models_tpu.models.builder import BACKBONES
 from adapt_image_models_tpu.models.layers import (
-    Adapter, CLIPAttention, CLIPMLP, LayerNormFP32, trunc_normal_02,
+    Adapter, CLIPAttention, CLIPMLP, LayerNormFP32, LayerNormParams,
+    trunc_normal_02,
 )
 
 Dtype = jnp.dtype
@@ -83,7 +84,9 @@ class AIMBlock(nn.Module):
 
         attn = CLIPAttention(self.num_heads, compute_dtype=self.compute_dtype,
                              attention_core=self.attention_core, name="attn")
-        ln_1 = LayerNormFP32(name="ln_1")
+        # ln_1 exposes raw scale/bias so the fused kernels run it in their
+        # prologue (identical param tree to LayerNormFP32)
+        ln_1 = LayerNormParams(d, name="ln_1")
         ln_2 = LayerNormFP32(name="ln_2")
         mlp = CLIPMLP(compute_dtype=self.compute_dtype, name="mlp")
         # NOTE: fused attention+adapter-epilogue kernels exist
@@ -107,15 +110,19 @@ class AIMBlock(nn.Module):
         # 1. temporal adaptation -------------------------------------------
         # every patch position attends over frames; LN/adapters/projections
         # are per-token so they run in the native (B*T, N, D) layout — only
-        # the attention core batches over frames (no materialized relayout)
-        xt = ln_1(x)
+        # the attention core batches over frames (no materialized relayout).
+        # ln_1 fuses into the kernel prologue unless T_Adapter_in sits
+        # between LN and attention.
         if self.num_tadapter == 2:
-            xt = Adapter(compute_dtype=self.compute_dtype, name="T_Adapter_in")(xt)
-        xt = t_adapter(attn(xt, temporal_frames=t))
+            xt = Adapter(compute_dtype=self.compute_dtype,
+                         name="T_Adapter_in")(ln_1(x))
+            xt = t_adapter(attn(xt, temporal_frames=t))
+        else:
+            xt = t_adapter(attn(x, temporal_frames=t, ln=ln_1))
         x = x + drop_path(rng_t, xt, dpr, deterministic)
 
         # 2. spatial adaptation --------------------------------------------
-        x = x + s_adapter(attn(ln_1(x)))
+        x = x + s_adapter(attn(x, ln=ln_1))
 
         # 3. joint adaptation ----------------------------------------------
         xn = ln_2(x)

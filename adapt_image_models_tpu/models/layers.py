@@ -72,6 +72,29 @@ class LayerNormFP32(nn.Module):
         return y.astype(orig_dtype)
 
 
+class LayerNormParams(nn.Module):
+    """:class:`LayerNormFP32` twin with directly-accessible scale/bias
+    (identical param tree) so fused Pallas kernels can run the LN in their
+    prologue instead of a separate HBM round-trip."""
+
+    dim: int
+    epsilon: float = 1e-5
+
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones, (self.dim,),
+                                jnp.float32)
+        self.bias = self.param("bias", nn.initializers.zeros, (self.dim,),
+                               jnp.float32)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        orig_dtype = x.dtype
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * self.scale + self.bias).astype(orig_dtype)
+
+
 # ---------------------------------------------------------------------------
 # Stochastic depth
 
@@ -256,7 +279,8 @@ class CLIPAttention(nn.Module):
                  mask: Optional[jax.Array] = None,
                  need_weights: bool = False,
                  temporal_frames: Optional[int] = None,
-                 adapter: Optional["AdapterParams"] = None) -> jax.Array:
+                 adapter: Optional["AdapterParams"] = None,
+                 ln: Optional["LayerNormParams"] = None) -> jax.Array:
         """Self/cross attention over the sequence axis — or, when
         ``temporal_frames=T`` is given, over the FRAME axis of a
         ``(B*T, N, D)`` tensor without materializing the
@@ -275,14 +299,23 @@ class CLIPAttention(nn.Module):
 
         if (self.attention_core == "fused" and kv is None and mask is None
                 and not need_weights):
-            # fully-fused Pallas paths (TPU only): QKV proj + attention +
-            # out proj (+ optional bottleneck-adapter epilogue) in one kernel
-            common = (x.astype(cdt), w.astype(cdt), b.astype(cdt),
+            # fully-fused Pallas paths (TPU only): (optional fp32 LN) + QKV
+            # proj + attention + out proj (+ optional bottleneck-adapter
+            # epilogue) in one kernel
+            xin = x if ln is not None else x.astype(cdt)
+            common = (xin, w.astype(cdt), b.astype(cdt),
                       out_proj.kernel.astype(cdt), out_proj.bias.astype(cdt))
             if temporal_frames is None:
                 from adapt_image_models_tpu.ops.fused_qkv_attention import (
                     fused_attention_block, fused_attention_adapter_block,
+                    fused_ln_attention_block,
                 )
+                if ln is not None:
+                    if adapter is not None:
+                        raise ValueError("ln+adapter fusion unsupported")
+                    return fused_ln_attention_block(
+                        xin.astype(cdt), ln.scale, ln.bias, *common[1:],
+                        self.num_heads)
                 if adapter is not None:
                     return fused_attention_adapter_block(
                         *common, *adapter.weights(cdt), self.num_heads,
@@ -290,7 +323,14 @@ class CLIPAttention(nn.Module):
                 return fused_attention_block(*common, self.num_heads)
             from adapt_image_models_tpu.ops.fused_temporal_attention import (
                 fused_temporal_block, fused_temporal_adapter_block,
+                fused_ln_temporal_block,
             )
+            if ln is not None:
+                if adapter is not None:
+                    raise ValueError("ln+adapter fusion unsupported")
+                return fused_ln_temporal_block(
+                    xin.astype(cdt), ln.scale, ln.bias, *common[1:],
+                    temporal_frames, self.num_heads)
             if adapter is not None:
                 return fused_temporal_adapter_block(
                     *common, *adapter.weights(cdt), temporal_frames,
@@ -299,6 +339,8 @@ class CLIPAttention(nn.Module):
                                         self.num_heads)
         if adapter is not None:
             raise ValueError("adapter fusion requires attention_core='fused'")
+        if ln is not None:  # non-fused fallback: apply the LN here
+            x = ln(x)
 
         xq = x.astype(cdt)
         xkv = (kv if kv is not None else x).astype(cdt)

@@ -1,20 +1,31 @@
-"""Fully-fused attention: QKV projection -> per-head softmax(QK^T)V ->
-output projection, in ONE Pallas kernel.
+"""Fully-fused attention: (optional fp32 LayerNorm) -> QKV projection ->
+per-head softmax(QK^T)V -> output projection, in ONE Pallas kernel.
 
 Motivation (measured on v5e, ViT-B shapes, batch 32): the XLA spatial
-attention path runs at ~39 TFLOP/s while the plain MLP hits ~104 TFLOP/s —
+attention path runs at ~39 TFLOP/s while the plain MLP hits ~186 TFLOP/s —
 the gap is HBM round-trips between the projection matmuls and the
 (transposed, small-head) attention core. Keeping q/k/v, scores and the
 attention output entirely in VMEM per sample removes that traffic:
 projection matmuls are large (N_pad x D x 3D) and MXU-friendly, and the
 per-head cores consume VMEM-resident tiles.
 
+Round-2 upgrades (profiled on the real chip, BENCH r1 -> r2):
+* token padding shrank from the next 128-multiple to the next 16-multiple
+  (bf16 sublane granularity): ViT-B runs 197 -> 208 tokens instead of 256,
+  cutting ~19% of projection FLOPs;
+* ``l_actual`` decouples the mask length from the input length so the
+  backbone can pad ONCE and carry N_pad tokens through every layer
+  (pad-through-network) instead of pad/slice per ``pallas_call``;
+* the pre-attention fp32 LayerNorm optionally fuses into the kernel
+  prologue (``ln_scale``/``ln_bias``), removing one full HBM round-trip of
+  the activation tensor per attention.
+
 Weight tensors use constant index maps, so Mosaic's pipeline loads them
 into VMEM once and reuses them across all grid cells.
 
-VMEM budget per cell (ViT-B: N_pad=256, D=768, bf16):
-  Wqkv 3.5M + Wout 1.2M + x 0.4M + qkv 1.2M + scores(fp32) 0.26M + out 0.4M
-  ~= 7 MB < the 16 MB scoped limit. ViT-L (N_pad=384, D=1024) ~= 12.5 MB.
+VMEM budget per cell (ViT-B: N_pad=208, D=768, bf16):
+  Wqkv 3.5M + Wout 1.2M + x 0.3M + qkv 1.0M + scores(fp32) 0.17M + out 0.3M
+  ~= 6.5 MB < the 16 MB scoped limit. ViT-L (N_pad=272, D=1024) ~= 11 MB.
 """
 
 from __future__ import annotations
@@ -32,6 +43,16 @@ MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _kernel_layernorm(x, scale_ref, bias_ref, dtype, eps: float = 1e-5):
+    """fp32 LayerNorm in VMEM (matches models.layers.LayerNormFP32)."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale_ref[...].astype(jnp.float32) + bias_ref[...].astype(jnp.float32)
+    return y.astype(dtype)
 
 
 def _adapter_epilogue(y, w1_ref, b1_ref, w2_ref, b2_ref, skip: bool,
@@ -64,12 +85,23 @@ def _project_qkv(x, wqkv_ref, bqkv_ref):
     return jnp.concatenate(outs, axis=1)
 
 
-def _kernel(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, o_ref,
-            *, heads: int, l_actual: int, scale: float):
-    x = x_ref[0]  # (L_pad, D)
+def _sanitize_rows(x, l_actual: int):
+    """Zero rows beyond ``l_actual``: a partial block's out-of-range reads
+    are undefined (NaN in interpret mode) and would otherwise poison the
+    softmax through key columns / value rows."""
+    lp = x.shape[0]
+    if l_actual >= lp:
+        return x
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where(row < l_actual, x, jnp.zeros_like(x))
+
+
+def _attention_body(x, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+                    heads: int, l_actual: int, scale: float):
+    """Post-LN tokens (L_pad, D) -> attention block output (L_pad, D) fp32."""
     lp, d = x.shape
     hd = d // heads
-
+    x = _sanitize_rows(x, l_actual)
     qkv = _project_qkv(x, wqkv_ref, bqkv_ref)  # (L_pad, 3D) bf16
 
     col = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 1)
@@ -92,9 +124,24 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, o_ref,
         outs.append(o_h.astype(x.dtype))
     out = jnp.concatenate(outs, axis=1)  # (L_pad, D), static head offsets
 
-    y = jnp.dot(out, wout_ref[...],
-                preferred_element_type=jnp.float32)
-    y = y + bout_ref[...].astype(jnp.float32)
+    y = jnp.dot(out, wout_ref[...], preferred_element_type=jnp.float32)
+    return y + bout_ref[...].astype(jnp.float32)
+
+
+def _kernel(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, o_ref,
+            *, heads: int, l_actual: int, scale: float):
+    y = _attention_body(x_ref[0], wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+                        heads, l_actual, scale)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _kernel_ln(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wout_ref,
+               bout_ref, o_ref, *, heads: int, l_actual: int, scale: float):
+    """LN prologue fused: reads the RAW residual stream."""
+    x = _sanitize_rows(x_ref[0], l_actual)
+    x = _kernel_layernorm(x, lns_ref, lnb_ref, x_ref.dtype)
+    y = _attention_body(x, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+                        heads, l_actual, scale)
     o_ref[0] = y.astype(o_ref.dtype)
 
 
@@ -103,59 +150,35 @@ def _kernel_adapter(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
                     *, heads: int, l_actual: int, scale: float, skip: bool):
     """Same as ``_kernel`` plus the S_Adapter epilogue fused in."""
     x = x_ref[0]
-    lp, d = x.shape
-    hd = d // heads
-    qkv = _project_qkv(x, wqkv_ref, bqkv_ref)
-    col = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 1)
-    keymask = jnp.where(col < l_actual, jnp.float32(0.0),
-                        jnp.float32(MASK_VALUE))
-    outs = []
-    for h in range(heads):
-        q = qkv[:, h * hd:(h + 1) * hd]
-        k = qkv[:, d + h * hd:d + (h + 1) * hd]
-        v = qkv[:, 2 * d + h * hd:2 * d + (h + 1) * hd]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        s = s * scale + keymask
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        denom = jnp.sum(p, axis=1, keepdims=True)
-        o_h = jax.lax.dot(p.astype(v.dtype), v,
-                          preferred_element_type=jnp.float32) / denom
-        outs.append(o_h.astype(x.dtype))
-    out = jnp.concatenate(outs, axis=1)
-    y = jnp.dot(out, wout_ref[...], preferred_element_type=jnp.float32)
-    y = y + bout_ref[...].astype(jnp.float32)
+    y = _attention_body(x, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+                        heads, l_actual, scale)
     y = _adapter_epilogue(y, w1_ref, b1_ref, w2_ref, b2_ref, skip, x.dtype)
     o_ref[0] = y.astype(o_ref.dtype)
 
 
-def fused_qkv_attention(x: jax.Array, w_qkv: jax.Array, b_qkv: jax.Array,
-                        w_out: jax.Array, b_out: jax.Array,
-                        num_heads: int) -> jax.Array:
-    """x: (B, L, D) post-LN tokens -> (B, L, D) attention block output
-    (projection -> per-head fused softmax attention -> output projection)."""
-    b, l, d = x.shape
-    lp = _round_up(l, 128)
-    xp = jnp.pad(x, ((0, 0), (0, lp - l), (0, 0)))
-    scale = 1.0 / ((d // num_heads) ** 0.5)
+_WEIGHT_SPECS = lambda d: [
+    pl.BlockSpec((d, 3 * d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    pl.BlockSpec((3 * d,), lambda i: (0,), memory_space=pltpu.VMEM),
+    pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+]
 
-    kernel = functools.partial(_kernel, heads=num_heads, l_actual=l,
-                               scale=scale)
-    out = pl.pallas_call(
+
+def _call_spatial(kernel, xp, weights, lp, d, b, num_heads, extra_specs=(),
+                  extra_args=()):
+    """The block is (1, lp, d) with lp = round_up(L, 16) over the UNPADDED
+    (B, L, D) array: Pallas masks the partial block's read/write, so no
+    pad/slice ops ever materialize in HBM. Padded-key columns are masked by
+    ``l_actual``; padded-query rows are garbage that the masked store drops.
+    """
+    l = xp.shape[1]
+    x_spec = pl.BlockSpec((1, lp, d), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, lp, d), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, l, d), xp.dtype),
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, lp, d), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, 3 * d), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * d,), lambda i: (0,),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
-        ],
+        in_specs=[x_spec, *extra_specs, *_WEIGHT_SPECS(d)],
         out_specs=pl.BlockSpec((1, lp, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
@@ -166,83 +189,97 @@ def fused_qkv_attention(x: jax.Array, w_qkv: jax.Array, b_qkv: jax.Array,
             bytes_accessed=2 * (b * lp * d * 2 + d * 3 * d + d * d),
             transcendentals=b * num_heads * lp * lp,
         ),
-    )(xp, w_qkv, b_qkv, w_out, b_out)
-    return out[:, :l, :]
+    )(xp, *extra_args, *weights)
+
+
+def fused_qkv_attention(x: jax.Array, w_qkv: jax.Array, b_qkv: jax.Array,
+                        w_out: jax.Array, b_out: jax.Array,
+                        num_heads: int,
+                        l_actual: Optional[int] = None) -> jax.Array:
+    """x: (B, L, D) post-LN tokens -> (B, L, D) attention block output.
+
+    ``l_actual``: number of REAL tokens (keys beyond it are masked). Defaults
+    to L — pass it when the caller carries padded tokens through the network.
+    """
+    b, l, d = x.shape
+    l_actual = l if l_actual is None else l_actual
+    lp = _round_up(l, 16)
+    scale = 1.0 / ((d // num_heads) ** 0.5)
+
+    kernel = functools.partial(_kernel, heads=num_heads, l_actual=l_actual,
+                               scale=scale)
+    return _call_spatial(kernel, x, (w_qkv, b_qkv, w_out, b_out),
+                         lp, d, b, num_heads)
+
+
+def fused_ln_qkv_attention(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
+                           num_heads: int,
+                           l_actual: Optional[int] = None) -> jax.Array:
+    """Raw residual stream in, ``out_proj(attn(LN(x)))`` out — the fp32 LN
+    runs inside the kernel, saving one HBM round-trip of x per attention."""
+    b, l, d = x.shape
+    l_actual = l if l_actual is None else l_actual
+    lp = _round_up(l, 16)
+    scale = 1.0 / ((d // num_heads) ** 0.5)
+
+    kernel = functools.partial(_kernel_ln, heads=num_heads, l_actual=l_actual,
+                               scale=scale)
+    ln_specs = [
+        pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+    ]
+    return _call_spatial(kernel, x, (w_qkv, b_qkv, w_out, b_out),
+                         lp, d, b, num_heads, extra_specs=ln_specs,
+                         extra_args=(ln_scale, ln_bias))
 
 
 def fused_qkv_attention_adapter(x, w_qkv, b_qkv, w_out, b_out,
                                 w1, b1, w2, b2, num_heads: int,
-                                skip: bool) -> jax.Array:
+                                skip: bool,
+                                l_actual: Optional[int] = None) -> jax.Array:
     """Attention block + fused bottleneck-adapter epilogue."""
     b, l, d = x.shape
-    lp = _round_up(l, 128)
-    xp = jnp.pad(x, ((0, 0), (0, lp - l), (0, 0)))
+    l_actual = l if l_actual is None else l_actual
+    lp = _round_up(l, 16)
     scale = 1.0 / ((d // num_heads) ** 0.5)
     dh = w1.shape[1]
-    kernel = functools.partial(_kernel_adapter, heads=num_heads, l_actual=l,
-                               scale=scale, skip=skip)
-    out = pl.pallas_call(
+    kernel = functools.partial(_kernel_adapter, heads=num_heads,
+                               l_actual=l_actual, scale=scale, skip=skip)
+    adapter_specs = [
+        pl.BlockSpec((d, dh), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((dh,), lambda i: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((dh, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+    ]
+    x_spec = pl.BlockSpec((1, lp, d), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, lp, d), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, l, d), x.dtype),
         grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, lp, d), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, 3 * d), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * d,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, dh), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((dh,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((dh, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
-        ],
+        in_specs=[x_spec, *_WEIGHT_SPECS(d), *adapter_specs],
         out_specs=pl.BlockSpec((1, lp, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),
-    )(xp, w_qkv, b_qkv, w_out, b_out, w1, b1, w2, b2)
-    return out[:, :l, :]
+    )(x, w_qkv, b_qkv, w_out, b_out, w1, b1, w2, b2)
 
 
-def _ref_adapter_impl(x, w_qkv, b_qkv, w_out, b_out, w1, b1, w2, b2,
-                      num_heads, skip):
-    y = _ref_impl(x, w_qkv, b_qkv, w_out, b_out, num_heads)
-    a = jax.nn.gelu(y.astype(jnp.float32) @ w1.astype(jnp.float32)
-                    + b1.astype(jnp.float32), approximate=False)
-    z = (a @ w2.astype(jnp.float32) + b2.astype(jnp.float32)).astype(y.dtype)
-    return y + z if skip else z
+# ---------------------------------------------------------------------------
+# XLA reference implementations (used for the rematerialized backward AND by
+# the interpret-mode correctness tests)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
-def fused_attention_adapter_block(x, w_qkv, b_qkv, w_out, b_out,
-                                  w1, b1, w2, b2, num_heads, skip):
-    return fused_qkv_attention_adapter(x, w_qkv, b_qkv, w_out, b_out,
-                                       w1, b1, w2, b2, num_heads, skip)
+def _key_mask(l, l_actual):
+    if l_actual is None or l_actual >= l:
+        return None
+    col = jax.lax.broadcasted_iota(jnp.int32, (l, l), 1)
+    return jnp.where(col < l_actual, jnp.float32(0.0),
+                     jnp.float32(MASK_VALUE))
 
 
-def _fwd_ad(x, w_qkv, b_qkv, w_out, b_out, w1, b1, w2, b2, num_heads, skip):
-    y = fused_qkv_attention_adapter(x, w_qkv, b_qkv, w_out, b_out,
-                                    w1, b1, w2, b2, num_heads, skip)
-    return y, (x, w_qkv, b_qkv, w_out, b_out, w1, b1, w2, b2)
-
-
-def _bwd_ad(num_heads, skip, res, g):
-    _, vjp = jax.vjp(lambda *a: _ref_adapter_impl(*a, num_heads, skip), *res)
-    return vjp(g)
-
-
-fused_attention_adapter_block.defvjp(_fwd_ad, _bwd_ad)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def fused_attention_block(x, w_qkv, b_qkv, w_out, b_out, num_heads):
-    return fused_qkv_attention(x, w_qkv, b_qkv, w_out, b_out, num_heads)
-
-
-def _ref_impl(x, w_qkv, b_qkv, w_out, b_out, num_heads):
+def _ref_impl(x, w_qkv, b_qkv, w_out, b_out, num_heads, l_actual=None):
     """XLA reference for the backward (rematerialized)."""
     b, l, d = x.shape
     hd = d // num_heads
@@ -253,6 +290,9 @@ def _ref_impl(x, w_qkv, b_qkv, w_out, b_out, num_heads):
     v = v.reshape(b, l, num_heads, hd)
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32) / (hd ** 0.5)
+    mask = _key_mask(l, l_actual)
+    if mask is not None:
+        logits = logits + mask
     p = jax.nn.softmax(logits, axis=-1)
     o = jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v,
                    preferred_element_type=jnp.float32)
@@ -260,16 +300,96 @@ def _ref_impl(x, w_qkv, b_qkv, w_out, b_out, num_heads):
     return o @ w_out.astype(x.dtype) + b_out.astype(x.dtype)
 
 
-def _fwd(x, w_qkv, b_qkv, w_out, b_out, num_heads):
-    return fused_qkv_attention(x, w_qkv, b_qkv, w_out, b_out, num_heads), \
+def _ref_ln_impl(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
+                 num_heads, l_actual=None):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    y = (y * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32))
+    return _ref_impl(y.astype(x.dtype), w_qkv, b_qkv, w_out, b_out,
+                     num_heads, l_actual)
+
+
+def _ref_adapter_impl(x, w_qkv, b_qkv, w_out, b_out, w1, b1, w2, b2,
+                      num_heads, skip, l_actual=None):
+    y = _ref_impl(x, w_qkv, b_qkv, w_out, b_out, num_heads, l_actual)
+    a = jax.nn.gelu(y.astype(jnp.float32) @ w1.astype(jnp.float32)
+                    + b1.astype(jnp.float32), approximate=False)
+    z = (a @ w2.astype(jnp.float32) + b2.astype(jnp.float32)).astype(y.dtype)
+    return y + z if skip else z
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP entry points (forward = Pallas kernel, backward = rematerialized
+# XLA reference)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def fused_attention_adapter_block(x, w_qkv, b_qkv, w_out, b_out,
+                                  w1, b1, w2, b2, num_heads, skip,
+                                  l_actual=None):
+    return fused_qkv_attention_adapter(x, w_qkv, b_qkv, w_out, b_out,
+                                       w1, b1, w2, b2, num_heads, skip,
+                                       l_actual)
+
+
+def _fwd_ad(x, w_qkv, b_qkv, w_out, b_out, w1, b1, w2, b2, num_heads, skip,
+            l_actual):
+    y = fused_qkv_attention_adapter(x, w_qkv, b_qkv, w_out, b_out,
+                                    w1, b1, w2, b2, num_heads, skip, l_actual)
+    return y, (x, w_qkv, b_qkv, w_out, b_out, w1, b1, w2, b2)
+
+
+def _bwd_ad(num_heads, skip, l_actual, res, g):
+    _, vjp = jax.vjp(lambda *a: _ref_adapter_impl(*a, num_heads, skip,
+                                                  l_actual), *res)
+    return vjp(g)
+
+
+fused_attention_adapter_block.defvjp(_fwd_ad, _bwd_ad)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_attention_block(x, w_qkv, b_qkv, w_out, b_out, num_heads,
+                          l_actual=None):
+    return fused_qkv_attention(x, w_qkv, b_qkv, w_out, b_out, num_heads,
+                               l_actual)
+
+
+def _fwd(x, w_qkv, b_qkv, w_out, b_out, num_heads, l_actual):
+    return fused_qkv_attention(x, w_qkv, b_qkv, w_out, b_out, num_heads,
+                               l_actual), \
         (x, w_qkv, b_qkv, w_out, b_out)
 
 
-def _bwd(num_heads, res, g):
+def _bwd(num_heads, l_actual, res, g):
     x, w_qkv, b_qkv, w_out, b_out = res
-    _, vjp = jax.vjp(lambda *a: _ref_impl(*a, num_heads), x, w_qkv, b_qkv,
-                     w_out, b_out)
+    _, vjp = jax.vjp(lambda *a: _ref_impl(*a, num_heads, l_actual), x, w_qkv,
+                     b_qkv, w_out, b_out)
     return vjp(g.astype(jnp.float32).astype(g.dtype))
 
 
 fused_attention_block.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def fused_ln_attention_block(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
+                             b_out, num_heads, l_actual=None):
+    return fused_ln_qkv_attention(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
+                                  b_out, num_heads, l_actual)
+
+
+def _fwd_ln(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out, num_heads,
+            l_actual):
+    y = fused_ln_qkv_attention(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
+                               b_out, num_heads, l_actual)
+    return y, (x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out)
+
+
+def _bwd_ln(num_heads, l_actual, res, g):
+    _, vjp = jax.vjp(lambda *a: _ref_ln_impl(*a, num_heads, l_actual), *res)
+    return vjp(g.astype(jnp.float32).astype(g.dtype))
+
+
+fused_ln_attention_block.defvjp(_fwd_ln, _bwd_ln)

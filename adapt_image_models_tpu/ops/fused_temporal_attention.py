@@ -1,5 +1,5 @@
-"""Fused temporal-attention branch: QKV projection -> frame-axis attention
--> output projection, one Pallas kernel.
+"""Fused temporal-attention branch: (optional fp32 LayerNorm) -> QKV
+projection -> frame-axis attention -> output projection, one Pallas kernel.
 
 AIM's temporal attention runs over T=8..32 frames per patch position
 (``vitclip_aim.py:200``) — thousands of (T x hd) x (hd x T) matmuls that
@@ -13,9 +13,12 @@ tile) cell and computes the tiny frame-axis attention entirely in VMEM:
 * probabilities broadcast back to lanes with the transposed segment matrix;
 * the projections are ordinary large matmuls on the (T*tile, D) block.
 
-Layout contract: x is (B, T, N_pad, D); grid is (B, N_pad / TILE). Padded
-tokens compute garbage attention only among themselves (attention is
-per-token-position over frames) and are sliced off by the caller.
+Layout contract: x is (B, T, N, D) UNPADDED; grid is (B, cdiv(N, TILE)) —
+the last block is partial and Pallas masks its read/write, so no pad/slice
+ops ever hit HBM (round-2 upgrade; r1 padded N to a tile multiple in HBM).
+Temporal attention is independent per token position, so the partial
+block's out-of-range rows only ever mix with themselves. The fp32 LN
+prologue optionally fuses in (``fused_ln_temporal_attention``).
 """
 
 from __future__ import annotations
@@ -34,13 +37,11 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, seg_ref, o_ref,
-            *, t: int, heads: int, scale: float,
-            w1_ref=None, b1_ref=None, w2_ref=None, b2_ref=None,
-            adapter_skip: bool = False):
-    _, tt, tile, d = x_ref.shape
-    hd = d // heads
-    x = x_ref[0].reshape(t * tile, d)  # (T*tile, D)
+def _temporal_body(x, wqkv_ref, bqkv_ref, wout_ref, bout_ref, seg_ref,
+                   t: int, heads: int, scale: float):
+    """(T*tile, D) post-LN tokens -> temporal-attention output, fp32."""
+    d = x.shape[-1]
+    tile = x.shape[0] // t
 
     from adapt_image_models_tpu.ops.fused_qkv_attention import _project_qkv
     qkv = _project_qkv(x, wqkv_ref, bqkv_ref)
@@ -77,13 +78,36 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, seg_ref, o_ref,
 
     out = jnp.stack(out_rows, axis=0).reshape(t * tile, d)
     y = jnp.dot(out, wout_ref[...], preferred_element_type=jnp.float32)
-    y = y + bout_ref[...].astype(jnp.float32)
+    return y + bout_ref[...].astype(jnp.float32)
+
+
+def _kernel(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, seg_ref, o_ref,
+            *, t: int, heads: int, scale: float,
+            w1_ref=None, b1_ref=None, w2_ref=None, b2_ref=None,
+            adapter_skip: bool = False):
+    _, tt, tile, d = x_ref.shape
+    x = x_ref[0].reshape(t * tile, d)  # (T*tile, D)
+    y = _temporal_body(x, wqkv_ref, bqkv_ref, wout_ref, bout_ref, seg_ref,
+                       t, heads, scale)
     if w1_ref is not None:
         from adapt_image_models_tpu.ops.fused_qkv_attention import (
             _adapter_epilogue,
         )
         y = _adapter_epilogue(y, w1_ref, b1_ref, w2_ref, b2_ref,
                               adapter_skip, x.dtype)
+    o_ref[0] = y.astype(o_ref.dtype).reshape(t, tile, d)
+
+
+def _kernel_ln(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wout_ref,
+               bout_ref, seg_ref, o_ref, *, t: int, heads: int, scale: float):
+    from adapt_image_models_tpu.ops.fused_qkv_attention import (
+        _kernel_layernorm,
+    )
+    _, tt, tile, d = x_ref.shape
+    x = _kernel_layernorm(x_ref[0].reshape(t * tile, d), lns_ref, lnb_ref,
+                          x_ref.dtype)
+    y = _temporal_body(x, wqkv_ref, bqkv_ref, wout_ref, bout_ref, seg_ref,
+                       t, heads, scale)
     o_ref[0] = y.astype(o_ref.dtype).reshape(t, tile, d)
 
 
@@ -107,46 +131,36 @@ def _auto_tile(d: int, t: int, requested: Optional[int]) -> int:
     return tile
 
 
-def fused_temporal_attention(x: jax.Array, w_qkv: jax.Array, b_qkv: jax.Array,
-                             w_out: jax.Array, b_out: jax.Array,
-                             num_frames: int, num_heads: int,
-                             tile: Optional[int] = None) -> jax.Array:
-    """x: (B*T, N, D) post-LN tokens -> (B*T, N, D) temporal-attention
-    branch output (qkv -> frame-axis attention per token -> out proj)."""
-    bt, n, d = x.shape
-    tile = _auto_tile(d, num_frames, tile)
-    t = num_frames
-    b = bt // t
+def _segment_matrix(d: int, num_heads: int) -> jax.Array:
     hd = d // num_heads
-    n_pad = _round_up(n, tile)
-    scale = 1.0 / (hd ** 0.5)
-
-    xr = x.reshape(b, t, n, d)
-    xr = jnp.pad(xr, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
-
     seg = np.zeros((d, num_heads), np.float32)
     for h in range(num_heads):
         seg[h * hd:(h + 1) * hd, h] = 1.0
-    seg = jnp.asarray(seg, jnp.bfloat16)
+    return jnp.asarray(seg, jnp.bfloat16)
 
-    kernel = functools.partial(_kernel, t=t, heads=num_heads, scale=scale)
-    out = pl.pallas_call(
+
+def _call_temporal(kernel, xr, args, b, t, n, tile, d, num_heads,
+                   extra_specs=(), extra_args=()):
+    """Grid (B, cdiv(N, tile)) over the UNPADDED (B, T, N, D) array; the
+    last block is partial (masked read/write)."""
+    n_cells = pl.cdiv(n, tile)
+    x_spec = pl.BlockSpec((1, t, tile, d), lambda i, j: (i, 0, j, 0),
+                          memory_space=pltpu.VMEM)
+    weight_specs = [
+        pl.BlockSpec((d, 3 * d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3 * d,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, num_heads), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    bt = b * t
+    n_pad = n_cells * tile
+    return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, t, n_pad, d), x.dtype),
-        grid=(b, n_pad // tile),
-        in_specs=[
-            pl.BlockSpec((1, t, tile, d), lambda i, j: (i, 0, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, 3 * d), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * d,), lambda i, j: (0,),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, d), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, num_heads), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_shape=jax.ShapeDtypeStruct((b, t, n, d), xr.dtype),
+        grid=(b, n_cells),
+        in_specs=[x_spec, *extra_specs, *weight_specs],
         out_specs=pl.BlockSpec((1, t, tile, d), lambda i, j: (i, 0, j, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
@@ -159,8 +173,50 @@ def fused_temporal_attention(x: jax.Array, w_qkv: jax.Array, b_qkv: jax.Array,
             bytes_accessed=2 * (2 * bt * n_pad * d * 2 + 4 * d * d),
             transcendentals=b * n_pad * num_heads * t * t,
         ),
-    )(xr, w_qkv, b_qkv, w_out, b_out, seg)
-    return out[:, :, :n, :].reshape(bt, n, d)
+    )(xr, *extra_args, *args)
+
+
+def fused_temporal_attention(x: jax.Array, w_qkv: jax.Array, b_qkv: jax.Array,
+                             w_out: jax.Array, b_out: jax.Array,
+                             num_frames: int, num_heads: int,
+                             tile: Optional[int] = None) -> jax.Array:
+    """x: (B*T, N, D) post-LN tokens -> (B*T, N, D) temporal-attention
+    branch output (qkv -> frame-axis attention per token -> out proj)."""
+    bt, n, d = x.shape
+    tile = _auto_tile(d, num_frames, tile)
+    t = num_frames
+    b = bt // t
+    hd = d // num_heads
+    scale = 1.0 / (hd ** 0.5)
+    xr = x.reshape(b, t, n, d)
+    seg = _segment_matrix(d, num_heads)
+    kernel = functools.partial(_kernel, t=t, heads=num_heads, scale=scale)
+    out = _call_temporal(kernel, xr, (w_qkv, b_qkv, w_out, b_out, seg),
+                         b, t, n, tile, d, num_heads)
+    return out.reshape(bt, n, d)
+
+
+def fused_ln_temporal_attention(x, ln_scale, ln_bias, w_qkv, b_qkv,
+                                w_out, b_out, num_frames: int,
+                                num_heads: int,
+                                tile: Optional[int] = None) -> jax.Array:
+    """Raw residual stream in; the fp32 LN runs inside the kernel."""
+    bt, n, d = x.shape
+    tile = _auto_tile(d, num_frames, tile)
+    t = num_frames
+    b = bt // t
+    scale = 1.0 / ((d // num_heads) ** 0.5)
+    xr = x.reshape(b, t, n, d)
+    seg = _segment_matrix(d, num_heads)
+    kernel = functools.partial(_kernel_ln, t=t, heads=num_heads, scale=scale)
+    ln_specs = [
+        pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+    ]
+    out = _call_temporal(kernel, xr, (w_qkv, b_qkv, w_out, b_out, seg),
+                         b, t, n, tile, d, num_heads,
+                         extra_specs=ln_specs, extra_args=(ln_scale, ln_bias))
+    return out.reshape(bt, n, d)
 
 
 def fused_temporal_attention_adapter(x, w_qkv, b_qkv, w_out, b_out,
@@ -173,48 +229,76 @@ def fused_temporal_attention_adapter(x, w_qkv, b_qkv, w_out, b_out,
     t = num_frames
     b = bt // t
     hd = d // num_heads
-    n_pad = _round_up(n, tile)
     scale = 1.0 / (hd ** 0.5)
-    xr = jnp.pad(x.reshape(b, t, n, d),
-                 ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
-    seg = np.zeros((d, num_heads), np.float32)
-    for h in range(num_heads):
-        seg[h * hd:(h + 1) * hd, h] = 1.0
-    seg = jnp.asarray(seg, jnp.bfloat16)
+    xr = x.reshape(b, t, n, d)
+    seg = _segment_matrix(d, num_heads)
     dh = w1.shape[1]
 
     kernel = functools.partial(_kernel_with_adapter, t=t, heads=num_heads,
                                scale=scale, adapter_skip=adapter_skip)
+    adapter_specs = [
+        pl.BlockSpec((d, dh), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((dh,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((dh, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+    ]
+    n_cells = pl.cdiv(n, tile)
+    x_spec = pl.BlockSpec((1, t, tile, d), lambda i, j: (i, 0, j, 0),
+                          memory_space=pltpu.VMEM)
+    weight_specs = [
+        pl.BlockSpec((d, 3 * d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3 * d,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, num_heads), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, t, n_pad, d), x.dtype),
-        grid=(b, n_pad // tile),
-        in_specs=[
-            pl.BlockSpec((1, t, tile, d), lambda i, j: (i, 0, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, 3 * d), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * d,), lambda i, j: (0,),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, d), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, num_heads), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, dh), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((dh,), lambda i, j: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((dh, d), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM),
-        ],
+        out_shape=jax.ShapeDtypeStruct((b, t, n, d), x.dtype),
+        grid=(b, n_cells),
+        in_specs=[x_spec, *weight_specs, *adapter_specs],
         out_specs=pl.BlockSpec((1, t, tile, d), lambda i, j: (i, 0, j, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
     )(xr, w_qkv, b_qkv, w_out, b_out, seg, w1, b1, w2, b2)
-    return out[:, :, :n, :].reshape(bt, n, d)
+    return out.reshape(bt, n, d)
+
+
+# ---------------------------------------------------------------------------
+# XLA reference implementations
+
+
+def _ref_impl(x, w_qkv, b_qkv, w_out, b_out, num_frames, num_heads):
+    bt, n, d = x.shape
+    t = num_frames
+    b = bt // t
+    hd = d // num_heads
+    qkv = x @ w_qkv.astype(x.dtype) + b_qkv.astype(x.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    qh = q.reshape(b, t, n, num_heads, hd)
+    kh = k.reshape(b, t, n, num_heads, hd)
+    vh = v.reshape(b, t, n, num_heads, hd)
+    logits = jnp.einsum("bqnhd,bknhd->bnhqk", qh, kh,
+                        preferred_element_type=jnp.float32) / (hd ** 0.5)
+    p = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bnhqk,bknhd->bqnhd", p.astype(vh.dtype), vh,
+                     preferred_element_type=jnp.float32)
+    out = out.astype(x.dtype).reshape(bt, n, d)
+    return out @ w_out.astype(x.dtype) + b_out.astype(x.dtype)
+
+
+def _ref_ln_impl(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
+                 num_frames, num_heads):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    y = y * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
+    return _ref_impl(y.astype(x.dtype), w_qkv, b_qkv, w_out, b_out,
+                     num_frames, num_heads)
 
 
 def _ref_adapter_impl(x, w_qkv, b_qkv, w_out, b_out, w1, b1, w2, b2,
@@ -224,6 +308,10 @@ def _ref_adapter_impl(x, w_qkv, b_qkv, w_out, b_out, w1, b1, w2, b2,
                     + b1.astype(jnp.float32), approximate=False)
     z = (a @ w2.astype(jnp.float32) + b2.astype(jnp.float32)).astype(y.dtype)
     return y + z if adapter_skip else z
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP entry points
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
@@ -259,25 +347,6 @@ def fused_temporal_block(x, w_qkv, b_qkv, w_out, b_out, num_frames, num_heads):
                                     num_frames, num_heads)
 
 
-def _ref_impl(x, w_qkv, b_qkv, w_out, b_out, num_frames, num_heads):
-    bt, n, d = x.shape
-    t = num_frames
-    b = bt // t
-    hd = d // num_heads
-    qkv = x @ w_qkv.astype(x.dtype) + b_qkv.astype(x.dtype)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    qh = q.reshape(b, t, n, num_heads, hd)
-    kh = k.reshape(b, t, n, num_heads, hd)
-    vh = v.reshape(b, t, n, num_heads, hd)
-    logits = jnp.einsum("bqnhd,bknhd->bnhqk", qh, kh,
-                        preferred_element_type=jnp.float32) / (hd ** 0.5)
-    p = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bnhqk,bknhd->bqnhd", p.astype(vh.dtype), vh,
-                     preferred_element_type=jnp.float32)
-    out = out.astype(x.dtype).reshape(bt, n, d)
-    return out @ w_out.astype(x.dtype) + b_out.astype(x.dtype)
-
-
 def _fwd(x, w_qkv, b_qkv, w_out, b_out, num_frames, num_heads):
     y = fused_temporal_attention(x, w_qkv, b_qkv, w_out, b_out,
                                  num_frames, num_heads)
@@ -292,3 +361,25 @@ def _bwd(num_frames, num_heads, res, g):
 
 
 fused_temporal_block.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def fused_ln_temporal_block(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
+                            num_frames, num_heads):
+    return fused_ln_temporal_attention(x, ln_scale, ln_bias, w_qkv, b_qkv,
+                                       w_out, b_out, num_frames, num_heads)
+
+
+def _fwd_ln(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
+            num_frames, num_heads):
+    y = fused_ln_temporal_attention(x, ln_scale, ln_bias, w_qkv, b_qkv,
+                                    w_out, b_out, num_frames, num_heads)
+    return y, (x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out)
+
+
+def _bwd_ln(num_frames, num_heads, res, g):
+    _, vjp = jax.vjp(lambda *a: _ref_ln_impl(*a, num_frames, num_heads), *res)
+    return vjp(g)
+
+
+fused_ln_temporal_block.defvjp(_fwd_ln, _bwd_ln)

@@ -70,3 +70,88 @@ def test_fused_temporal_attention_interpret():
     # and the error is unbiased/small in aggregate
     err = np.abs(np.asarray(out) - np.asarray(ref)).mean()
     assert err < 2e-3, err
+
+
+def test_fused_ln_qkv_attention_interpret():
+    from adapt_image_models_tpu.ops.fused_qkv_attention import (
+        fused_ln_qkv_attention, _ref_ln_impl,
+    )
+    x = _rand((B, L, D), 0)
+    lns = 1.0 + 0.1 * _rand((D,), 7)
+    lnb = 0.1 * _rand((D,), 8)
+    wqkv = _rand((D, 3 * D), 1) * 0.05
+    bqkv = _rand((3 * D,), 2) * 0.05
+    wout = _rand((D, D), 3) * 0.05
+    bout = _rand((D,), 4) * 0.05
+    ref = _ref_ln_impl(x, lns, lnb, wqkv, bqkv, wout, bout, H)
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_ln_qkv_attention(x, lns, lnb, wqkv, bqkv, wout, bout, H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_ln_temporal_attention_interpret():
+    from adapt_image_models_tpu.ops.fused_temporal_attention import (
+        fused_ln_temporal_attention, _ref_ln_impl as ref_ln_temporal,
+    )
+    x = _rand((B * T, L, D), 0)
+    lns = 1.0 + 0.1 * _rand((D,), 7)
+    lnb = 0.1 * _rand((D,), 8)
+    wqkv = _rand((D, 3 * D), 1) * 0.05
+    bqkv = _rand((3 * D,), 2) * 0.05
+    wout = _rand((D, D), 3) * 0.05
+    bout = _rand((D,), 4) * 0.05
+    ref = ref_ln_temporal(x, lns, lnb, wqkv, bqkv, wout, bout, T, H)
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_ln_temporal_attention(x, lns, lnb, wqkv, bqkv, wout,
+                                          bout, T, H, tile=16)
+    # tile=16 splits the bf16 segment-sum reductions differently from the
+    # einsum reference -> rounding differences slightly above 2e-4
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1.5e-3, atol=1.5e-3)
+
+
+def test_fused_qkv_attention_l_actual_masks_keys():
+    """With l_actual < L the extra key rows must not influence real rows."""
+    from adapt_image_models_tpu.ops.fused_qkv_attention import _ref_impl
+    x = _rand((B, L, D), 0)
+    wqkv = _rand((D, 3 * D), 1) * 0.05
+    bqkv = _rand((3 * D,), 2) * 0.05
+    wout = _rand((D, D), 3) * 0.05
+    bout = _rand((D,), 4) * 0.05
+    l_act = 30
+    ref = _ref_impl(x[:, :l_act], wqkv, bqkv, wout, bout, H)
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_qkv_attention(x, wqkv, bqkv, wout, bout, H,
+                                  l_actual=l_act)
+    np.testing.assert_allclose(np.asarray(out[:, :l_act]), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_ln_attention_block_grads():
+    """Custom-VJP backward of the LN-fused block vs direct XLA autodiff."""
+    import jax
+    from adapt_image_models_tpu.ops.fused_qkv_attention import (
+        fused_ln_attention_block, _ref_ln_impl,
+    )
+    x = _rand((2, 19, D), 0)
+    lns = 1.0 + 0.1 * _rand((D,), 7)
+    lnb = 0.1 * _rand((D,), 8)
+    wqkv = _rand((D, 3 * D), 1) * 0.05
+    bqkv = _rand((3 * D,), 2) * 0.05
+    wout = _rand((D, D), 3) * 0.05
+    bout = _rand((D,), 4) * 0.05
+
+    def loss_fused(*a):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(fused_ln_attention_block(*a, H) ** 2)
+
+    def loss_ref(*a):
+        return jnp.sum(_ref_ln_impl(*a, H) ** 2)
+
+    args = (x, lns, lnb, wqkv, bqkv, wout, bout)
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(*args)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(*args)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3)
