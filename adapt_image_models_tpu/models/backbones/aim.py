@@ -45,9 +45,10 @@ import flax.linen as nn
 
 from adapt_image_models_tpu.models.builder import BACKBONES
 from adapt_image_models_tpu.models.layers import (
-    Adapter, CLIPAttention, CLIPMLP, LayerNormFP32, LayerNormParams,
-    trunc_normal_02,
+    Adapter, AdapterParams, CLIPAttention, CLIPMLP, CLIPMLPParams,
+    LayerNormFP32, LayerNormParams, trunc_normal_02,
 )
+from adapt_image_models_tpu.ops.fused_joint_mlp import fused_joint_block
 
 Dtype = jnp.dtype
 
@@ -84,22 +85,24 @@ class AIMBlock(nn.Module):
 
         attn = CLIPAttention(self.num_heads, compute_dtype=self.compute_dtype,
                              attention_core=self.attention_core, name="attn")
-        # ln_1 exposes raw scale/bias so the fused kernels run it in their
-        # prologue (identical param tree to LayerNormFP32)
+        # ln_1/ln_2 expose raw scale/bias so the fused kernels run them in
+        # their prologues (identical param tree to LayerNormFP32)
         ln_1 = LayerNormParams(d, name="ln_1")
-        ln_2 = LayerNormFP32(name="ln_2")
-        mlp = CLIPMLP(compute_dtype=self.compute_dtype, name="mlp")
+        ln_2 = LayerNormParams(d, name="ln_2")
+        mlp = CLIPMLPParams(d, compute_dtype=self.compute_dtype, name="mlp")
         # NOTE: fused attention+adapter-epilogue kernels exist
         # (ops/fused_*_attention.py) but measured SLOWER than letting XLA
         # overlap the small adapter matmuls with the next kernel
         # (223 -> 215 clips/s), so blocks keep the separate adapters.
-        s_adapter = Adapter(compute_dtype=self.compute_dtype,
-                            name="S_Adapter")
-        t_adapter = Adapter(skip_connect=False,
-                            compute_dtype=self.compute_dtype,
-                            name="T_Adapter")
-        mlp_adapter = Adapter(skip_connect=False, compute_dtype=self.compute_dtype,
-                              name="MLP_Adapter")
+        s_adapter = AdapterParams(d, skip_connect=True,
+                                  compute_dtype=self.compute_dtype,
+                                  name="S_Adapter")
+        t_adapter = AdapterParams(d, skip_connect=False,
+                                  compute_dtype=self.compute_dtype,
+                                  name="T_Adapter")
+        mlp_adapter = AdapterParams(d, skip_connect=False,
+                                    compute_dtype=self.compute_dtype,
+                                    name="MLP_Adapter")
 
         rng = self.make_rng("dropout") if not deterministic else None
         if rng is not None:
@@ -113,22 +116,40 @@ class AIMBlock(nn.Module):
         # the attention core batches over frames (no materialized relayout).
         # ln_1 fuses into the kernel prologue unless T_Adapter_in sits
         # between LN and attention.
+        fuse_steps = self.attention_core == "fused" and deterministic
         if self.num_tadapter == 2:
             xt = Adapter(compute_dtype=self.compute_dtype,
                          name="T_Adapter_in")(ln_1(x))
             xt = t_adapter(attn(xt, temporal_frames=t))
+            x = x + drop_path(rng_t, xt, dpr, deterministic)
+        elif fuse_steps:
+            # whole step in one kernel (drop_path is identity in eval)
+            x = attn(x, temporal_frames=t, ln=ln_1, adapter=t_adapter,
+                     residual=True)
         else:
             xt = t_adapter(attn(x, temporal_frames=t, ln=ln_1))
-        x = x + drop_path(rng_t, xt, dpr, deterministic)
+            x = x + drop_path(rng_t, xt, dpr, deterministic)
 
         # 2. spatial adaptation --------------------------------------------
-        x = x + s_adapter(attn(x, ln=ln_1))
+        if fuse_steps:
+            x = attn(x, ln=ln_1, adapter=s_adapter, residual=True)
+        else:
+            x = x + s_adapter(attn(x, ln=ln_1))
 
         # 3. joint adaptation ----------------------------------------------
-        xn = ln_2(x)
-        scale = jnp.asarray(self.adapter_scale, x.dtype)
-        x = x + mlp(xn) + drop_path(rng_m, scale * mlp_adapter(xn), dpr,
-                                    deterministic)
+        # eval path: ln_2 + MLP + MLP_Adapter + residual in one Pallas kernel
+        # (no ln_2 reduction pass, no (BT, N, 4D) hidden round-trip); train
+        # keeps the XLA composition because drop_path splits the sum
+        if self.attention_core == "fused" and deterministic:
+            cdt = self.compute_dtype
+            x = fused_joint_block(
+                x.astype(cdt), ln_2.scale, ln_2.bias, *mlp.weights(cdt),
+                *mlp_adapter.weights(cdt), float(self.adapter_scale))
+        else:
+            xn = ln_2(x)
+            scale = jnp.asarray(self.adapter_scale, x.dtype)
+            x = x + mlp(xn) + drop_path(rng_m, scale * mlp_adapter(xn), dpr,
+                                        deterministic)
         return x, None
 
 

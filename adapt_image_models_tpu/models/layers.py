@@ -280,7 +280,8 @@ class CLIPAttention(nn.Module):
                  need_weights: bool = False,
                  temporal_frames: Optional[int] = None,
                  adapter: Optional["AdapterParams"] = None,
-                 ln: Optional["LayerNormParams"] = None) -> jax.Array:
+                 ln: Optional["LayerNormParams"] = None,
+                 residual: bool = False) -> jax.Array:
         """Self/cross attention over the sequence axis — or, when
         ``temporal_frames=T`` is given, over the FRAME axis of a
         ``(B*T, N, D)`` tensor without materializing the
@@ -305,6 +306,25 @@ class CLIPAttention(nn.Module):
             xin = x if ln is not None else x.astype(cdt)
             common = (xin, w.astype(cdt), b.astype(cdt),
                       out_proj.kernel.astype(cdt), out_proj.bias.astype(cdt))
+            if ln is not None and adapter is not None and residual:
+                # whole adaptation step in ONE kernel:
+                # x + Adapter(attn(LN(x)))  (eval-mode AIM block step)
+                wargs = (xin.astype(cdt), ln.scale, ln.bias, *common[1:],
+                         *adapter.weights(cdt))
+                if temporal_frames is None:
+                    from adapt_image_models_tpu.ops.fused_qkv_attention import (
+                        fused_spatial_step_block,
+                    )
+                    return fused_spatial_step_block(
+                        *wargs, self.num_heads, adapter.skip_connect, None)
+                from adapt_image_models_tpu.ops.fused_temporal_attention import (
+                    fused_temporal_step_block,
+                )
+                return fused_temporal_step_block(
+                    *wargs, temporal_frames, self.num_heads,
+                    adapter.skip_connect)
+            if residual:
+                raise ValueError("residual fusion requires ln and adapter")
             if temporal_frames is None:
                 from adapt_image_models_tpu.ops.fused_qkv_attention import (
                     fused_attention_block, fused_attention_adapter_block,
@@ -390,6 +410,29 @@ class CLIPAttention(nn.Module):
             w = jnp.sum(jnp.exp(jnp.sum(logits, axis=1)).reshape(B, -1), -1)
             return out, jax.lax.stop_gradient(w)
         return out
+
+
+class CLIPMLPParams(nn.Module):
+    """Setup-based :class:`CLIPMLP` twin with directly-accessible weights
+    (identical param tree: c_fc/c_proj kernel+bias) for the fused
+    joint-adaptation Pallas kernel."""
+
+    d_model: int
+    compute_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.c_fc = DenseParams(self.d_model, 4 * self.d_model,
+                                compute_dtype=self.compute_dtype)
+        self.c_proj = DenseParams(4 * self.d_model, self.d_model,
+                                  compute_dtype=self.compute_dtype)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return self.c_proj(quick_gelu(self.c_fc(x)))
+
+    def weights(self, dtype):
+        return (self.c_fc.kernel.astype(dtype), self.c_fc.bias.astype(dtype),
+                self.c_proj.kernel.astype(dtype),
+                self.c_proj.bias.astype(dtype))
 
 
 class CLIPMLP(nn.Module):

@@ -156,6 +156,22 @@ def _kernel_adapter(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
     o_ref[0] = y.astype(o_ref.dtype)
 
 
+def _kernel_ln_adapter_res(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
+                           wout_ref, bout_ref, w1_ref, b1_ref, w2_ref,
+                           b2_ref, o_ref, *, heads: int, l_actual: int,
+                           scale: float, skip: bool):
+    """Whole eval-mode adaptation step in one kernel:
+    ``x + Adapter(attn(LN(x)))`` — LN prologue, attention, bottleneck
+    adapter epilogue and the residual add, zero intermediate HBM traffic."""
+    x0 = _sanitize_rows(x_ref[0], l_actual)
+    xn = _kernel_layernorm(x0, lns_ref, lnb_ref, x_ref.dtype)
+    y = _attention_body(xn, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+                        heads, l_actual, scale)
+    y = _adapter_epilogue(y, w1_ref, b1_ref, w2_ref, b2_ref, skip,
+                          x_ref.dtype)
+    o_ref[0] = (x0.astype(jnp.float32) + y).astype(o_ref.dtype)
+
+
 _WEIGHT_SPECS = lambda d: [
     pl.BlockSpec((d, 3 * d), lambda i: (0, 0), memory_space=pltpu.VMEM),
     pl.BlockSpec((3 * d,), lambda i: (0,), memory_space=pltpu.VMEM),
@@ -393,3 +409,91 @@ def _bwd_ln(num_heads, l_actual, res, g):
 
 
 fused_ln_attention_block.defvjp(_fwd_ln, _bwd_ln)
+
+
+def fused_ln_attn_adapter_residual(x, ln_scale, ln_bias, w_qkv, b_qkv,
+                                   w_out, b_out, w1, b1, w2, b2,
+                                   num_heads: int, skip: bool,
+                                   l_actual: Optional[int] = None):
+    """Raw residual stream -> ``x + Adapter(attn(LN(x)))`` in one kernel
+    (the whole spatial-adaptation step of an AIM block, eval mode)."""
+    b, l, d = x.shape
+    l_actual = l if l_actual is None else l_actual
+    lp = _round_up(l, 16)
+    scale = 1.0 / ((d // num_heads) ** 0.5)
+    dh = w1.shape[1]
+    kernel = functools.partial(_kernel_ln_adapter_res, heads=num_heads,
+                               l_actual=l_actual, scale=scale, skip=skip)
+    ln_specs = [
+        pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+    ]
+    adapter_specs = [
+        pl.BlockSpec((d, dh), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((dh,), lambda i: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((dh, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+    ]
+    x_spec = pl.BlockSpec((1, lp, d), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, l, d), x.dtype),
+        grid=(b,),
+        in_specs=[x_spec, *ln_specs, *_WEIGHT_SPECS(d), *adapter_specs],
+        out_specs=pl.BlockSpec((1, lp, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * (lp * d * 3 * d + 2 * lp * lp * d + lp * d * d),
+            bytes_accessed=2 * (b * lp * d * 2 + d * 3 * d + d * d),
+            transcendentals=b * num_heads * lp * lp,
+        ),
+    )(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out, w1, b1, w2, b2)
+
+
+def _ref_ln_adapter_res_impl(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
+                             b_out, w1, b1, w2, b2, num_heads, skip,
+                             l_actual=None):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    xn = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    xn = (xn * ln_scale.astype(jnp.float32)
+          + ln_bias.astype(jnp.float32)).astype(x.dtype)
+    y = _ref_impl(xn, w_qkv, b_qkv, w_out, b_out, num_heads, l_actual)
+    a = jax.nn.gelu(y.astype(jnp.float32) @ w1.astype(jnp.float32)
+                    + b1.astype(jnp.float32), approximate=False)
+    z = a @ w2.astype(jnp.float32) + b2.astype(jnp.float32)
+    y32 = y.astype(jnp.float32)
+    z = y32 + z if skip else z
+    return (x.astype(jnp.float32) + z).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
+def fused_spatial_step_block(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
+                             b_out, w1, b1, w2, b2, num_heads, skip,
+                             l_actual=None):
+    return fused_ln_attn_adapter_residual(x, ln_scale, ln_bias, w_qkv,
+                                          b_qkv, w_out, b_out, w1, b1, w2,
+                                          b2, num_heads, skip, l_actual)
+
+
+def _fwd_step(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out, w1, b1, w2,
+              b2, num_heads, skip, l_actual):
+    y = fused_ln_attn_adapter_residual(x, ln_scale, ln_bias, w_qkv, b_qkv,
+                                       w_out, b_out, w1, b1, w2, b2,
+                                       num_heads, skip, l_actual)
+    return y, (x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
+               w1, b1, w2, b2)
+
+
+def _bwd_step(num_heads, skip, l_actual, res, g):
+    _, vjp = jax.vjp(lambda *a: _ref_ln_adapter_res_impl(
+        *a, num_heads, skip, l_actual), *res)
+    return vjp(g.astype(jnp.float32).astype(g.dtype))
+
+
+fused_spatial_step_block.defvjp(_fwd_step, _bwd_step)

@@ -111,6 +111,26 @@ def _kernel_ln(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wout_ref,
     o_ref[0] = y.astype(o_ref.dtype).reshape(t, tile, d)
 
 
+def _kernel_ln_adapter_res(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
+                           wout_ref, bout_ref, seg_ref, w1_ref, b1_ref,
+                           w2_ref, b2_ref, o_ref, *, t: int, heads: int,
+                           scale: float, adapter_skip: bool):
+    """Whole eval-mode temporal-adaptation step in one kernel:
+    ``x + T_Adapter(attn_T(LN(x)))``."""
+    from adapt_image_models_tpu.ops.fused_qkv_attention import (
+        _kernel_layernorm, _adapter_epilogue,
+    )
+    _, tt, tile, d = x_ref.shape
+    x0 = x_ref[0].reshape(t * tile, d)
+    xn = _kernel_layernorm(x0, lns_ref, lnb_ref, x_ref.dtype)
+    y = _temporal_body(xn, wqkv_ref, bqkv_ref, wout_ref, bout_ref, seg_ref,
+                       t, heads, scale)
+    y = _adapter_epilogue(y, w1_ref, b1_ref, w2_ref, b2_ref, adapter_skip,
+                          x_ref.dtype)
+    out = x0.astype(jnp.float32) + y
+    o_ref[0] = out.astype(o_ref.dtype).reshape(t, tile, d)
+
+
 def _kernel_with_adapter(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
                          seg_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
                          *, t: int, heads: int, scale: float,
@@ -120,14 +140,23 @@ def _kernel_with_adapter(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
             w2_ref=w2_ref, b2_ref=b2_ref, adapter_skip=adapter_skip)
 
 
-def _auto_tile(d: int, t: int, requested: Optional[int]) -> int:
+def _auto_tile(d: int, t: int, requested: Optional[int],
+               n: Optional[int] = None) -> int:
     """Token-tile size keeping the per-cell VMEM (x + qkv + weights) under
-    the 16MB scoped limit: ~ (t*tile*d*8B activations + 8*d*d*2B weights)."""
+    the 16MB scoped limit: ~ (t*tile*d*8B activations + 8*d*d*2B weights).
+
+    Given ``n`` (the real token count), the tile is shrunk to the smallest
+    8-multiple that still covers ``n`` in the same number of grid cells —
+    executed rows drop from cells*128 to ~round_up(n, 8) (ViT-B: 256 -> 208,
+    ~19% of the kernel's projection FLOPs)."""
     if requested is not None:
         return requested
     tile = 128
     while tile > 32 and (t * tile * d * 8 + 8 * d * d * 2) > 14 * 2 ** 20:
         tile //= 2
+    if n is not None and n > 0:
+        cells = -(-n // tile)
+        tile = -(-(-(-n // cells)) // 8) * 8  # round_up(ceil(n/cells), 8)
     return tile
 
 
@@ -183,7 +212,7 @@ def fused_temporal_attention(x: jax.Array, w_qkv: jax.Array, b_qkv: jax.Array,
     """x: (B*T, N, D) post-LN tokens -> (B*T, N, D) temporal-attention
     branch output (qkv -> frame-axis attention per token -> out proj)."""
     bt, n, d = x.shape
-    tile = _auto_tile(d, num_frames, tile)
+    tile = _auto_tile(d, num_frames, tile, n)
     t = num_frames
     b = bt // t
     hd = d // num_heads
@@ -202,7 +231,7 @@ def fused_ln_temporal_attention(x, ln_scale, ln_bias, w_qkv, b_qkv,
                                 tile: Optional[int] = None) -> jax.Array:
     """Raw residual stream in; the fp32 LN runs inside the kernel."""
     bt, n, d = x.shape
-    tile = _auto_tile(d, num_frames, tile)
+    tile = _auto_tile(d, num_frames, tile, n)
     t = num_frames
     b = bt // t
     scale = 1.0 / ((d // num_heads) ** 0.5)
@@ -225,7 +254,7 @@ def fused_temporal_attention_adapter(x, w_qkv, b_qkv, w_out, b_out,
                                      tile: Optional[int] = None) -> jax.Array:
     """Temporal branch + fused T_Adapter epilogue."""
     bt, n, d = x.shape
-    tile = _auto_tile(d, num_frames, tile)
+    tile = _auto_tile(d, num_frames, tile, n)
     t = num_frames
     b = bt // t
     hd = d // num_heads
@@ -383,3 +412,100 @@ def _bwd_ln(num_frames, num_heads, res, g):
 
 
 fused_ln_temporal_block.defvjp(_fwd_ln, _bwd_ln)
+
+
+def fused_ln_temporal_adapter_residual(x, ln_scale, ln_bias, w_qkv, b_qkv,
+                                       w_out, b_out, w1, b1, w2, b2,
+                                       num_frames: int, num_heads: int,
+                                       adapter_skip: bool,
+                                       tile: Optional[int] = None):
+    """Raw residual stream -> ``x + T_Adapter(attn_T(LN(x)))`` in one
+    kernel (the whole temporal-adaptation step of an AIM block, eval)."""
+    bt, n, d = x.shape
+    tile = _auto_tile(d, num_frames, tile, n)
+    t = num_frames
+    b = bt // t
+    scale = 1.0 / ((d // num_heads) ** 0.5)
+    xr = x.reshape(b, t, n, d)
+    seg = _segment_matrix(d, num_heads)
+    dh = w1.shape[1]
+    kernel = functools.partial(_kernel_ln_adapter_res, t=t, heads=num_heads,
+                               scale=scale, adapter_skip=adapter_skip)
+    ln_specs = [
+        pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+    ]
+    adapter_specs = [
+        pl.BlockSpec((d, dh), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((dh,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((dh, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+    ]
+    n_cells = pl.cdiv(n, tile)
+    x_spec = pl.BlockSpec((1, t, tile, d), lambda i, j: (i, 0, j, 0),
+                          memory_space=pltpu.VMEM)
+    weight_specs = [
+        pl.BlockSpec((d, 3 * d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3 * d,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, num_heads), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, t, n, d), x.dtype),
+        grid=(b, n_cells),
+        in_specs=[x_spec, *ln_specs, *weight_specs, *adapter_specs],
+        out_specs=pl.BlockSpec((1, t, tile, d), lambda i, j: (i, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+    )(xr, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out, seg,
+      w1, b1, w2, b2)
+    return out.reshape(bt, n, d)
+
+
+def _ref_ln_adapter_res_impl(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
+                             b_out, w1, b1, w2, b2, num_frames, num_heads,
+                             adapter_skip):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    xn = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    xn = (xn * ln_scale.astype(jnp.float32)
+          + ln_bias.astype(jnp.float32)).astype(x.dtype)
+    y = _ref_impl(xn, w_qkv, b_qkv, w_out, b_out, num_frames, num_heads)
+    a = jax.nn.gelu(y.astype(jnp.float32) @ w1.astype(jnp.float32)
+                    + b1.astype(jnp.float32), approximate=False)
+    z = a @ w2.astype(jnp.float32) + b2.astype(jnp.float32)
+    z = y.astype(jnp.float32) + z if adapter_skip else z
+    return (x.astype(jnp.float32) + z).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
+def fused_temporal_step_block(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
+                              b_out, w1, b1, w2, b2, num_frames, num_heads,
+                              adapter_skip):
+    return fused_ln_temporal_adapter_residual(
+        x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out, w1, b1, w2, b2,
+        num_frames, num_heads, adapter_skip)
+
+
+def _fwd_step(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out, w1, b1, w2,
+              b2, num_frames, num_heads, adapter_skip):
+    y = fused_ln_temporal_adapter_residual(
+        x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out, w1, b1, w2, b2,
+        num_frames, num_heads, adapter_skip)
+    return y, (x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
+               w1, b1, w2, b2)
+
+
+def _bwd_step(num_frames, num_heads, adapter_skip, res, g):
+    _, vjp = jax.vjp(lambda *a: _ref_ln_adapter_res_impl(
+        *a, num_frames, num_heads, adapter_skip), *res)
+    return vjp(g.astype(jnp.float32).astype(g.dtype))
+
+
+fused_temporal_step_block.defvjp(_fwd_step, _bwd_step)

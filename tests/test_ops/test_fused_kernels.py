@@ -155,3 +155,97 @@ def test_fused_ln_attention_block_grads():
     for a, b in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=5e-3)
+
+
+def test_fused_joint_mlp_adapter_interpret():
+    from adapt_image_models_tpu.ops.fused_joint_mlp import (
+        fused_joint_mlp_adapter, _ref_impl as ref_joint,
+    )
+    x = _rand((B, L, D), 0)
+    lns = 1.0 + 0.1 * _rand((D,), 1)
+    lnb = 0.1 * _rand((D,), 2)
+    wfc = _rand((D, 4 * D), 3) * 0.05
+    bfc = _rand((4 * D,), 4) * 0.05
+    wproj = _rand((4 * D, D), 5) * 0.05
+    bproj = _rand((D,), 6) * 0.05
+    w1 = _rand((D, D // 4), 7) * 0.05
+    b1 = _rand((D // 4,), 8) * 0.05
+    w2 = _rand((D // 4, D), 9) * 0.05
+    b2 = _rand((D,), 10) * 0.05
+    ref = ref_joint(x, lns, lnb, wfc, bfc, wproj, bproj, w1, b1, w2, b2, 0.5)
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_joint_mlp_adapter(x, lns, lnb, wfc, bfc, wproj, bproj,
+                                      w1, b1, w2, b2, 0.5, tile_m=32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_fused_joint_block_grads():
+    import jax
+    from adapt_image_models_tpu.ops.fused_joint_mlp import (
+        fused_joint_block, _ref_impl as ref_joint,
+    )
+    x = _rand((2, 19, D), 0)
+    lns = 1.0 + 0.1 * _rand((D,), 1)
+    lnb = 0.1 * _rand((D,), 2)
+    wfc = _rand((D, 4 * D), 3) * 0.05
+    bfc = _rand((4 * D,), 4) * 0.05
+    wproj = _rand((4 * D, D), 5) * 0.05
+    bproj = _rand((D,), 6) * 0.05
+    w1 = _rand((D, D // 4), 7) * 0.05
+    b1 = _rand((D // 4,), 8) * 0.05
+    w2 = _rand((D // 4, D), 9) * 0.05
+    b2 = _rand((D,), 10) * 0.05
+    args = (x, lns, lnb, wfc, bfc, wproj, bproj, w1, b1, w2, b2)
+
+    def loss_fused(*a):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(fused_joint_block(*a, 0.5) ** 2)
+
+    def loss_ref(*a):
+        return jnp.sum(ref_joint(*a, 0.5) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 7, 9))(*args)
+    g_ref = jax.grad(loss_ref, argnums=(0, 7, 9))(*args)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3)
+
+
+def test_fused_step_blocks_interpret():
+    """Whole-step kernels (LN + attn + adapter + residual) vs XLA refs."""
+    from adapt_image_models_tpu.ops.fused_qkv_attention import (
+        fused_ln_attn_adapter_residual,
+        _ref_ln_adapter_res_impl as ref_spatial_step,
+    )
+    from adapt_image_models_tpu.ops.fused_temporal_attention import (
+        fused_ln_temporal_adapter_residual,
+        _ref_ln_adapter_res_impl as ref_temporal_step,
+    )
+    lns = 1.0 + 0.1 * _rand((D,), 1)
+    lnb = 0.1 * _rand((D,), 2)
+    wqkv = _rand((D, 3 * D), 3) * 0.05
+    bqkv = _rand((3 * D,), 4) * 0.05
+    wout = _rand((D, D), 5) * 0.05
+    bout = _rand((D,), 6) * 0.05
+    w1 = _rand((D, D // 4), 7) * 0.05
+    b1 = _rand((D // 4,), 8) * 0.05
+    w2 = _rand((D // 4, D), 9) * 0.05
+    b2 = _rand((D,), 10) * 0.05
+    ws = (wqkv, bqkv, wout, bout, w1, b1, w2, b2)
+
+    x = _rand((B, L, D), 0)
+    for skip in (True, False):
+        ref = ref_spatial_step(x, lns, lnb, *ws, H, skip)
+        with pltpu.force_tpu_interpret_mode():
+            out = fused_ln_attn_adapter_residual(x, lns, lnb, *ws, H, skip)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=5e-4, atol=5e-4)
+
+    xt = _rand((B * T, L, D), 0)
+    ref = ref_temporal_step(xt, lns, lnb, *ws, T, H, False)
+    with pltpu.force_tpu_interpret_mode():
+        out = fused_ln_temporal_adapter_residual(xt, lns, lnb, *ws, T, H,
+                                                 False, tile=16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
