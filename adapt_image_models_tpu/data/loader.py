@@ -61,7 +61,11 @@ class VideoLoader:
                  num_shards: int = 1, shard_index: int = 0,
                  device_put_fn: Optional[Callable] = None):
         self.dataset = dataset
-        if isinstance(pipeline, SampleProcessor):
+        if hasattr(dataset, "prepare_sample"):
+            # dataset owns its sample preparation (e.g. AVA detection:
+            # box-aware transforms + host-side proposal assignment)
+            self.processor = None
+        elif isinstance(pipeline, SampleProcessor):
             self.processor = pipeline
         else:
             self.processor = build_sample_processor(pipeline)
@@ -93,8 +97,10 @@ class VideoLoader:
         return padded[self.shard_index::self.num_shards]
 
     def _load_one(self, idx: int) -> Dict[str, Any]:
-        info = self.dataset[int(idx)]
         rng = np.random.default_rng((self.seed, self.epoch, int(idx)))
+        if self.processor is None:
+            return self.dataset.prepare_sample(int(idx), rng)
+        info = self.dataset[int(idx)]
         if "filename" in info:
             clips, label = self.processor(
                 info["filename"], info["label"], rng=rng,
@@ -133,9 +139,13 @@ class VideoLoader:
                         if stop.is_set():
                             return
                         samples = list(pool.map(self._load_one, batch_idx))
-                        imgs = np.stack([s["imgs"] for s in samples])
-                        labels = np.stack([np.asarray(s["label"]) for s in samples])
-                        batch = {"imgs": imgs, "label": labels}
+                        batch = {}
+                        for k, v0 in samples[0].items():
+                            if isinstance(v0, str):
+                                batch[k] = [s[k] for s in samples]
+                            else:
+                                batch[k] = np.stack(
+                                    [np.asarray(s[k]) for s in samples])
                         if self.device_put_fn is not None:
                             batch = self.device_put_fn(batch)
                         out_q.put(batch)

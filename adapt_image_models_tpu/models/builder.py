@@ -11,6 +11,7 @@ BACKBONES = Registry("backbone")
 NECKS = Registry("neck")
 HEADS = Registry("head")
 RECOGNIZERS = Registry("recognizer")
+DETECTORS = Registry("detector")
 LOSSES = Registry("loss")
 
 
@@ -34,10 +35,19 @@ def build_recognizer(cfg, train_cfg=None, test_cfg=None):
     return RECOGNIZERS.build(cfg, train_cfg=train_cfg, test_cfg=test_cfg)
 
 
+def build_detector(cfg, train_cfg=None, test_cfg=None):
+    args = dict(cfg)
+    args.setdefault("train_cfg", train_cfg)
+    args.setdefault("test_cfg", test_cfg)
+    return DETECTORS.build(args)
+
+
 def build_model(cfg, train_cfg=None, test_cfg=None):
-    """Build a recognizer (the only model family currently on the TPU path)."""
+    """Build a recognizer or detector from its config."""
     args = dict(cfg)
     obj_type = args.get("type", "")
     if obj_type in RECOGNIZERS:
         return build_recognizer(cfg, train_cfg=train_cfg, test_cfg=test_cfg)
-    raise KeyError(f"{obj_type} is not a registered recognizer")
+    if obj_type in DETECTORS:
+        return build_detector(cfg, train_cfg=train_cfg, test_cfg=test_cfg)
+    raise KeyError(f"{obj_type} is not a registered recognizer/detector")

@@ -4,3 +4,4 @@ from adapt_image_models_tpu.models.heads.misc_heads import (
     TSMHead, SlowFastHead, X3DHead, TimeSformerHead,
 )
 from adapt_image_models_tpu.models.heads.trn_head import TRNHead
+import adapt_image_models_tpu.models.heads.bbox_head  # noqa: F401

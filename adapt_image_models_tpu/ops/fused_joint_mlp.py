@@ -8,9 +8,9 @@ mean/var reduction (~4.6 ms), the (BT, N, 4D) MLP hidden round-trip
 (~9 ms) and the separate adapter + residual passes (~9 ms). This kernel
 reads x once per row tile and writes the final residual sum once.
 
-Layout: x is flattened to (M, D) rows (token-local math only, so partial
-last blocks are safe — garbage rows stay in their rows and the masked
-store drops them). Grid (cdiv(M, TM), n_chunks): the hidden dimension is
+Layout: x stays in the residual stream's native (B*T, N, D) layout — one
+sample's N tokens per grid cell, so no HBM reshape separates this kernel
+from the attention kernels. Grid (B*T, n_chunks): the hidden dimension is
 chunked so ViT-L's 16.8 MB of MLP weights stream through VMEM; a fp32
 scratch accumulates across chunks (grid iterates chunks innermost).
 """
@@ -33,7 +33,7 @@ def _kernel(x_ref, lns_ref, lnb_ref, wfc_ref, bfc_ref, wproj_ref, bproj_ref,
             w1_ref, b1_ref, w2_ref, b2_ref, o_ref, acc_ref,
             *, scale: float, n_chunks: int):
     j = pl.program_id(1)
-    x = x_ref[...]  # (TM, D)
+    x = x_ref[0]  # (N, D)
     xn = _kernel_layernorm(x, lns_ref, lnb_ref, x.dtype)
 
     @pl.when(j == 0)
@@ -57,17 +57,15 @@ def _kernel(x_ref, lns_ref, lnb_ref, wfc_ref, bfc_ref, wproj_ref, bproj_ref,
 
     @pl.when(j == n_chunks - 1)
     def _():
-        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+        o_ref[0] = acc_ref[...].astype(o_ref.dtype)
 
 
 def fused_joint_mlp_adapter(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj,
                             w1, b1, w2, b2, scale: float,
-                            tile_m: int = 256) -> jax.Array:
+                            tile_m: int = 0) -> jax.Array:  # tile_m unused (one sample per cell)
     """x: (B, L, D) raw residual stream ->
     ``x + mlp(LN(x)) + scale * adapter(LN(x))`` (adapter without skip)."""
     b, l, d = x.shape
-    m = b * l
-    xf = x.reshape(m, d)
     d4 = w_fc.shape[1]
     dh = w1.shape[1]
     # chunk the hidden dim so the streamed MLP weights stay under ~10 MB
@@ -79,10 +77,10 @@ def fused_joint_mlp_adapter(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj,
     kernel = functools.partial(_kernel, scale=float(scale), n_chunks=n_chunks)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((m, d), x.dtype),
-        grid=(pl.cdiv(m, tile_m), n_chunks),
+        out_shape=jax.ShapeDtypeStruct((b, l, d), x.dtype),
+        grid=(b, n_chunks),
         in_specs=[
-            pl.BlockSpec((tile_m, d), lambda i, j: (i, 0),
+            pl.BlockSpec((1, l, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM),
@@ -99,19 +97,19 @@ def fused_joint_mlp_adapter(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile_m, d), lambda i, j: (i, 0),
+        out_specs=pl.BlockSpec((1, l, d), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((tile_m, d), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((l, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * m * d * (8 * d + dh * 2 // 1),
-            bytes_accessed=2 * (2 * m * d * 2 + 8 * d * d + 2 * d * dh),
-            transcendentals=m * (d4 + dh),
+            flops=2 * b * l * d * (8 * d + dh * 2 // 1),
+            bytes_accessed=2 * (2 * b * l * d * 2 + 8 * d * d + 2 * d * dh),
+            transcendentals=b * l * (d4 + dh),
         ),
-    )(xf, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj, w1, b1, w2, b2)
-    return out.reshape(b, l, d)
+    )(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj, w1, b1, w2, b2)
+    return out
 
 
 def _ref_impl(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj,

@@ -13,9 +13,11 @@ tile) cell and computes the tiny frame-axis attention entirely in VMEM:
 * probabilities broadcast back to lanes with the transposed segment matrix;
 * the projections are ordinary large matmuls on the (T*tile, D) block.
 
-Layout contract: x is (B, T, N, D) UNPADDED; grid is (B, cdiv(N, TILE)) —
-the last block is partial and Pallas masks its read/write, so no pad/slice
-ops ever hit HBM (round-2 upgrade; r1 padded N to a tile multiple in HBM).
+Layout contract: x stays in the residual stream's native (B*T, N, D)
+layout — the T rows of one video are contiguous along axis 0, so the block
+is simply (T, TILE, D) at row offset i*T; grid is (B, cdiv(N, TILE)) and
+the last block is partial (masked read/write). No 4D reshape, no pad/slice
+ever hits HBM (round-2 upgrade; r1 padded N to a tile multiple in HBM).
 Temporal attention is independent per token position, so the partial
 block's out-of-range rows only ever mix with themselves. The fp32 LN
 prologue optionally fuses in (``fused_ln_temporal_attention``).
@@ -85,8 +87,8 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, seg_ref, o_ref,
             *, t: int, heads: int, scale: float,
             w1_ref=None, b1_ref=None, w2_ref=None, b2_ref=None,
             adapter_skip: bool = False):
-    _, tt, tile, d = x_ref.shape
-    x = x_ref[0].reshape(t * tile, d)  # (T*tile, D)
+    tt, tile, d = x_ref.shape
+    x = x_ref[...].reshape(t * tile, d)  # (T*tile, D)
     y = _temporal_body(x, wqkv_ref, bqkv_ref, wout_ref, bout_ref, seg_ref,
                        t, heads, scale)
     if w1_ref is not None:
@@ -95,7 +97,7 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, seg_ref, o_ref,
         )
         y = _adapter_epilogue(y, w1_ref, b1_ref, w2_ref, b2_ref,
                               adapter_skip, x.dtype)
-    o_ref[0] = y.astype(o_ref.dtype).reshape(t, tile, d)
+    o_ref[...] = y.astype(o_ref.dtype).reshape(t, tile, d)
 
 
 def _kernel_ln(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wout_ref,
@@ -103,12 +105,12 @@ def _kernel_ln(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wout_ref,
     from adapt_image_models_tpu.ops.fused_qkv_attention import (
         _kernel_layernorm,
     )
-    _, tt, tile, d = x_ref.shape
-    x = _kernel_layernorm(x_ref[0].reshape(t * tile, d), lns_ref, lnb_ref,
+    tt, tile, d = x_ref.shape
+    x = _kernel_layernorm(x_ref[...].reshape(t * tile, d), lns_ref, lnb_ref,
                           x_ref.dtype)
     y = _temporal_body(x, wqkv_ref, bqkv_ref, wout_ref, bout_ref, seg_ref,
                        t, heads, scale)
-    o_ref[0] = y.astype(o_ref.dtype).reshape(t, tile, d)
+    o_ref[...] = y.astype(o_ref.dtype).reshape(t, tile, d)
 
 
 def _kernel_ln_adapter_res(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
@@ -120,15 +122,15 @@ def _kernel_ln_adapter_res(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
     from adapt_image_models_tpu.ops.fused_qkv_attention import (
         _kernel_layernorm, _adapter_epilogue,
     )
-    _, tt, tile, d = x_ref.shape
-    x0 = x_ref[0].reshape(t * tile, d)
+    tt, tile, d = x_ref.shape
+    x0 = x_ref[...].reshape(t * tile, d)
     xn = _kernel_layernorm(x0, lns_ref, lnb_ref, x_ref.dtype)
     y = _temporal_body(xn, wqkv_ref, bqkv_ref, wout_ref, bout_ref, seg_ref,
                        t, heads, scale)
     y = _adapter_epilogue(y, w1_ref, b1_ref, w2_ref, b2_ref, adapter_skip,
                           x_ref.dtype)
     out = x0.astype(jnp.float32) + y
-    o_ref[0] = out.astype(o_ref.dtype).reshape(t, tile, d)
+    o_ref[...] = out.astype(o_ref.dtype).reshape(t, tile, d)
 
 
 def _kernel_with_adapter(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
@@ -170,10 +172,10 @@ def _segment_matrix(d: int, num_heads: int) -> jax.Array:
 
 def _call_temporal(kernel, xr, args, b, t, n, tile, d, num_heads,
                    extra_specs=(), extra_args=()):
-    """Grid (B, cdiv(N, tile)) over the UNPADDED (B, T, N, D) array; the
+    """Grid (B, cdiv(N, tile)) over the UNPADDED (B*T, N, D) array; the
     last block is partial (masked read/write)."""
     n_cells = pl.cdiv(n, tile)
-    x_spec = pl.BlockSpec((1, t, tile, d), lambda i, j: (i, 0, j, 0),
+    x_spec = pl.BlockSpec((t, tile, d), lambda i, j: (i, j, 0),
                           memory_space=pltpu.VMEM)
     weight_specs = [
         pl.BlockSpec((d, 3 * d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
@@ -187,10 +189,10 @@ def _call_temporal(kernel, xr, args, b, t, n, tile, d, num_heads,
     n_pad = n_cells * tile
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, t, n, d), xr.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * t, n, d), xr.dtype),
         grid=(b, n_cells),
         in_specs=[x_spec, *extra_specs, *weight_specs],
-        out_specs=pl.BlockSpec((1, t, tile, d), lambda i, j: (i, 0, j, 0),
+        out_specs=pl.BlockSpec((t, tile, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
@@ -217,12 +219,10 @@ def fused_temporal_attention(x: jax.Array, w_qkv: jax.Array, b_qkv: jax.Array,
     b = bt // t
     hd = d // num_heads
     scale = 1.0 / (hd ** 0.5)
-    xr = x.reshape(b, t, n, d)
     seg = _segment_matrix(d, num_heads)
     kernel = functools.partial(_kernel, t=t, heads=num_heads, scale=scale)
-    out = _call_temporal(kernel, xr, (w_qkv, b_qkv, w_out, b_out, seg),
-                         b, t, n, tile, d, num_heads)
-    return out.reshape(bt, n, d)
+    return _call_temporal(kernel, x, (w_qkv, b_qkv, w_out, b_out, seg),
+                          b, t, n, tile, d, num_heads)
 
 
 def fused_ln_temporal_attention(x, ln_scale, ln_bias, w_qkv, b_qkv,
@@ -235,17 +235,15 @@ def fused_ln_temporal_attention(x, ln_scale, ln_bias, w_qkv, b_qkv,
     t = num_frames
     b = bt // t
     scale = 1.0 / ((d // num_heads) ** 0.5)
-    xr = x.reshape(b, t, n, d)
     seg = _segment_matrix(d, num_heads)
     kernel = functools.partial(_kernel_ln, t=t, heads=num_heads, scale=scale)
     ln_specs = [
         pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM),
         pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM),
     ]
-    out = _call_temporal(kernel, xr, (w_qkv, b_qkv, w_out, b_out, seg),
-                         b, t, n, tile, d, num_heads,
-                         extra_specs=ln_specs, extra_args=(ln_scale, ln_bias))
-    return out.reshape(bt, n, d)
+    return _call_temporal(kernel, x, (w_qkv, b_qkv, w_out, b_out, seg),
+                          b, t, n, tile, d, num_heads,
+                          extra_specs=ln_specs, extra_args=(ln_scale, ln_bias))
 
 
 def fused_temporal_attention_adapter(x, w_qkv, b_qkv, w_out, b_out,
@@ -259,7 +257,6 @@ def fused_temporal_attention_adapter(x, w_qkv, b_qkv, w_out, b_out,
     b = bt // t
     hd = d // num_heads
     scale = 1.0 / (hd ** 0.5)
-    xr = x.reshape(b, t, n, d)
     seg = _segment_matrix(d, num_heads)
     dh = w1.shape[1]
 
@@ -272,7 +269,7 @@ def fused_temporal_attention_adapter(x, w_qkv, b_qkv, w_out, b_out,
         pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM),
     ]
     n_cells = pl.cdiv(n, tile)
-    x_spec = pl.BlockSpec((1, t, tile, d), lambda i, j: (i, 0, j, 0),
+    x_spec = pl.BlockSpec((t, tile, d), lambda i, j: (i, j, 0),
                           memory_space=pltpu.VMEM)
     weight_specs = [
         pl.BlockSpec((d, 3 * d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
@@ -282,18 +279,17 @@ def fused_temporal_attention_adapter(x, w_qkv, b_qkv, w_out, b_out,
         pl.BlockSpec((d, num_heads), lambda i, j: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, t, n, d), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * t, n, d), x.dtype),
         grid=(b, n_cells),
         in_specs=[x_spec, *weight_specs, *adapter_specs],
-        out_specs=pl.BlockSpec((1, t, tile, d), lambda i, j: (i, 0, j, 0),
+        out_specs=pl.BlockSpec((t, tile, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
-    )(xr, w_qkv, b_qkv, w_out, b_out, seg, w1, b1, w2, b2)
-    return out.reshape(bt, n, d)
+    )(x, w_qkv, b_qkv, w_out, b_out, seg, w1, b1, w2, b2)
 
 
 # ---------------------------------------------------------------------------
@@ -426,7 +422,6 @@ def fused_ln_temporal_adapter_residual(x, ln_scale, ln_bias, w_qkv, b_qkv,
     t = num_frames
     b = bt // t
     scale = 1.0 / ((d // num_heads) ** 0.5)
-    xr = x.reshape(b, t, n, d)
     seg = _segment_matrix(d, num_heads)
     dh = w1.shape[1]
     kernel = functools.partial(_kernel_ln_adapter_res, t=t, heads=num_heads,
@@ -442,7 +437,7 @@ def fused_ln_temporal_adapter_residual(x, ln_scale, ln_bias, w_qkv, b_qkv,
         pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM),
     ]
     n_cells = pl.cdiv(n, tile)
-    x_spec = pl.BlockSpec((1, t, tile, d), lambda i, j: (i, 0, j, 0),
+    x_spec = pl.BlockSpec((t, tile, d), lambda i, j: (i, j, 0),
                           memory_space=pltpu.VMEM)
     weight_specs = [
         pl.BlockSpec((d, 3 * d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
@@ -452,19 +447,18 @@ def fused_ln_temporal_adapter_residual(x, ln_scale, ln_bias, w_qkv, b_qkv,
         pl.BlockSpec((d, num_heads), lambda i, j: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, t, n, d), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * t, n, d), x.dtype),
         grid=(b, n_cells),
         in_specs=[x_spec, *ln_specs, *weight_specs, *adapter_specs],
-        out_specs=pl.BlockSpec((1, t, tile, d), lambda i, j: (i, 0, j, 0),
+        out_specs=pl.BlockSpec((t, tile, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
-    )(xr, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out, seg,
+    )(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out, seg,
       w1, b1, w2, b2)
-    return out.reshape(bt, n, d)
 
 
 def _ref_ln_adapter_res_impl(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
