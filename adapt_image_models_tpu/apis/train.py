@@ -52,6 +52,12 @@ def train_model(cfg: Dict[str, Any], work_dir: Optional[str] = None,
                 auto_resume: bool = False, max_steps: Optional[int] = None,
                 mesh=None):
     """Run the full training recipe described by ``cfg`` (mmcv layout)."""
+    from adapt_image_models_tpu.models.builder import DETECTORS
+    if cfg["model"].get("type") in DETECTORS:
+        from adapt_image_models_tpu.apis.detection import train_detector
+        return train_detector(cfg, work_dir=work_dir, validate=validate,
+                              seed=seed, max_steps=max_steps, mesh=mesh)
+
     logger = get_root_logger()
     work_dir = work_dir or cfg.get("work_dir", "./work_dir")
 

@@ -12,3 +12,4 @@ from adapt_image_models_tpu.data.pipeline import (
     build_sample_processor, SampleProcessor,
 )
 from adapt_image_models_tpu.data.loader import VideoLoader
+import adapt_image_models_tpu.data.ava_dataset  # noqa: F401  (register)

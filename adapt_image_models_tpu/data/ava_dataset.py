@@ -50,6 +50,10 @@ class AVADataset:
                  timestamp_end: int = 1800,
                  # fixed shapes for the jitted step
                  num_rois: int = 32,
+                 # XLA needs static spatial dims: in test mode (short-side
+                 # resize only, reference val pipeline has no crop) frames
+                 # are zero-padded bottom/right onto this (H, W) canvas
+                 test_pad_to: Optional[tuple] = None,
                  # rcnn train cfg (assigner/sampler), reference AVA defaults
                  assigner: Optional[Dict[str, Any]] = None,
                  sampler: Optional[Dict[str, Any]] = None,
@@ -82,6 +86,7 @@ class AVADataset:
         self.timestamp_start = timestamp_start
         self.timestamp_end = timestamp_end
         self.num_rois = num_rois
+        self.test_pad_to = tuple(test_pad_to) if test_pad_to else None
         self.assigner_cfg = dict(pos_iou_thr=0.9, neg_iou_thr=0.9,
                                  min_pos_iou=0.9)
         if assigner:
@@ -290,6 +295,14 @@ class AVADataset:
                 x1 = boxes[:, 0].copy()
                 boxes[:, 0] = w - boxes[:, 2]
                 boxes[:, 2] = w - x1
+        if self.test_mode and self.test_pad_to:
+            ph, pw = self.test_pad_to
+            if h > ph or w > pw:
+                raise ValueError(f"frame {h}x{w} exceeds test_pad_to "
+                                 f"{self.test_pad_to}")
+            canvas = np.zeros((frames.shape[0], ph, pw, 3), frames.dtype)
+            canvas[:, :h, :w] = frames
+            frames = canvas  # boxes unchanged (pad is bottom/right)
         if self.to_bgr:
             frames = frames[..., ::-1]
         frames = np.ascontiguousarray(frames)

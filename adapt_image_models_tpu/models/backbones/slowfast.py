@@ -51,7 +51,7 @@ class _Pathway(nn.Module):
             for j in range(n_blocks):
                 stride = 2 if (i > 0 and j == 0) else 1
                 h = Bottleneck3d(planes, spatial_stride=stride,
-                                 temporal_kernel=3 if self.inflate[i] else 1,
+                                 inflate=bool(self.inflate[i]),
                                  compute_dtype=cdt,
                                  name=f"layer{i + 1}_{j}")(
                                      h, deterministic=deterministic)

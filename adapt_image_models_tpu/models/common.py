@@ -92,3 +92,36 @@ class TAM(nn.Module):
             w_i = kernel[:, :, i][:, None, None, None, :]  # (B,1,1,1,C)
             out = out + xp[:, i:i + t] * w_i
         return out.reshape(bt, hh, ww, c).astype(x.dtype)
+
+
+class ConvAudio(nn.Module):
+    """Separable audio stem conv (reference ``models/common/conv_audio.py:8``):
+    parallel (K, 1) and (1, K) conv+BN+ReLU branches, concatenated (or
+    summed) over channels. Input NHWC (freq-time spectrogram)."""
+
+    out_channels: int
+    kernel_size: int = 9
+    op: str = "concat"
+    stride: int = 1
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.op not in ("concat", "sum"):
+            raise ValueError(f"op must be concat/sum, got {self.op}")
+        cdt = self.compute_dtype
+        k = self.kernel_size
+        # when concatenating, each branch carries half the output channels
+        ch = self.out_channels // 2 if self.op == "concat" else self.out_channels
+        s = (self.stride, self.stride)
+        x1 = nn.Conv(ch, (k, 1), s, use_bias=False, dtype=cdt,
+                     name="conv_1")(x)
+        x1 = nn.relu(nn.BatchNorm(use_running_average=deterministic,
+                                  momentum=0.9, name="bn_1")(x1))
+        x2 = nn.Conv(ch, (1, k), s, use_bias=False, dtype=cdt,
+                     name="conv_2")(x)
+        x2 = nn.relu(nn.BatchNorm(use_running_average=deterministic,
+                                  momentum=0.9, name="bn_2")(x2))
+        if self.op == "concat":
+            return jnp.concatenate([x1, x2], axis=-1)
+        return x1 + x2

@@ -15,6 +15,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# tests are compile-dominated (tiny models, one CPU core): skipping XLA's
+# optimization passes cuts suite wall time ~3.5x with unchanged semantics
+# (numerical parity tolerances all still hold; see test_convert)
+jax.config.update("jax_disable_most_optimizations", True)
 
 
 def pytest_sessionstart(session):
