@@ -190,3 +190,86 @@ class UntrimmedSampleFrames:
             -(self.clip_len // 2), self.clip_len - (self.clip_len // 2))[None, :]
         inds = np.clip(inds, 0, num_frames - 1)
         return np.concatenate(inds) + si
+
+
+@dataclass
+class SampleProposalFrames:
+    """Sample segment frames for SSN proposals (reference
+    ``loading.py:486-700`` SampleProposalFrames).
+
+    Per proposal, samples ``aug_segments[0]`` starting-stage,
+    ``body_segments`` course-stage and ``aug_segments[1]`` ending-stage
+    segment offsets (each a clip start index). In test mode, snippets tile
+    the whole video every ``test_interval`` frames.
+    """
+
+    clip_len: int
+    body_segments: int = 5
+    aug_segments: tuple = (2, 2)
+    aug_ratio: float = 0.5
+    frame_interval: int = 1
+    test_interval: int = 6
+    mode: str = "train"
+
+    def _aug_pair(self):
+        a = self.aug_ratio
+        return a if isinstance(a, (tuple, list)) else (a, a)
+
+    @staticmethod
+    def _train_offsets(valid_length: int, num_segments: int,
+                       rng: np.random.Generator) -> np.ndarray:
+        avg = (valid_length + 1) // num_segments
+        if avg > 0:
+            return (np.arange(num_segments) * avg
+                    + rng.integers(avg, size=num_segments))
+        return np.zeros(num_segments, np.int64)
+
+    @staticmethod
+    def _val_offsets(valid_length: int, num_segments: int) -> np.ndarray:
+        if valid_length >= num_segments:
+            avg = valid_length / float(num_segments)
+            return (np.arange(num_segments) * avg + avg / 2.0).astype(np.int64)
+        return np.zeros(num_segments, np.int64)
+
+    def proposal_offsets(self, start_frame: int, end_frame: int,
+                         num_frames: int,
+                         rng: Optional[np.random.Generator] = None
+                         ) -> np.ndarray:
+        """One proposal -> (aug0 + body + aug1) segment start offsets."""
+        rng = rng or np.random.default_rng()
+        aug0, aug1 = self._aug_pair()
+        ori_clip_len = self.clip_len * self.frame_interval
+        duration = end_frame - start_frame
+        assert duration > 0
+        valid_length = duration - ori_clip_len
+        valid_starting = max(0, start_frame - int(duration * aug0))
+        valid_ending = min(num_frames - ori_clip_len + 1,
+                           end_frame - 1 + int(duration * aug1))
+        valid_starting_length = start_frame - valid_starting - ori_clip_len
+        valid_ending_length = (valid_ending - end_frame + 1) - ori_clip_len
+
+        fn = (lambda vl, n: self._train_offsets(vl, n, rng)) \
+            if self.mode == "train" else self._val_offsets
+        starting = fn(valid_starting_length, self.aug_segments[0]) \
+            + valid_starting
+        course = fn(valid_length, self.body_segments) + start_frame
+        ending = fn(valid_ending_length, self.aug_segments[1]) + end_frame
+        return np.concatenate([starting, course, ending])
+
+    def __call__(self, num_frames: int, proposals=None, start_index: int = 0,
+                 rng: Optional[np.random.Generator] = None) -> np.ndarray:
+        """Train/val: frame indices for all proposals' segments, flattened
+        (P * num_segments * clip_len,). Test: tiled snippet clip indices."""
+        if self.mode == "test":
+            ori_clip_len = self.clip_len * self.frame_interval
+            offsets = np.arange(0, num_frames - ori_clip_len,
+                                self.test_interval, dtype=np.int64)
+        else:
+            assert proposals is not None
+            offsets = np.concatenate([
+                self.proposal_offsets(p[0], p[1], num_frames, rng=rng)
+                for p in proposals])
+        inds = (offsets[:, None]
+                + np.arange(self.clip_len)[None, :] * self.frame_interval)
+        inds = np.clip(inds, 0, num_frames - 1)
+        return np.concatenate(inds) + start_index

@@ -7,3 +7,5 @@ import adapt_image_models_tpu.models.heads  # noqa: F401
 import adapt_image_models_tpu.models.recognizers  # noqa: F401
 import adapt_image_models_tpu.models.losses  # noqa: F401
 import adapt_image_models_tpu.models.detectors  # noqa: F401
+import adapt_image_models_tpu.models.localizers  # noqa: F401
+import adapt_image_models_tpu.models.necks  # noqa: F401

@@ -39,11 +39,73 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _use_full_core(t: int) -> bool:
+    """Masked-full core beats the segment-sum core for short frame axes
+    (measured v5e ViT-B b64: 6.97 vs 7.47 ms/layer); its waste factor grows
+    with tile so the segment core stays the choice for long clips."""
+    return t <= 16
+
+
+def _sanitize_tokens(x, tile: int, tok_limit):
+    """Zero rows of (T*tile, D) whose token slot >= tok_limit: a partial
+    block's out-of-range reads are undefined (NaN in interpret mode) and the
+    full-core score matrix would spread them into real rows via key columns."""
+    rows = x.shape[0]
+    tok = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) % tile
+    return jnp.where(tok < tok_limit, x, jnp.zeros_like(x))
+
+
+def _temporal_body_full(x, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+                        t: int, heads: int, scale: float):
+    """Full-core variant: per head ONE masked (T*tile, T*tile) attention —
+    row r = frame*tile + token attends where (r % tile) matches — instead of
+    T^2 segment-sum matmuls. The mask waste (factor=tile) rides the MXU at
+    full rate while the segment core pays N=heads<128 lanes per pair."""
+    rows, d = x.shape
+    tile = rows // t
+    hd = d // heads
+    w = wqkv_ref[...]
+    b = bqkv_ref[...]
+    q = (jnp.dot(x, w[:, :d], preferred_element_type=jnp.float32)
+         + b[:d].astype(jnp.float32)).astype(x.dtype)
+    k = (jnp.dot(x, w[:, d:2 * d], preferred_element_type=jnp.float32)
+         + b[d:2 * d].astype(jnp.float32)).astype(x.dtype)
+    v = (jnp.dot(x, w[:, 2 * d:], preferred_element_type=jnp.float32)
+         + b[2 * d:].astype(jnp.float32)).astype(x.dtype)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+    maskadd = jnp.where((ri % tile) == (ci % tile), jnp.float32(0.0),
+                        jnp.float32(MASK_VALUE))
+    outs = []
+    for h in range(heads):
+        qh = q[:, h * hd:(h + 1) * hd]
+        kh = k[:, h * hd:(h + 1) * hd]
+        vh = v[:, h * hd:(h + 1) * hd]
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * scale + maskadd
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=1, keepdims=True)
+        oh = jax.lax.dot(p.astype(vh.dtype), vh,
+                         preferred_element_type=jnp.float32) / denom
+        outs.append(oh.astype(x.dtype))
+    out = jnp.concatenate(outs, axis=1)
+    y = jnp.dot(out, wout_ref[...], preferred_element_type=jnp.float32)
+    return y + bout_ref[...].astype(jnp.float32)
+
+
 def _temporal_body(x, wqkv_ref, bqkv_ref, wout_ref, bout_ref, seg_ref,
                    t: int, heads: int, scale: float):
     """(T*tile, D) post-LN tokens -> temporal-attention output, fp32."""
     d = x.shape[-1]
     tile = x.shape[0] // t
+    if _use_full_core(t):
+        return _temporal_body_full(x, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+                                   t, heads, scale)
 
     from adapt_image_models_tpu.ops.fused_qkv_attention import _project_qkv
     qkv = _project_qkv(x, wqkv_ref, bqkv_ref)
@@ -83,12 +145,21 @@ def _temporal_body(x, wqkv_ref, bqkv_ref, wout_ref, bout_ref, seg_ref,
     return y + bout_ref[...].astype(jnp.float32)
 
 
+def _sanitize_block(x, tile: int, n: int):
+    """Zero the partial last block's out-of-range token rows (grid axis 1)."""
+    if n % tile == 0:
+        return x
+    j = pl.program_id(1)
+    return _sanitize_tokens(x, tile, n - j * tile)
+
+
 def _kernel(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, seg_ref, o_ref,
-            *, t: int, heads: int, scale: float,
+            *, t: int, heads: int, scale: float, n: int = 0,
             w1_ref=None, b1_ref=None, w2_ref=None, b2_ref=None,
             adapter_skip: bool = False):
     tt, tile, d = x_ref.shape
     x = x_ref[...].reshape(t * tile, d)  # (T*tile, D)
+    x = _sanitize_block(x, tile, n or tile)
     y = _temporal_body(x, wqkv_ref, bqkv_ref, wout_ref, bout_ref, seg_ref,
                        t, heads, scale)
     if w1_ref is not None:
@@ -101,13 +172,14 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, seg_ref, o_ref,
 
 
 def _kernel_ln(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wout_ref,
-               bout_ref, seg_ref, o_ref, *, t: int, heads: int, scale: float):
+               bout_ref, seg_ref, o_ref, *, t: int, heads: int, scale: float,
+               n: int = 0):
     from adapt_image_models_tpu.ops.fused_qkv_attention import (
         _kernel_layernorm,
     )
     tt, tile, d = x_ref.shape
-    x = _kernel_layernorm(x_ref[...].reshape(t * tile, d), lns_ref, lnb_ref,
-                          x_ref.dtype)
+    x = _sanitize_block(x_ref[...].reshape(t * tile, d), tile, n or tile)
+    x = _kernel_layernorm(x, lns_ref, lnb_ref, x_ref.dtype)
     y = _temporal_body(x, wqkv_ref, bqkv_ref, wout_ref, bout_ref, seg_ref,
                        t, heads, scale)
     o_ref[...] = y.astype(o_ref.dtype).reshape(t, tile, d)
@@ -116,14 +188,14 @@ def _kernel_ln(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wout_ref,
 def _kernel_ln_adapter_res(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
                            wout_ref, bout_ref, seg_ref, w1_ref, b1_ref,
                            w2_ref, b2_ref, o_ref, *, t: int, heads: int,
-                           scale: float, adapter_skip: bool):
+                           scale: float, adapter_skip: bool, n: int = 0):
     """Whole eval-mode temporal-adaptation step in one kernel:
     ``x + T_Adapter(attn_T(LN(x)))``."""
     from adapt_image_models_tpu.ops.fused_qkv_attention import (
         _kernel_layernorm, _adapter_epilogue,
     )
     tt, tile, d = x_ref.shape
-    x0 = x_ref[...].reshape(t * tile, d)
+    x0 = _sanitize_block(x_ref[...].reshape(t * tile, d), tile, n or tile)
     xn = _kernel_layernorm(x0, lns_ref, lnb_ref, x_ref.dtype)
     y = _temporal_body(xn, wqkv_ref, bqkv_ref, wout_ref, bout_ref, seg_ref,
                        t, heads, scale)
@@ -136,9 +208,9 @@ def _kernel_ln_adapter_res(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
 def _kernel_with_adapter(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
                          seg_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
                          *, t: int, heads: int, scale: float,
-                         adapter_skip: bool):
+                         adapter_skip: bool, n: int = 0):
     _kernel(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref, seg_ref, o_ref,
-            t=t, heads=heads, scale=scale, w1_ref=w1_ref, b1_ref=b1_ref,
+            t=t, heads=heads, scale=scale, n=n, w1_ref=w1_ref, b1_ref=b1_ref,
             w2_ref=w2_ref, b2_ref=b2_ref, adapter_skip=adapter_skip)
 
 
@@ -153,9 +225,14 @@ def _auto_tile(d: int, t: int, requested: Optional[int],
     ~19% of the kernel's projection FLOPs)."""
     if requested is not None:
         return requested
-    tile = 128
-    while tile > 32 and (t * tile * d * 8 + 8 * d * d * 2) > 14 * 2 ** 20:
-        tile //= 2
+    if _use_full_core(t):
+        # full core: ~128 rows per block maximizes MXU occupancy while the
+        # (T*tile)^2 mask waste stays bounded (measured best at tile=16, T=8)
+        tile = max(8, _round_up(128 // t, 8))
+    else:
+        tile = 128
+        while tile > 32 and (t * tile * d * 8 + 8 * d * d * 2) > 14 * 2 ** 20:
+            tile //= 2
     if n is not None and n > 0:
         cells = -(-n // tile)
         tile = -(-(-(-n // cells)) // 8) * 8  # round_up(ceil(n/cells), 8)
@@ -220,7 +297,8 @@ def fused_temporal_attention(x: jax.Array, w_qkv: jax.Array, b_qkv: jax.Array,
     hd = d // num_heads
     scale = 1.0 / (hd ** 0.5)
     seg = _segment_matrix(d, num_heads)
-    kernel = functools.partial(_kernel, t=t, heads=num_heads, scale=scale)
+    kernel = functools.partial(_kernel, t=t, heads=num_heads, scale=scale,
+                               n=n)
     return _call_temporal(kernel, x, (w_qkv, b_qkv, w_out, b_out, seg),
                           b, t, n, tile, d, num_heads)
 
@@ -236,7 +314,8 @@ def fused_ln_temporal_attention(x, ln_scale, ln_bias, w_qkv, b_qkv,
     b = bt // t
     scale = 1.0 / ((d // num_heads) ** 0.5)
     seg = _segment_matrix(d, num_heads)
-    kernel = functools.partial(_kernel_ln, t=t, heads=num_heads, scale=scale)
+    kernel = functools.partial(_kernel_ln, t=t, heads=num_heads, scale=scale,
+                               n=n)
     ln_specs = [
         pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM),
         pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM),
@@ -261,7 +340,7 @@ def fused_temporal_attention_adapter(x, w_qkv, b_qkv, w_out, b_out,
     dh = w1.shape[1]
 
     kernel = functools.partial(_kernel_with_adapter, t=t, heads=num_heads,
-                               scale=scale, adapter_skip=adapter_skip)
+                               scale=scale, adapter_skip=adapter_skip, n=n)
     adapter_specs = [
         pl.BlockSpec((d, dh), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((dh,), lambda i, j: (0,), memory_space=pltpu.VMEM),
@@ -425,7 +504,7 @@ def fused_ln_temporal_adapter_residual(x, ln_scale, ln_bias, w_qkv, b_qkv,
     seg = _segment_matrix(d, num_heads)
     dh = w1.shape[1]
     kernel = functools.partial(_kernel_ln_adapter_res, t=t, heads=num_heads,
-                               scale=scale, adapter_skip=adapter_skip)
+                               scale=scale, adapter_skip=adapter_skip, n=n)
     ln_specs = [
         pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM),
         pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM),

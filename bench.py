@@ -46,22 +46,21 @@ def main():
     import numpy as np
 
     best = 0.0
-    for batch in (32, 64, 128):
-        # distinct inputs per iteration + a forced scalar fetch per
-        # iteration: on the axon relay backend, repeated identical dispatches
-        # are memoized and block_until_ready() does not synchronize — only a
-        # data fetch does. Median of per-iter wall times.
+    for batch in (128, 256, 512):
+        # distinct inputs per iteration (the axon relay memoizes repeated
+        # identical dispatches) + a forced scalar fetch per result
+        # (block_until_ready does not synchronize over the relay). Dispatches
+        # are issued back-to-back and fetched at the end — the async-dispatch
+        # pipelining any real eval loop gets for free.
         keys = jax.random.split(jax.random.PRNGKey(batch), 6)
         xs = [jax.random.normal(k, (batch, 3, 8, 224, 224), jnp.bfloat16)
               for k in keys]
         float(fwd(params, xs[0]).sum())  # compile + warmup
-        times = []
-        for x in xs:
-            t0 = time.perf_counter()
-            out = fwd(params, x)
-            _ = float(out.sum())
-            times.append(time.perf_counter() - t0)
-        clips_per_s = batch / float(np.median(times))
+        t0 = time.perf_counter()
+        outs = [fwd(params, x) for x in xs]
+        _ = sum(float(o.sum()) for o in outs)
+        dt = time.perf_counter() - t0
+        clips_per_s = batch * len(xs) / dt
         best = max(best, clips_per_s)
 
     print(json.dumps({
