@@ -13,3 +13,7 @@ from adapt_image_models_tpu.data.pipeline import (
 )
 from adapt_image_models_tpu.data.loader import VideoLoader
 import adapt_image_models_tpu.data.ava_dataset  # noqa: F401  (register)
+import adapt_image_models_tpu.data.ssn_dataset  # noqa: F401  (register)
+import adapt_image_models_tpu.data.activitynet  # noqa: F401  (register)
+import adapt_image_models_tpu.data.hvu_dataset  # noqa: F401  (register)
+import adapt_image_models_tpu.data.pose_dataset  # noqa: F401  (register)

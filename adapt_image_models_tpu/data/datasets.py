@@ -151,8 +151,13 @@ class RawframeDataset(BaseVideoDataset):
     """``<frame_dir> <total_frames> <label...>`` lines."""
 
     def __init__(self, *args, filename_tmpl: str = "img_{:05}.jpg",
-                 start_index: int = 1, **kw):
+                 start_index: int = 1, modality: str = "RGB", **kw):
+        assert modality in ("RGB", "Flow")
         self.filename_tmpl = filename_tmpl
+        self.modality = modality
+        if modality == "Flow" and filename_tmpl == "img_{:05}.jpg":
+            # mmaction flow convention: flow_x_00001.jpg / flow_y_00001.jpg
+            self.filename_tmpl = "{}_{:05d}.jpg"
         super().__init__(*args, start_index=start_index, **kw)
 
     def load_annotations(self) -> List[Dict[str, Any]]:
@@ -176,5 +181,99 @@ class RawframeDataset(BaseVideoDataset):
                 infos.append(dict(frame_dir=frame_dir,
                                   total_frames=total_frames, label=label,
                                   filename_tmpl=self.filename_tmpl,
+                                  start_index=self.start_index,
+                                  modality=self.modality))
+        return infos
+
+
+@DATASETS.register_module()
+class ImageDataset(VideoDataset):
+    """``<image path> <label...>`` lines; an image is a 1-frame video
+    (reference ``image_dataset.py:6`` — OmniSource web-image source).
+    Consumers sample with ``clip_len=1`` / ``FormatShape('NCHW')``."""
+
+    def __init__(self, *args, **kw):
+        super().__init__(*args, start_index=kw.pop("start_index", 0), **kw)
+
+    def load_annotations(self):
+        infos = super().load_annotations()
+        for info in infos:
+            info["total_frames"] = 1
+        return infos
+
+
+@DATASETS.register_module()
+class RawVideoDataset(BaseVideoDataset):
+    """``<video dir> <label> <num clips> <positive clip ids...>`` lines over
+    pre-trimmed clip files (reference ``rawvideo_dataset.py:12`` —
+    OmniSource raw-video source). ``__getitem__`` resolves one clip file by
+    the sampling strategy; 'positive' picks among the labeled clips,
+    'random' among all."""
+
+    def __init__(self, ann_file, pipeline=None,
+                 clipname_tmpl: str = "part_{}.mp4",
+                 sampling_strategy: str = "positive", **kw):
+        assert sampling_strategy in ("positive", "random")
+        assert not kw.get("multi_class", False), \
+            "RawVideoDataset supports single-label only"
+        self.clipname_tmpl = clipname_tmpl
+        self.sampling_strategy = sampling_strategy
+        super().__init__(ann_file, pipeline=pipeline, **kw)
+
+    def load_annotations(self):
+        infos = []
+        with open(self.ann_file) as f:
+            for line in f:
+                parts = line.strip().split()
+                if not parts:
+                    continue
+                video_dir, label, num_clips = (
+                    parts[0], int(parts[1]), int(parts[2]))
+                positives = [int(x) for x in parts[3:]]
+                if self.data_prefix:
+                    video_dir = osp.join(self.data_prefix, video_dir)
+                infos.append(dict(video_dir=video_dir, label=label,
+                                  num_clips=num_clips,
+                                  positive_clip_inds=positives,
                                   start_index=self.start_index))
         return infos
+
+    def sample_clip(self, idx: int, rng=None) -> Dict[str, Any]:
+        """Resolve one clip file for the sample (reference
+        ``rawvideo_dataset.py sample_clip``)."""
+        rng = rng or np.random.default_rng()
+        info = self.video_infos[idx]
+        if self.sampling_strategy == "positive" and info["positive_clip_inds"]:
+            ind = int(rng.choice(info["positive_clip_inds"]))
+        else:
+            ind = int(rng.integers(info["num_clips"]))
+        filename = osp.join(info["video_dir"], self.clipname_tmpl.format(ind))
+        return dict(filename=filename, label=info["label"],
+                    start_index=info["start_index"])
+
+    def __getitem__(self, idx):
+        return self.sample_clip(idx)
+
+
+@DATASETS.register_module()
+class RepeatDataset:
+    """Repeat a dataset ``times`` x to amortize epoch turnaround on small
+    datasets (reference ``dataset_wrappers.py:5``). Config form:
+    ``dict(type='RepeatDataset', dataset=<dataset cfg>, times=N)``."""
+
+    def __init__(self, dataset, times: int):
+        if isinstance(dataset, dict):
+            dataset = build_dataset(dataset)
+        self.dataset = dataset
+        self.times = times
+        self._ori_len = len(dataset)
+
+    def __getattr__(self, name):
+        # delegate evaluate/labels/pipeline/... to the wrapped dataset
+        return getattr(self.dataset, name)
+
+    def __getitem__(self, idx):
+        return self.dataset[idx % self._ori_len]
+
+    def __len__(self):
+        return self.times * self._ori_len

@@ -106,10 +106,18 @@ class VideoLoader:
                 info["filename"], info["label"], rng=rng,
                 start_index=info.get("start_index", 0))
         else:  # rawframes
-            from adapt_image_models_tpu.data.video_reader import RawFrameReader
-            reader = RawFrameReader(
+            from adapt_image_models_tpu.data.video_reader import (
+                FlowFrameReader, RawFrameReader,
+            )
+            reader_cls = (FlowFrameReader
+                          if info.get("modality") == "Flow"
+                          else RawFrameReader)
+            reader = reader_cls(
                 info["frame_dir"], info["total_frames"],
-                filename_tmpl=info.get("filename_tmpl", "img_{:05}.jpg"),
+                filename_tmpl=info.get(
+                    "filename_tmpl",
+                    "{}_{:05d}.jpg" if info.get("modality") == "Flow"
+                    else "img_{:05}.jpg"),
                 start_index=info.get("start_index", 1))
             clips, label = self.processor(
                 reader, info["label"], rng=rng,

@@ -114,3 +114,27 @@ def random_flip(rng: jax.Array, clip: jax.Array, prob: float = 0.5) -> jax.Array
     b = clip.shape[0]
     do = jax.random.bernoulli(rng, prob, (b,) + (1,) * (clip.ndim - 1))
     return jnp.where(do, horizontal_flip(clip), clip)
+
+
+def format_nchw_flow(clip: jax.Array, clip_len: int) -> jax.Array:
+    """(..., N_clips * L, H, W, C) stacked flow frames ->
+    (..., N_clips, L*C, H, W): per clip, the L frames' (dx, dy) channels
+    stack into one 2L-channel image (reference ``formating.py:268-278``
+    'NCHW_Flow')."""
+    *lead, m, h, w, c = clip.shape
+    n_clips = m // clip_len
+    x = clip.reshape(*lead, n_clips, clip_len, h, w, c)
+    nd = x.ndim
+    # (..., n_clips, L, H, W, C) -> (..., n_clips, L, C, H, W): frame-major
+    # channel stacking [dx0, dy0, dx1, dy1, ...], matching the reference
+    x = x.transpose(*range(nd - 4), nd - 4, nd - 1, nd - 3, nd - 2)
+    return x.reshape(*lead, n_clips, clip_len * c, h, w)
+
+
+def format_nptchw(clip: jax.Array, num_proposals: int) -> jax.Array:
+    """(P * M, H, W, C) proposal segment frames -> (P, M, C, H, W)
+    (reference ``formating.py:313-322`` 'NPTCHW', the SSN layout)."""
+    pm, h, w, c = clip.shape
+    m = pm // num_proposals
+    x = clip.reshape(num_proposals, m, h, w, c)
+    return x.transpose(0, 1, 4, 2, 3)

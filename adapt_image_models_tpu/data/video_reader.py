@@ -203,3 +203,49 @@ def open_video(source, short_side: Optional[int] = None,
             if backend == "cpp":
                 raise
     return OpenCVVideoReader(source, short_side=short_side)
+
+
+class FlowFrameReader(VideoReader):
+    """Optical-flow frame-directory reader (reference RawFrameDecode with
+    ``modality='Flow'``, ``loading.py:1117``): per index loads the
+    ``flow_x`` / ``flow_y`` grayscale jpegs and stacks them as a 2-channel
+    image -> (T, H, W, 2) uint8 (the channel layout consumed by
+    ``transforms.format_nchw_flow``).
+    """
+
+    def __init__(self, frame_dir: str, num_frames: int,
+                 filename_tmpl: str = "{}_{:05d}.jpg", start_index: int = 1,
+                 short_side: Optional[int] = None):
+        self.frame_dir = frame_dir
+        self.num_frames = num_frames
+        self.filename_tmpl = filename_tmpl
+        self.start_index = start_index
+        self.short_side = short_side
+
+    def get_frames(self, indices: Sequence[int]) -> np.ndarray:
+        import cv2
+        uniq, inverse = _dedup_gather(indices)
+        imgs = []
+        for fi in uniq:
+            chans = []
+            for axis in ("x", "y"):
+                path = os.path.join(
+                    self.frame_dir,
+                    self.filename_tmpl.format(f"flow_{axis}", int(fi)))
+                img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+                if img is None:
+                    raise IOError(f"cannot read flow frame {path}")
+                chans.append(img)
+            img = np.stack(chans, axis=-1)  # (H, W, 2)
+            if self.short_side is not None:
+                h, w0 = img.shape[:2]
+                ss = self.short_side
+                if min(h, w0) != ss:
+                    if h < w0:
+                        size = (max(1, int(round(w0 * ss / h))), ss)
+                    else:
+                        size = (ss, max(1, int(round(h * ss / w0))))
+                    img = cv2.resize(img, size, interpolation=cv2.INTER_LINEAR)
+            imgs.append(img)
+        stack = np.stack(imgs, axis=0)
+        return stack[inverse]

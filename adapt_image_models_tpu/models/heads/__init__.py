@@ -5,3 +5,7 @@ from adapt_image_models_tpu.models.heads.misc_heads import (
 )
 from adapt_image_models_tpu.models.heads.trn_head import TRNHead
 import adapt_image_models_tpu.models.heads.bbox_head  # noqa: F401
+from adapt_image_models_tpu.models.heads.ssn_head import SSNHead
+from adapt_image_models_tpu.models.heads.fbo_head import (
+    FBOHead, FBONonLocal, LFBInferHead,
+)

@@ -4,3 +4,4 @@ from adapt_image_models_tpu.models.localizers.bmn import (
 from adapt_image_models_tpu.models.localizers.bsn import (
     TEM, PEM, generate_tem_labels,
 )
+from adapt_image_models_tpu.models.localizers.ssn import SSN, ssn_test_post

@@ -36,10 +36,10 @@ class SSN(nn.Module):
     test_cfg: Optional[Dict[str, Any]] = None
 
     def setup(self):
-        self.backbone_mod = build_backbone(self.backbone)
-        self.head_mod = build_head(self.cls_head)
-        self.loss_fn = build_loss(self.loss_cls
-                                  or dict(type="SSNLoss"))
+        self.backbone_mod = build_backbone(dict(self.backbone))
+        self.head_mod = build_head(dict(self.cls_head))
+        self.loss_fn = build_loss(dict(self.loss_cls)
+                                  if self.loss_cls else dict(type="SSNLoss"))
 
     def extract_feat(self, imgs: jax.Array,
                      deterministic: bool = True) -> jax.Array:

@@ -25,11 +25,13 @@ class HVULoss:
                                               "scene"),
                  category_nums: Sequence[int] = (739, 117, 291, 69, 1678,
                                                  248),
-                 category_loss_weights: Sequence[float] = (1, 1, 1, 1, 1, 1),
+                 category_loss_weights: Optional[Sequence[float]] = None,
                  loss_type: str = "all",
                  with_mask: bool = False,
                  reduction: str = "mean",
                  loss_weight: float = 1.0):
+        if category_loss_weights is None:
+            category_loss_weights = (1,) * len(category_nums)
         assert len(category_nums) == len(category_loss_weights)
         assert loss_type in ("individual", "all")
         assert reduction in ("mean", "sum")

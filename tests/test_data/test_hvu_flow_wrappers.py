@@ -1,0 +1,165 @@
+"""HVU dataset + HVULoss, flow formats/reader, dataset wrappers."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from adapt_image_models_tpu.data.datasets import (
+    DATASETS, build_dataset, RepeatDataset, ImageDataset, RawVideoDataset,
+    VideoDataset,
+)
+from adapt_image_models_tpu.data.hvu_dataset import HVUDataset
+from adapt_image_models_tpu.models.losses.hvu_loss import HVULoss
+from adapt_image_models_tpu.data.transforms import (
+    format_nchw_flow, format_nptchw,
+)
+
+CATS = ("action", "object", "scene")
+NUMS = (4, 6, 3)
+
+
+def _write_hvu_json(tmp_path):
+    anno = [
+        dict(filename="a.mp4",
+             label=dict(action=[0, 2], object=[5], scene=[1])),
+        dict(filename="b.mp4", label=dict(action=[1], object=[0, 3])),
+        dict(filename="c.mp4", label=dict(scene=[2])),
+    ]
+    p = tmp_path / "hvu.json"
+    p.write_text(json.dumps(anno))
+    return str(p)
+
+
+def test_hvu_dataset_labels_and_masks(tmp_path):
+    ds = HVUDataset(_write_hvu_json(tmp_path), tag_categories=CATS,
+                    tag_category_nums=NUMS)
+    assert len(ds) == 3 and ds.num_tags == 13
+    info = ds[0]
+    onehot, mask, cmask = (info["label_onehot"], info["mask"],
+                           info["category_mask"])
+    assert onehot.shape == (13,)
+    assert onehot[[0, 2, 4 + 5, 10 + 1]].sum() == 4
+    assert mask.sum() == 13 and cmask.sum() == 3
+    # video b misses 'scene': mask zero over scene block
+    b = ds[1]
+    assert b["mask"][10:].sum() == 0
+    assert b["category_mask"].tolist() == [1, 1, 0]
+
+
+def test_hvu_dataset_evaluate(tmp_path):
+    ds = HVUDataset(_write_hvu_json(tmp_path), tag_categories=CATS,
+                    tag_category_nums=NUMS)
+    # perfect predictions -> every per-category mAP = 1
+    results = [info["label_onehot"] * 10 - 5 for info in ds.video_infos]
+    out = ds.evaluate(results)
+    assert out["action_mAP"] == pytest.approx(1.0)
+    assert out["object_mAP"] == pytest.approx(1.0)
+    assert out["scene_mAP"] == pytest.approx(1.0)
+    assert out["overall_mAP"] == pytest.approx(1.0)
+
+
+def test_hvu_loss_all_and_individual(tmp_path):
+    ds = HVUDataset(_write_hvu_json(tmp_path), tag_categories=CATS,
+                    tag_category_nums=NUMS)
+    scores = jnp.asarray(np.random.default_rng(0).normal(size=(3, 13)),
+                         jnp.float32)
+    labels = jnp.asarray(np.stack([i["label_onehot"] for i in ds.video_infos]))
+    mask = jnp.asarray(np.stack([i["mask"] for i in ds.video_infos]))
+    cmask = jnp.asarray(np.stack([i["category_mask"]
+                                  for i in ds.video_infos]))
+
+    all_loss = HVULoss(categories=CATS, category_nums=NUMS, loss_type="all",
+                       with_mask=True)
+    out = jax.jit(lambda *a: all_loss(*a))(scores, labels, mask, cmask)
+    assert np.isfinite(float(out["loss_cls"]))
+
+    ind_loss = HVULoss(categories=CATS, category_nums=NUMS,
+                       loss_type="individual", with_mask=True)
+    out = jax.jit(lambda *a: ind_loss(*a))(scores, labels, mask, cmask)
+    assert np.isfinite(float(out["loss_cls"]))
+    for cat in CATS:
+        assert f"{cat}_LOSS" in out
+    # weights normalize to 1
+    wsum = sum(float(out[f"{cat}_LOSS_weight"]) for cat in CATS)
+    assert wsum == pytest.approx(1.0)
+    # perfect logits -> near-zero loss
+    perfect = (labels * 2 - 1) * 20.0
+    out0 = all_loss(perfect, labels, mask, cmask)
+    assert float(out0["loss_cls"]) < 1e-4
+
+
+def test_format_nchw_flow_semantics():
+    # 2 clips x 3 frames of (4, 4, 2) flow
+    x = np.zeros((6, 4, 4, 2), np.float32)
+    for t in range(6):
+        x[t, :, :, 0] = t          # dx channel holds frame id
+        x[t, :, :, 1] = 100 + t    # dy channel
+    y = np.asarray(format_nchw_flow(jnp.asarray(x), clip_len=3))
+    assert y.shape == (2, 6, 4, 4)
+    # clip 0 channels: [dx0, dy0, dx1, dy1, dx2, dy2]
+    np.testing.assert_allclose(y[0, 0], 0)
+    np.testing.assert_allclose(y[0, 1], 100)
+    np.testing.assert_allclose(y[0, 4], 2)
+    np.testing.assert_allclose(y[1, 0], 3)
+
+
+def test_flow_frame_reader(tmp_path):
+    import cv2
+    from adapt_image_models_tpu.data.video_reader import FlowFrameReader
+
+    d = tmp_path / "flow"
+    d.mkdir()
+    for i in (1, 2):
+        for axis, base in (("x", 10), ("y", 200)):
+            img = np.full((8, 6), base + i, np.uint8)
+            cv2.imwrite(str(d / f"flow_{axis}_{i:05d}.jpg"), img)
+    reader = FlowFrameReader(str(d), num_frames=2)
+    frames = reader.get_frames([1, 2, 1])
+    assert frames.shape == (3, 8, 6, 2)
+    assert abs(int(frames[0, 0, 0, 0]) - 11) <= 2  # jpeg tolerance
+    assert abs(int(frames[1, 0, 0, 1]) - 202) <= 2
+    np.testing.assert_array_equal(frames[0], frames[2])
+
+
+def test_repeat_dataset(tmp_path):
+    ann = tmp_path / "ann.txt"
+    ann.write_text("synthetic://1 0\nsynthetic://2 1\n")
+    ds = build_dataset(dict(type="RepeatDataset",
+                            dataset=dict(type="VideoDataset",
+                                         ann_file=str(ann)),
+                            times=3))
+    assert len(ds) == 6
+    assert ds[0] == ds[2] == ds[4]
+    assert isinstance(ds.dataset, VideoDataset)
+    # delegation to the wrapped dataset
+    assert len(ds.labels()) == 2
+
+
+def test_image_dataset(tmp_path):
+    ann = tmp_path / "imgs.txt"
+    ann.write_text("img1.jpg 0\nimg2.jpg 2\n")
+    ds = ImageDataset(str(ann), data_prefix="/pre")
+    assert len(ds) == 2
+    assert ds[0]["filename"] == "/pre/img1.jpg"
+    assert ds[0]["total_frames"] == 1
+    assert ds[1]["label"] == 2
+
+
+def test_raw_video_dataset(tmp_path):
+    ann = tmp_path / "raw.txt"
+    ann.write_text("vid_a 66 10 0 1 2\nvid_b 3 5\n")
+    ds = RawVideoDataset(str(ann), sampling_strategy="positive",
+                         data_prefix="/pre")
+    assert len(ds) == 2
+    item = ds.sample_clip(0, rng=np.random.default_rng(0))
+    assert item["label"] == 66
+    clip_id = int(item["filename"].rsplit("_", 1)[1].split(".")[0])
+    assert clip_id in (0, 1, 2)
+    # no positives listed -> random among num_clips
+    item_b = ds.sample_clip(1, rng=np.random.default_rng(0))
+    clip_b = int(item_b["filename"].rsplit("_", 1)[1].split(".")[0])
+    assert 0 <= clip_b < 5
