@@ -97,3 +97,25 @@ class CppVideoReader(VideoReader):
         if getattr(self, "_handle", None):
             self._lib.aim_close(self._handle)
             self._handle = None
+
+
+def extract_audio(path: str, out_wav: str, sample_rate: int = 16000,
+                  mono: bool = True) -> None:
+    """Extract the first audio stream of ``path`` to a 16-bit PCM WAV
+    (native replacement for the reference's ffmpeg-CLI call,
+    ``tools/data/extract_audio.py``). ``sample_rate=0`` keeps the source
+    rate."""
+    lib = _load_lib()
+    if lib is None:
+        raise ImportError("libaimdecode.so not built (csrc/build.sh)")
+    if not hasattr(lib, "_audio_proto_set"):
+        lib.aim_extract_audio.restype = ctypes.c_int
+        lib.aim_extract_audio.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                          ctypes.c_int, ctypes.c_int]
+        lib.aim_audio_last_error.restype = ctypes.c_char_p
+        lib._audio_proto_set = True
+    rc = lib.aim_extract_audio(path.encode(), out_wav.encode(),
+                               int(sample_rate), int(bool(mono)))
+    if rc != 0:
+        err = lib.aim_audio_last_error().decode()
+        raise IOError(f"audio extraction failed (rc={rc}): {err}")
