@@ -192,3 +192,12 @@ class ViT_CLIP_RES_TUNING(nn.Module):
 
         xt = LayerNormFP32(name="ln_post")(xt)
         return xt[:, 0].reshape(b, t, d)
+
+
+@BACKBONES.register_module(name="ViT_CLIP_FLASH_RES_TUNING")
+class ViT_CLIP_FLASH_RES_TUNING(ViT_CLIP_RES_TUNING):
+    """Reference-name alias (``vit_clip_flash_restuning.py:240``);
+    flash-attn kwargs accepted for config parity."""
+
+    use_flash_attn: bool = True
+    checkpoint: bool = False

@@ -233,3 +233,15 @@ class ViT_CLIP(nn.Module):
 
         xt = LayerNormFP32(name="ln_post")(xt)
         return xt[:, 0].reshape(b, t, d)
+
+
+@BACKBONES.register_module(name="ViT_CLIP_FLASH")
+class ViT_CLIP_FLASH(ViT_CLIP):
+    """Reference-name alias (``vit_clip_flash.py``): the flash-attn fork of
+    ViT_CLIP maps here to ViT_CLIP with the fused Pallas attention core;
+    ``use_flash_attn`` / ``checkpoint`` kwargs are accepted for config
+    parity (``use_checkpoint`` is the native spelling)."""
+
+    use_flash_attn: bool = True
+    checkpoint: bool = False
+    attention_core: str = "fused"

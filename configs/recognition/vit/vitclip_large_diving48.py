@@ -1,0 +1,37 @@
+# AIM ViT-L/14, Diving-48, 32 frames uniform (parity: reference
+# configs/recognition/vit/vitclip_large_diving48.py — 3736 GFLOPs,
+# top-1 90.6. frame_uniform sampling ignores frame_interval, so the
+# base config's 32-frame uniform pipelines are behaviorally identical
+# to the reference's interval-8 spelling.)
+_base_ = ["./vitclip_base_diving48.py"]
+
+model = dict(
+    backbone=dict(
+        _delete_=True,
+        type="AIM",
+        input_resolution=224,
+        patch_size=14,
+        num_frames=32,
+        width=1024,
+        layers=24,
+        heads=16,
+        drop_path_rate=0.2,
+        adapter_scale=0.5,
+        compute_dtype="bfloat16",
+        attention_core="fused",
+        use_checkpoint=True,
+    ),
+    cls_head=dict(in_channels=1024, num_classes=48),
+    test_cfg=dict(max_testing_views=4),
+)
+optimizer = dict(paramwise_cfg=dict(custom_keys={
+    "class_embedding": dict(decay_mult=0.0),
+    "positional_embedding": dict(decay_mult=0.0),
+    "temporal_embedding": dict(decay_mult=0.0),
+    "ln_1": dict(decay_mult=0.0),
+    "ln_2": dict(decay_mult=0.0),
+    "ln_pre": dict(decay_mult=0.0),
+    "ln_post": dict(decay_mult=0.0),
+    "backbone_module": dict(lr_mult=0.1),
+}))
+work_dir = "./work_dirs/vitclip_large_diving48"

@@ -41,6 +41,13 @@ def test_config_loads_and_builds(path):
             # the sampling step is present instead
             assert any(s["type"] == "SampleAVAFrames" for s in pipeline)
             continue
+        if cfg["data"][split].get("type") == "PoseDataset":
+            # pose datasets compile their own coordinate/heatmap processor
+            from adapt_image_models_tpu.data.pose import PoseSampleProcessor
+            proc = PoseSampleProcessor(pipeline)
+            h, w = proc.output_size()
+            assert h > 0 and w > 0 and proc.num_views >= 1
+            continue
         proc = build_sample_processor(pipeline)
         h, w = proc.output_size()
         assert h > 0 and w > 0
