@@ -162,8 +162,12 @@ class ResNet3dCore(nn.Module):
     dilations: Sequence[int] = (1, 1, 1, 1)
     conv1_kernel: Sequence[int] = (1, 7, 7)
     conv1_stride_t: int = 1
+    conv1_stride_s: int = 2
     pool1_stride_t: int = 1
+    pool1_stride_s: int = 2
     with_pool2: bool = False
+    in_channels: int = 3  # stem infers from input; kept for config parity
+    out_indices: Sequence[int] = ()  # accepted; the last stage is returned
     inflate: Sequence[int] = (0, 0, 1, 1)
     inflate_style: str = "3x1x1"
     non_local: Sequence[int] = (0, 0, 0, 0)
@@ -194,10 +198,14 @@ class ResNet3dCore(nn.Module):
         stem_frozen = self.frozen_stages >= 0
         stem_det = deterministic or stem_frozen
         k = tuple(self.conv1_kernel)
-        h = nn.Conv(self.base_channels, k, (self.conv1_stride_t, 2, 2),
+        h = nn.Conv(self.base_channels, k,
+                    (self.conv1_stride_t, self.conv1_stride_s,
+                     self.conv1_stride_s),
                     use_bias=False, dtype=cdt, name="conv1")(h)
         h = nn.relu(_bn(stem_det, "bn1")(h))
-        h = nn.max_pool(h, (1, 3, 3), (self.pool1_stride_t, 2, 2),
+        h = nn.max_pool(h, (1, 3, 3),
+                        (self.pool1_stride_t, self.pool1_stride_s,
+                         self.pool1_stride_s),
                         padding="SAME")
         if stem_frozen:
             h = jax.lax.stop_gradient(h)
