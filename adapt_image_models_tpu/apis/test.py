@@ -128,3 +128,71 @@ def run_evaluation(cfg: Dict[str, Any], model=None, params=None,
     if return_scores:
         return results, scores, dataset.labels()
     return results
+
+
+def run_exported_evaluation(cfg: Dict[str, Any], artifact_path: str,
+                            split: str = "test",
+                            metrics=("top_k_accuracy",
+                                     "mean_class_accuracy"),
+                            num_workers: int = 4,
+                            return_scores: bool = False):
+    """Evaluate straight through a serialized StableHLO artifact — the
+    analog of the reference's ONNX-Runtime / TensorRT inference paths in
+    ``tools/test.py:172,222``: no flax model or checkpoint needed, only the
+    artifact produced by ``tools/deployment/export.py`` (which closes over
+    the weights).
+
+    The artifact maps normalized ``(b, 3, T, H, W)`` float input to logits;
+    view folding, normalization and clip averaging happen here on host.
+    """
+    from jax import export as jexport
+    with open(artifact_path, "rb") as f:
+        exported = jexport.deserialize(bytearray(f.read()))
+    art_bs = exported.in_avals[0].shape[0]
+
+    data_cfg = cfg["data"]
+    ds_cfg = dict(data_cfg[split])
+    pipeline = ds_cfg.pop("pipeline")
+    dataset = build_dataset({**ds_cfg, "pipeline": pipeline})
+    proc = build_sample_processor(pipeline)
+    mean = np.asarray(proc.mean, np.float32)
+    std = np.asarray(proc.std, np.float32)
+    avg_mode = (cfg["model"].get("test_cfg") or {}).get("average_clips",
+                                                        "prob")
+
+    loader = VideoLoader(dataset, proc, batch_size=1, shuffle=False,
+                         num_workers=num_workers, drop_last=False)
+
+    def softmax(x):
+        e = np.exp(x - x.max(-1, keepdims=True))
+        return e / e.sum(-1, keepdims=True)
+
+    scores = []
+    for batch in loader:
+        imgs = batch["imgs"][0]  # (V, T, H, W, C) uint8 from the loader
+        v = imgs.shape[0]
+        x = imgs.astype(np.float32)
+        x = (x - mean) / std
+        x = x.transpose(0, 4, 1, 2, 3)  # -> (V, C, T, H, W)
+        logits = []
+        for i in range(0, v, art_bs):
+            chunk = x[i:i + art_bs]
+            pad = art_bs - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], pad, 0)])
+            out = np.asarray(exported.call(chunk))
+            logits.append(out[:art_bs - pad] if pad else out)
+        logits = np.concatenate(logits)  # (V, num_classes)
+        if avg_mode == "prob":
+            score = softmax(logits).mean(0)
+        elif avg_mode == "score":
+            score = logits.mean(0)
+        else:
+            score = logits[0]
+        scores.append(score)
+    scores = np.stack(scores)
+    results = dataset.evaluate(scores, metrics=metrics)
+    if return_scores:
+        return results, scores, dataset.labels()
+    return results

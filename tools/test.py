@@ -28,6 +28,10 @@ def parse_args():
     p = argparse.ArgumentParser(description="Evaluate a video recognizer")
     p.add_argument("config")
     p.add_argument("--checkpoint", default=None)
+    p.add_argument("--exported", default=None,
+                   help="StableHLO artifact from tools/deployment/export.py:"
+                        " evaluate through it (reference tools/test.py ONNX/"
+                        "TensorRT analog); no checkpoint needed")
     p.add_argument("--split", default="test", choices=["val", "test"])
     p.add_argument("--metrics", nargs="+",
                    default=["top_k_accuracy", "mean_class_accuracy"])
@@ -82,12 +86,19 @@ def main():
         cfg.merge_from_dict({"model.test_cfg.average_clips": args.average_clips})
 
     logger = get_root_logger()
-    model, params = load_params(cfg, args.checkpoint, args.seed)
+    if args.exported:
+        from adapt_image_models_tpu.apis.test import run_exported_evaluation
+        out = run_exported_evaluation(
+            cfg.to_dict(), args.exported, split=args.split,
+            metrics=tuple(args.metrics),
+            return_scores=bool(args.dump_scores))
+    else:
+        model, params = load_params(cfg, args.checkpoint, args.seed)
 
-    from adapt_image_models_tpu.apis.test import run_evaluation
-    out = run_evaluation(cfg.to_dict(), model=model, params=params,
-                         split=args.split, metrics=tuple(args.metrics),
-                         return_scores=bool(args.dump_scores))
+        from adapt_image_models_tpu.apis.test import run_evaluation
+        out = run_evaluation(cfg.to_dict(), model=model, params=params,
+                             split=args.split, metrics=tuple(args.metrics),
+                             return_scores=bool(args.dump_scores))
     if args.dump_scores:
         import numpy as np
         results, scores, labels = out
