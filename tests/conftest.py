@@ -19,6 +19,13 @@ jax.config.update("jax_num_cpu_devices", 8)
 # optimization passes cuts suite wall time ~3.5x with unchanged semantics
 # (numerical parity tolerances all still hold; see test_convert)
 jax.config.update("jax_disable_most_optimizations", True)
+# persistent compile cache: on a 1-core host the suite is XLA-compile
+# dominated; unchanged tests hit the cache on re-runs (key = HLO, so any
+# model/shape change recompiles). Harmless cold, ~big win warm.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 def pytest_sessionstart(session):
