@@ -119,3 +119,60 @@ def extract_audio(path: str, out_wav: str, sample_rate: int = 16000,
     if rc != 0:
         err = lib.aim_audio_last_error().decode()
         raise IOError(f"audio extraction failed (rc={rc}): {err}")
+
+
+class MotionVectorReader:
+    """Dense per-frame motion-vector maps from inter-coded video (native
+    replacement for the reference's ``PyAVDecodeMotionVector``,
+    ``loading.py:851-928``): (T, H, W, 2) int8 with each vector's (dx, dy)
+    painted over its block; key frames are all-zero."""
+
+    def __init__(self, path: str):
+        lib = _load_lib()
+        if lib is None:
+            raise ImportError("libaimdecode.so not built (csrc/build.sh)")
+        if not hasattr(lib, "_mv_proto_set"):
+            lib.aim_open_mv.restype = ctypes.c_void_p
+            lib.aim_open_mv.argtypes = [ctypes.c_char_p]
+            lib.aim_mv_num_frames.restype = ctypes.c_long
+            lib.aim_mv_num_frames.argtypes = [ctypes.c_void_p]
+            lib.aim_mv_frame_size.restype = ctypes.c_int
+            lib.aim_mv_frame_size.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int)]
+            lib.aim_get_motion_vectors.restype = ctypes.c_int
+            lib.aim_get_motion_vectors.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_long),
+                ctypes.c_int, ctypes.POINTER(ctypes.c_int8)]
+            lib.aim_close_mv.restype = None
+            lib.aim_close_mv.argtypes = [ctypes.c_void_p]
+            lib.aim_mv_last_error.restype = ctypes.c_char_p
+            lib._mv_proto_set = True
+        self._lib = lib
+        self._handle = lib.aim_open_mv(path.encode())
+        if not self._handle:
+            raise IOError("cannot open for motion vectors: "
+                          f"{lib.aim_mv_last_error().decode()}")
+        self.path = path
+        self.num_frames = int(lib.aim_mv_num_frames(self._handle))
+        hh = ctypes.c_int()
+        ww = ctypes.c_int()
+        lib.aim_mv_frame_size(self._handle, ctypes.byref(hh),
+                              ctypes.byref(ww))
+        self.height, self.width = hh.value, ww.value
+
+    def get_motion_vectors(self, indices: Sequence[int]) -> np.ndarray:
+        idx = np.ascontiguousarray(indices, dtype=np.int64)
+        out = np.zeros((len(idx), self.height, self.width, 2), np.int8)
+        rc = self._lib.aim_get_motion_vectors(
+            self._handle,
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_long)), len(idx),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))
+        if rc != 0:
+            raise IOError(f"motion-vector decode failed (rc={rc})")
+        return out
+
+    def close(self):
+        if getattr(self, "_handle", None):
+            self._lib.aim_close_mv(self._handle)
+            self._handle = None

@@ -9,3 +9,4 @@ from adapt_image_models_tpu.models.heads.ssn_head import SSNHead
 from adapt_image_models_tpu.models.heads.fbo_head import (
     FBOHead, FBONonLocal, LFBInferHead,
 )
+from adapt_image_models_tpu.models.heads.acrn_head import ACRNHead

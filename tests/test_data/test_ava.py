@@ -221,3 +221,20 @@ def test_fast_rcnn_train_and_eval_end_to_end(ava_root, tmp_path):
                                        split="val", mesh=mesh)
     assert "mAP@0.5IOU" in results
     assert 0.0 <= results["mAP@0.5IOU"] <= 1.0
+
+
+def test_acrn_head_relation_features():
+    """ACRNHead (reference misc_head.py:15): tile + concat + convs."""
+    import jax
+    import jax.numpy as jnp
+    from adapt_image_models_tpu.models.heads import ACRNHead
+    head = ACRNHead(out_channels=8, num_convs=2, stride=2)
+    roi = jnp.ones((2, 3, 4, 4, 16))   # (B, R, O, O, C_r)
+    feat = jnp.ones((2, 2, 8, 8, 16))  # (B, T, H, W, C_f)
+    v = head.init(jax.random.PRNGKey(0), roi, feat)
+    out = head.apply(v, roi, feat)
+    assert out.shape == (2, 3, 2, 4, 4, 8)
+    # batch-stats collection exists and training mode mutates it
+    out2, mut = head.apply(v, roi, feat, deterministic=False,
+                           mutable=["batch_stats"])
+    assert "batch_stats" in mut

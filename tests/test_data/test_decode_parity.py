@@ -95,3 +95,22 @@ def test_fresh_reader_each_pattern_vs_reused_reader(video):
         np.testing.assert_array_equal(a, b)
         np.testing.assert_array_equal(a, truth[np.asarray(pat)])
     reused.close()
+
+
+def test_motion_vector_extraction(video):
+    """Native MV decode (reference PyAVDecodeMotionVector semantics):
+    inter frames of a panning video carry mostly-horizontal vectors,
+    key frame 0 stays zero."""
+    from adapt_image_models_tpu.data.cpp_decoder import MotionVectorReader
+    path, _ = video
+    r = MotionVectorReader(path)
+    assert r.num_frames == N_FRAMES
+    mv = r.get_motion_vectors([0, 10, 11, 40])
+    r.close()
+    assert mv.shape == (4, 64, 96, 2) and mv.dtype == np.int8
+    assert np.all(mv[0] == 0)  # key frame
+    nonzero = (np.abs(mv[1:]).sum(axis=(1, 2, 3)) > 0)
+    assert nonzero.any(), "no motion vectors decoded from inter frames"
+    # content rolls horizontally by 3 px/frame: dominant |dx| > |dy|
+    inter = mv[1:][nonzero]
+    assert np.abs(inter[..., 0]).sum() > np.abs(inter[..., 1]).sum()
