@@ -105,7 +105,14 @@ def make_train_step(model, tx: optax.GradientTransformation,
         has_model_state = bool(jax.tree_util.tree_leaves(state.model_state))
 
         def loss_fn(trainable):
-            params = merge_params(trainable, state.frozen)
+            # stop_gradient on the frozen tree: without it, AD still emits
+            # (and scan accumulates) weight-gradient matmuls for every
+            # frozen CLIP projection — pure waste, since only the adapter
+            # partition is optimized. Cutting them at trace time drops the
+            # backward's dW cost for the big matmuls entirely.
+            frozen = jax.tree_util.tree_map(jax.lax.stop_gradient,
+                                            state.frozen)
+            params = merge_params(trainable, frozen)
             variables = {"params": params, **state.model_state}
             if has_model_state:
                 logits, new_mstate = model.apply(
