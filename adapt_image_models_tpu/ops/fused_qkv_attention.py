@@ -404,11 +404,17 @@ def _fwd_ln(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out, num_heads,
 
 
 def _bwd_ln(num_heads, l_actual, res, g):
+    """XLA-remat backward (kept as the correctness oracle for the Pallas
+    backward kernel, _bwd_ln_pallas below — the registered default)."""
     _, vjp = jax.vjp(lambda *a: _ref_ln_impl(*a, num_heads, l_actual), *res)
     return vjp(g.astype(jnp.float32).astype(g.dtype))
 
 
-fused_ln_attention_block.defvjp(_fwd_ln, _bwd_ln)
+def _bwd_ln_dispatch(num_heads, l_actual, res, g):
+    return _bwd_ln_pallas(num_heads, l_actual, res, g)
+
+
+fused_ln_attention_block.defvjp(_fwd_ln, _bwd_ln_dispatch)
 
 
 def fused_ln_attn_adapter_residual(x, ln_scale, ln_bias, w_qkv, b_qkv,
@@ -497,3 +503,194 @@ def _bwd_step(num_heads, skip, l_actual, res, g):
 
 
 fused_spatial_step_block.defvjp(_fwd_step, _bwd_step)
+
+
+# ---------------------------------------------------------------------------
+# Pallas BACKWARD kernel for the LN+attention block (the hot train-path op).
+#
+# The default backward above rematerializes the unfused XLA attention, which
+# runs at a fraction of the fused kernel's throughput. This kernel computes
+# the expensive part — dX through LN -> QKV -> softmax -> out-proj — at
+# kernel speed, and hands the *intermediates* (dqkv, dy, y, o) back to XLA,
+# which forms the weight/bias/LN-param cotangents as plain batched matmuls.
+# In the AIM regime those weights are frozen, so XLA dead-code-eliminates
+# every dW it isn't asked for; when they ARE trained the math stays exact.
+
+
+def _bwd_ln_attention_body(x0, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
+                           wout_ref, g, heads: int, l_actual: int,
+                           scale: float):
+    """One sample's backward. Returns (dx, dqkv, dy, y, o) — all (L_pad, ·).
+
+    Notation: x0 raw residual input, y = LN(x0), qkv = y Wqkv + b,
+    o = attn(qkv), out = o Wout + bout, g = d out.
+    """
+    lp, d = x0.shape
+    hd = d // heads
+    dt = x0.dtype
+
+    # --- recompute forward up to the per-head probabilities ---
+    x32 = x0.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + 1e-5)
+    xhat = (x32 - mean) * rstd
+    lns = lns_ref[...].astype(jnp.float32)
+    y = (xhat * lns + lnb_ref[...].astype(jnp.float32)).astype(dt)
+    qkv = _project_qkv(y, wqkv_ref, bqkv_ref)  # (L_pad, 3D) bf16
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 1)
+    keymask = jnp.where(col < l_actual, jnp.float32(0.0),
+                        jnp.float32(MASK_VALUE))
+
+    # d o = g Wout^T
+    do = jax.lax.dot_general(g.astype(dt), wout_ref[...],
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+
+    o_parts, dq_parts, dk_parts, dv_parts = [], [], [], []
+    for h in range(heads):
+        q = qkv[:, h * hd:(h + 1) * hd]
+        k = qkv[:, d + h * hd:d + (h + 1) * hd]
+        v = qkv[:, 2 * d + h * hd:2 * d + (h + 1) * hd]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * scale + keymask
+        m = jnp.max(s, axis=1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=1, keepdims=True)       # (L, L) fp32
+        pb = p.astype(dt)
+        o_h = jax.lax.dot(pb, v, preferred_element_type=jnp.float32)
+        o_parts.append(o_h.astype(dt))
+
+        do_h = do[:, h * hd:(h + 1) * hd].astype(dt)
+        # dv = p^T do
+        dv = jax.lax.dot_general(pb, do_h, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        # dp = do v^T ; ds = p * (dp - rowsum(dp*p))
+        dp = jax.lax.dot_general(do_h, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        rowdot = jnp.sum(dp * p, axis=1, keepdims=True)
+        ds = (p * (dp - rowdot)).astype(dt)             # masked cols -> 0
+        dq = jax.lax.dot(ds, k, preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        dq_parts.append(dq.astype(dt))
+        dk_parts.append(dk.astype(dt))
+        dv_parts.append(dv.astype(dt))
+
+    o = jnp.concatenate(o_parts, axis=1)
+    dqkv = jnp.concatenate(
+        [jnp.concatenate(dq_parts, axis=1),
+         jnp.concatenate(dk_parts, axis=1),
+         jnp.concatenate(dv_parts, axis=1)], axis=1)    # (L, 3D)
+
+    # dy = dqkv Wqkv^T
+    dy = jax.lax.dot_general(dqkv, wqkv_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+
+    # LN backward (fp32): dxhat = dy * gamma;
+    # dx = rstd * (dxhat - mean(dxhat) - xhat * mean(dxhat * xhat))
+    dxhat = dy * lns
+    mdx = jnp.mean(dxhat, axis=-1, keepdims=True)
+    mdxx = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = rstd * (dxhat - mdx - xhat * mdxx)
+    return dx, dqkv, dy, y, o
+
+
+def _kernel_ln_bwd(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wout_ref,
+                   g_ref, dx_ref, dqkv_ref, dy_ref, y_ref, o_ref,
+                   *, heads: int, l_actual: int, scale: float):
+    x0 = _sanitize_rows(x_ref[0], l_actual)
+    g = _sanitize_rows(g_ref[0], l_actual)
+    dx, dqkv, dy, y, o = _bwd_ln_attention_body(
+        x0, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wout_ref, g,
+        heads, l_actual, scale)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+    dqkv_ref[0] = dqkv.astype(dqkv_ref.dtype)
+    dy_ref[0] = dy.astype(dy_ref.dtype)
+    y_ref[0] = y.astype(y_ref.dtype)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def fused_ln_qkv_attention_bwd(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
+                               g, num_heads: int,
+                               l_actual: Optional[int] = None):
+    """Pallas backward core: returns (dx, dqkv, dy, y, o).
+
+    dx is the full input cotangent (through the LN); the other outputs let
+    the (cheap, DCE-able) weight cotangents be formed by XLA:
+      dWqkv = y^T dqkv    dbqkv = sum dqkv
+      dWout = o^T g       dbout = sum g
+      dgamma = sum dy*xhat  dbeta = sum dy  (xhat recomputed from x)
+    """
+    b, l, d = x.shape
+    l_actual = l if l_actual is None else l_actual
+    lp = _round_up(l, 16)
+    scale = 1.0 / ((d // num_heads) ** 0.5)
+
+    kernel = functools.partial(_kernel_ln_bwd, heads=num_heads,
+                               l_actual=l_actual, scale=scale)
+    row_spec = lambda w: pl.BlockSpec((1, lp, w), lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, l, d), jnp.float32),   # dx
+            jax.ShapeDtypeStruct((b, l, 3 * d), x.dtype),   # dqkv
+            jax.ShapeDtypeStruct((b, l, d), jnp.float32),   # dy
+            jax.ShapeDtypeStruct((b, l, d), x.dtype),       # y
+            jax.ShapeDtypeStruct((b, l, d), x.dtype),       # o
+        ),
+        grid=(b,),
+        in_specs=[
+            row_spec(d), vec_spec, vec_spec,
+            pl.BlockSpec((d, 3 * d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * d,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            row_spec(d),
+        ],
+        out_specs=(row_spec(d), row_spec(3 * d), row_spec(d), row_spec(d),
+                   row_spec(d)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * (2 * lp * d * 3 * d + 6 * lp * lp * d
+                           + 2 * lp * d * d),
+            bytes_accessed=2 * (5 * b * lp * d * 2 + d * 3 * d + d * d),
+            transcendentals=b * num_heads * lp * lp,
+        ),
+    )(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, g)
+
+
+def _bwd_ln_pallas(num_heads, l_actual, res, g):
+    """Kernel-speed replacement for ``_bwd_ln``; exact same cotangents."""
+    x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out = res
+    dx, dqkv, dy, y, o = fused_ln_qkv_attention_bwd(
+        x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, g.astype(x.dtype),
+        num_heads, l_actual)
+    g32 = g.astype(jnp.float32)
+    # weight/bias cotangents — plain matmuls, DCE'd when frozen upstream
+    dwqkv = jnp.einsum("bld,ble->de", y.astype(jnp.float32),
+                       dqkv.astype(jnp.float32))
+    dbqkv = jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1))
+    dwout = jnp.einsum("bld,ble->de", o.astype(jnp.float32), g32)
+    dbout = jnp.sum(g32, axis=(0, 1))
+    # LN param cotangents need xhat: recompute (row ops, one read of x)
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    xhat = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    if l_actual is not None and l_actual < x.shape[1]:
+        row = jax.lax.broadcasted_iota(
+            jnp.int32, (x.shape[1],), 0)[None, :, None]
+        xhat = jnp.where(row < l_actual, xhat, 0.0)
+    dgamma = jnp.sum(dy * xhat, axis=(0, 1))
+    dbeta = jnp.sum(dy, axis=(0, 1))
+    cast = lambda t, like: t.astype(like.dtype)
+    return (cast(dx, x), cast(dgamma, ln_scale), cast(dbeta, ln_bias),
+            cast(dwqkv, w_qkv), cast(dbqkv, b_qkv), cast(dwout, w_out),
+            cast(dbout, b_out))

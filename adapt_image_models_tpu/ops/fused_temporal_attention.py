@@ -582,3 +582,189 @@ def _bwd_step(num_frames, num_heads, adapter_skip, res, g):
 
 
 fused_temporal_step_block.defvjp(_fwd_step, _bwd_step)
+
+
+# ---------------------------------------------------------------------------
+# Pallas BACKWARD kernel for the LN+temporal-attention block (train path).
+# Same contract as fused_qkv_attention._bwd_ln_pallas: the kernel computes
+# dX (through LN -> QKV -> frame-axis softmax -> out-proj) plus the
+# intermediates (dqkv, dy, y, o) from which XLA forms weight/LN cotangents
+# (DCE'd entirely in the frozen-CLIP regime). Uses the masked-full core, so
+# it covers T <= 16; longer clips fall back to the XLA-remat backward.
+
+
+def _bwd_temporal_body_full(x0, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
+                            wout_ref, g, t: int, heads: int, scale: float):
+    rows, d = x0.shape
+    tile = rows // t
+    hd = d // heads
+    dt = x0.dtype
+
+    x32 = x0.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + 1e-5)
+    xhat = (x32 - mean) * rstd
+    lns = lns_ref[...].astype(jnp.float32)
+    y = (xhat * lns + lnb_ref[...].astype(jnp.float32)).astype(dt)
+
+    w = wqkv_ref[...]
+    bq = bqkv_ref[...]
+    q = (jnp.dot(y, w[:, :d], preferred_element_type=jnp.float32)
+         + bq[:d].astype(jnp.float32)).astype(dt)
+    k = (jnp.dot(y, w[:, d:2 * d], preferred_element_type=jnp.float32)
+         + bq[d:2 * d].astype(jnp.float32)).astype(dt)
+    v = (jnp.dot(y, w[:, 2 * d:], preferred_element_type=jnp.float32)
+         + bq[2 * d:].astype(jnp.float32)).astype(dt)
+
+    ri = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+    maskadd = jnp.where((ri % tile) == (ci % tile), jnp.float32(0.0),
+                        jnp.float32(MASK_VALUE))
+
+    do = jax.lax.dot_general(g.astype(dt), wout_ref[...],
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+
+    o_parts, dq_parts, dk_parts, dv_parts = [], [], [], []
+    for h in range(heads):
+        qh = q[:, h * hd:(h + 1) * hd]
+        kh = k[:, h * hd:(h + 1) * hd]
+        vh = v[:, h * hd:(h + 1) * hd]
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * scale + maskadd
+        m = jnp.max(s, axis=1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=1, keepdims=True)
+        pb = p.astype(dt)
+        oh = jax.lax.dot(pb, vh, preferred_element_type=jnp.float32)
+        o_parts.append(oh.astype(dt))
+
+        do_h = do[:, h * hd:(h + 1) * hd].astype(dt)
+        dv = jax.lax.dot_general(pb, do_h, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do_h, vh, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        rowdot = jnp.sum(dp * p, axis=1, keepdims=True)
+        ds = (p * (dp - rowdot)).astype(dt)  # masked pairs: p = 0 -> ds = 0
+        dq = jax.lax.dot(ds, kh, preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(ds, qh, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        dq_parts.append(dq.astype(dt))
+        dk_parts.append(dk.astype(dt))
+        dv_parts.append(dv.astype(dt))
+
+    o = jnp.concatenate(o_parts, axis=1)
+    dqkv = jnp.concatenate(
+        [jnp.concatenate(dq_parts, axis=1),
+         jnp.concatenate(dk_parts, axis=1),
+         jnp.concatenate(dv_parts, axis=1)], axis=1)
+
+    dy = jax.lax.dot_general(dqkv, w, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dxhat = dy * lns
+    mdx = jnp.mean(dxhat, axis=-1, keepdims=True)
+    mdxx = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = rstd * (dxhat - mdx - xhat * mdxx)
+    return dx, dqkv, dy, y, o
+
+
+def _kernel_ln_bwd(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wout_ref,
+                   g_ref, dx_ref, dqkv_ref, dy_ref, y_ref, o_ref,
+                   *, t: int, heads: int, scale: float, n: int):
+    tt, tile, d = x_ref.shape
+    x0 = _sanitize_block(x_ref[...].reshape(t * tile, d), tile, n or tile)
+    g = _sanitize_block(g_ref[...].reshape(t * tile, d), tile, n or tile)
+    dx, dqkv, dy, y, o = _bwd_temporal_body_full(
+        x0, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wout_ref, g,
+        t, heads, scale)
+    dx_ref[...] = dx.astype(dx_ref.dtype).reshape(t, tile, d)
+    dqkv_ref[...] = dqkv.astype(dqkv_ref.dtype).reshape(t, tile, 3 * d)
+    dy_ref[...] = dy.astype(dy_ref.dtype).reshape(t, tile, d)
+    y_ref[...] = y.astype(y_ref.dtype).reshape(t, tile, d)
+    o_ref[...] = o.astype(o_ref.dtype).reshape(t, tile, d)
+
+
+def fused_ln_temporal_attention_bwd(x, ln_scale, ln_bias, w_qkv, b_qkv,
+                                    w_out, g, num_frames: int,
+                                    num_heads: int,
+                                    tile: Optional[int] = None):
+    """Pallas backward core (full-core layout, T <= 16):
+    returns (dx, dqkv, dy, y, o)."""
+    bt, n, d = x.shape
+    t = num_frames
+    tile = _auto_tile(d, t, tile, n)
+    b = bt // t
+    scale = 1.0 / ((d // num_heads) ** 0.5)
+    n_cells = pl.cdiv(n, tile)
+    kernel = functools.partial(_kernel_ln_bwd, t=t, heads=num_heads,
+                               scale=scale, n=n)
+
+    blk = lambda w: pl.BlockSpec((t, tile, w), lambda i, j: (i, j, 0),
+                                 memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((bt, n, d), jnp.float32),   # dx
+            jax.ShapeDtypeStruct((bt, n, 3 * d), x.dtype),   # dqkv
+            jax.ShapeDtypeStruct((bt, n, d), jnp.float32),   # dy
+            jax.ShapeDtypeStruct((bt, n, d), x.dtype),       # y
+            jax.ShapeDtypeStruct((bt, n, d), x.dtype),       # o
+        ),
+        grid=(b, n_cells),
+        in_specs=[
+            blk(d), vec, vec,
+            pl.BlockSpec((d, 3 * d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * d,), lambda i, j: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            blk(d),
+        ],
+        out_specs=(blk(d), blk(3 * d), blk(d), blk(d), blk(d)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bt * n_cells * tile * d * 8 * d
+                  + 2 * b * n_cells * tile * t * t * d * 6,
+            bytes_accessed=2 * (5 * bt * n * d * 2 + 4 * d * d),
+            transcendentals=b * n * num_heads * t * t,
+        ),
+    )(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, g)
+
+
+def _bwd_ln_pallas(num_frames, num_heads, res, g):
+    """Kernel-speed backward for ``fused_ln_temporal_block``."""
+    x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out = res
+    dx, dqkv, dy, y, o = fused_ln_temporal_attention_bwd(
+        x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, g.astype(x.dtype),
+        num_frames, num_heads)
+    g32 = g.astype(jnp.float32)
+    dwqkv = jnp.einsum("bld,ble->de", y.astype(jnp.float32),
+                       dqkv.astype(jnp.float32))
+    dbqkv = jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1))
+    dwout = jnp.einsum("bld,ble->de", o.astype(jnp.float32), g32)
+    dbout = jnp.sum(g32, axis=(0, 1))
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    xhat = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    dgamma = jnp.sum(dy * xhat, axis=(0, 1))
+    dbeta = jnp.sum(dy, axis=(0, 1))
+    cast = lambda tl, like: tl.astype(like.dtype)
+    return (cast(dx, x), cast(dgamma, ln_scale), cast(dbeta, ln_bias),
+            cast(dwqkv, w_qkv), cast(dbqkv, b_qkv), cast(dwout, w_out),
+            cast(dbout, b_out))
+
+
+def _bwd_ln_dispatch(num_frames, num_heads, res, g):
+    if _use_full_core(num_frames):
+        return _bwd_ln_pallas(num_frames, num_heads, res, g)
+    return _bwd_ln(num_frames, num_heads, res, g)
+
+
+fused_ln_temporal_block.defvjp(_fwd_ln, _bwd_ln_dispatch)

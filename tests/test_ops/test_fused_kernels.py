@@ -143,14 +143,15 @@ def test_fused_ln_attention_block_grads():
     bout = _rand((D,), 4) * 0.05
 
     def loss_fused(*a):
-        with pltpu.force_tpu_interpret_mode():
-            return jnp.sum(fused_ln_attention_block(*a, H) ** 2)
+        return jnp.sum(fused_ln_attention_block(*a, H) ** 2)
 
     def loss_ref(*a):
         return jnp.sum(_ref_ln_impl(*a, H) ** 2)
 
     args = (x, lns, lnb, wqkv, bqkv, wout, bout)
-    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(*args)
+    # interpret mode must cover the backward too (it is a Pallas kernel now)
+    with pltpu.force_tpu_interpret_mode():
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(*args)
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(*args)
     for a, b in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
@@ -249,3 +250,119 @@ def test_fused_step_blocks_interpret():
                                                  False, tile=16)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_pallas_ln_attention_backward_matches_xla_vjp():
+    """The Pallas backward core (_bwd_ln_pallas) must produce the exact
+    cotangents of the XLA-remat backward (_bwd_ln) — every input, weight,
+    bias and LN-param gradient."""
+    from adapt_image_models_tpu.ops.fused_qkv_attention import (
+        _bwd_ln, _bwd_ln_pallas, _ref_ln_impl,
+    )
+    heads, l, d = 2, 37, 64
+    lq = 48  # padded token count the backbone carries (l_actual = 37)
+    x = _rand((B, lq, d), 0)
+    # real rows only; padded rows zero like the backbone produces
+    row = np.arange(lq)[None, :, None]
+    x = jnp.where(jnp.asarray(row) < l, x, 0.0)
+    lns = 1.0 + 0.1 * _rand((d,), 1)
+    lnb = 0.1 * _rand((d,), 2)
+    wqkv = _rand((d, 3 * d), 3) * 0.1
+    bqkv = 0.1 * _rand((3 * d,), 4)
+    wout = _rand((d, d), 5) * 0.1
+    bout = 0.1 * _rand((d,), 6)
+    g = _rand((B, lq, d), 7)
+    g = jnp.where(jnp.asarray(row) < l, g, 0.0)
+
+    res = (x, lns, lnb, wqkv, bqkv, wout, bout)
+    ref = _bwd_ln(heads, l, res, g)
+    with pltpu.force_tpu_interpret_mode():
+        got = _bwd_ln_pallas(heads, l, res, g)
+    names = ("dx", "dgamma", "dbeta", "dwqkv", "dbqkv", "dwout", "dbout")
+    assert len(ref) == len(got) == 7
+    for name, r, o in zip(names, ref, got):
+        np.testing.assert_allclose(
+            np.asarray(o, np.float32), np.asarray(r, np.float32),
+            rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_pallas_ln_attention_backward_grad_check():
+    """End-to-end jax.grad through the kernel-backed custom_vjp equals
+    grad through the pure XLA reference (finite scalar loss)."""
+    from adapt_image_models_tpu.ops import fused_qkv_attention as fqa
+    heads, l, d = 2, 24, 32
+    x = _rand((2, l, d), 0)
+    lns = jnp.ones((d,))
+    lnb = jnp.zeros((d,))
+    wqkv = _rand((d, 3 * d), 3) * 0.2
+    bqkv = jnp.zeros((3 * d,))
+    wout = _rand((d, d), 5) * 0.2
+    bout = jnp.zeros((d,))
+
+    def loss_ref(x):
+        return jnp.sum(fqa._ref_ln_impl(x, lns, lnb, wqkv, bqkv, wout,
+                                        bout, heads, l) ** 2)
+
+    def loss_kernel(x):
+        y = fqa.fused_ln_attention_block(x, lns, lnb, wqkv, bqkv, wout,
+                                         bout, heads, l)
+        return jnp.sum(y ** 2)
+
+    g_ref = jax.grad(loss_ref)(x)
+    # force the Pallas backward path
+    orig = fqa.fused_ln_attention_block
+    with pltpu.force_tpu_interpret_mode():
+        g_kernel = jax.grad(loss_kernel)(x)
+    np.testing.assert_allclose(np.asarray(g_kernel), np.asarray(g_ref),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_pallas_temporal_ln_backward_matches_xla_vjp():
+    """Temporal LN+attention Pallas backward vs the XLA-remat cotangents."""
+    from adapt_image_models_tpu.ops import fused_temporal_attention as fta
+    t, heads, n, d = 4, 2, 37, 64
+    b = 3
+    x = _rand((b * t, n, d), 0)
+    lns = 1.0 + 0.1 * _rand((d,), 1)
+    lnb = 0.1 * _rand((d,), 2)
+    wqkv = _rand((d, 3 * d), 3) * 0.1
+    bqkv = 0.1 * _rand((3 * d,), 4)
+    wout = _rand((d, d), 5) * 0.1
+    bout = 0.1 * _rand((d,), 6)
+    g = _rand((b * t, n, d), 7)
+
+    res = (x, lns, lnb, wqkv, bqkv, wout, bout)
+    ref = fta._bwd_ln(t, heads, res, g)
+    with pltpu.force_tpu_interpret_mode():
+        got = fta._bwd_ln_pallas(t, heads, res, g)
+    names = ("dx", "dgamma", "dbeta", "dwqkv", "dbqkv", "dwout", "dbout")
+    for name, r, o in zip(names, ref, got):
+        np.testing.assert_allclose(
+            np.asarray(o, np.float32), np.asarray(r, np.float32),
+            rtol=3e-4, atol=3e-4, err_msg=name)
+
+
+def test_pallas_temporal_ln_backward_grad_check():
+    from adapt_image_models_tpu.ops import fused_temporal_attention as fta
+    t, heads, n, d = 4, 2, 16, 32
+    x = _rand((2 * t, n, d), 0)
+    lns = jnp.ones((d,))
+    lnb = jnp.zeros((d,))
+    wqkv = _rand((d, 3 * d), 3) * 0.2
+    bqkv = jnp.zeros((3 * d,))
+    wout = _rand((d, d), 5) * 0.2
+    bout = jnp.zeros((d,))
+
+    def loss_ref(x):
+        return jnp.sum(fta._ref_ln_impl(x, lns, lnb, wqkv, bqkv, wout,
+                                        bout, t, heads) ** 2)
+
+    def loss_kernel(x):
+        return jnp.sum(fta.fused_ln_temporal_block(
+            x, lns, lnb, wqkv, bqkv, wout, bout, t, heads) ** 2)
+
+    g_ref = jax.grad(loss_ref)(x)
+    with pltpu.force_tpu_interpret_mode():
+        g_kernel = jax.grad(loss_kernel)(x)
+    np.testing.assert_allclose(np.asarray(g_kernel), np.asarray(g_ref),
+                               rtol=5e-4, atol=5e-4)
