@@ -637,9 +637,12 @@ def fused_ln_qkv_attention_bwd(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
     return pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((b, l, d), jnp.float32),   # dx
+            # dx/dy in the stream dtype: the VJP returns bf16 cotangents
+            # anyway, and fp32 outputs push the cell past the 16M VMEM
+            # scope at ViT-B batch>=16 (measured: 16.75M)
+            jax.ShapeDtypeStruct((b, l, d), x.dtype),       # dx
             jax.ShapeDtypeStruct((b, l, 3 * d), x.dtype),   # dqkv
-            jax.ShapeDtypeStruct((b, l, d), jnp.float32),   # dy
+            jax.ShapeDtypeStruct((b, l, d), x.dtype),       # dy
             jax.ShapeDtypeStruct((b, l, d), x.dtype),       # y
             jax.ShapeDtypeStruct((b, l, d), x.dtype),       # o
         ),

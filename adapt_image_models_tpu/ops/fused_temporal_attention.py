@@ -707,9 +707,11 @@ def fused_ln_temporal_attention_bwd(x, ln_scale, ln_bias, w_qkv, b_qkv,
     return pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((bt, n, d), jnp.float32),   # dx
+            # stream-dtype cotangents (see fused_qkv_attention: fp32 adds
+            # VMEM pressure for no end-to-end precision gain)
+            jax.ShapeDtypeStruct((bt, n, d), x.dtype),       # dx
             jax.ShapeDtypeStruct((bt, n, 3 * d), x.dtype),   # dqkv
-            jax.ShapeDtypeStruct((bt, n, d), jnp.float32),   # dy
+            jax.ShapeDtypeStruct((bt, n, d), x.dtype),       # dy
             jax.ShapeDtypeStruct((bt, n, d), x.dtype),       # y
             jax.ShapeDtypeStruct((bt, n, d), x.dtype),       # o
         ),
