@@ -519,24 +519,28 @@ fused_spatial_step_block.defvjp(_fwd_step, _bwd_step)
 
 def _bwd_ln_attention_body(x0, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
                            wout_ref, g, heads: int, l_actual: int,
-                           scale: float):
+                           scale: float, with_ln: bool = True):
     """One sample's backward. Returns (dx, dqkv, dy, y, o) — all (L_pad, ·).
 
-    Notation: x0 raw residual input, y = LN(x0), qkv = y Wqkv + b,
-    o = attn(qkv), out = o Wout + bout, g = d out.
+    Notation: x0 raw residual input, y = LN(x0) (or y = x0 when
+    ``with_ln=False`` — the plain ``fused_attention_block`` variant),
+    qkv = y Wqkv + b, o = attn(qkv), out = o Wout + bout, g = d out.
     """
     lp, d = x0.shape
     hd = d // heads
     dt = x0.dtype
 
     # --- recompute forward up to the per-head probabilities ---
-    x32 = x0.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-    rstd = jax.lax.rsqrt(var + 1e-5)
-    xhat = (x32 - mean) * rstd
-    lns = lns_ref[...].astype(jnp.float32)
-    y = (xhat * lns + lnb_ref[...].astype(jnp.float32)).astype(dt)
+    if with_ln:
+        x32 = x0.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        rstd = jax.lax.rsqrt(var + 1e-5)
+        xhat = (x32 - mean) * rstd
+        lns = lns_ref[...].astype(jnp.float32)
+        y = (xhat * lns + lnb_ref[...].astype(jnp.float32)).astype(dt)
+    else:
+        y = x0
     qkv = _project_qkv(y, wqkv_ref, bqkv_ref)  # (L_pad, 3D) bf16
 
     col = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 1)
@@ -589,12 +593,15 @@ def _bwd_ln_attention_body(x0, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
     dy = jax.lax.dot_general(dqkv, wqkv_ref[...], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
 
-    # LN backward (fp32): dxhat = dy * gamma;
-    # dx = rstd * (dxhat - mean(dxhat) - xhat * mean(dxhat * xhat))
-    dxhat = dy * lns
-    mdx = jnp.mean(dxhat, axis=-1, keepdims=True)
-    mdxx = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
-    dx = rstd * (dxhat - mdx - xhat * mdxx)
+    if with_ln:
+        # LN backward (fp32): dxhat = dy * gamma;
+        # dx = rstd * (dxhat - mean(dxhat) - xhat * mean(dxhat * xhat))
+        dxhat = dy * lns
+        mdx = jnp.mean(dxhat, axis=-1, keepdims=True)
+        mdxx = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+        dx = rstd * (dxhat - mdx - xhat * mdxx)
+    else:
+        dx = dy
     return dx, dqkv, dy, y, o
 
 
@@ -697,3 +704,75 @@ def _bwd_ln_pallas(num_heads, l_actual, res, g):
     return (cast(dx, x), cast(dgamma, ln_scale), cast(dbeta, ln_bias),
             cast(dwqkv, w_qkv), cast(dbqkv, b_qkv), cast(dwout, w_out),
             cast(dbout, b_out))
+
+
+def _kernel_plain_bwd(x_ref, wqkv_ref, bqkv_ref, wout_ref, g_ref,
+                      dx_ref, dqkv_ref, o_ref,
+                      *, heads: int, l_actual: int, scale: float):
+    """No-LN backward (``fused_attention_block``): dx = dqkv Wqkv^T."""
+    x0 = _sanitize_rows(x_ref[0], l_actual)
+    g = _sanitize_rows(g_ref[0], l_actual)
+    dx, dqkv, _, _, o = _bwd_ln_attention_body(
+        x0, None, None, wqkv_ref, bqkv_ref, wout_ref, g,
+        heads, l_actual, scale, with_ln=False)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+    dqkv_ref[0] = dqkv.astype(dqkv_ref.dtype)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def fused_qkv_attention_bwd(x, w_qkv, b_qkv, w_out, g, num_heads: int,
+                            l_actual: Optional[int] = None):
+    """Pallas backward core for the plain attention block:
+    returns (dx, dqkv, o); y == x so dWqkv = x^T dqkv in XLA."""
+    b, l, d = x.shape
+    l_actual = l if l_actual is None else l_actual
+    lp = _round_up(l, 16)
+    scale = 1.0 / ((d // num_heads) ** 0.5)
+    kernel = functools.partial(_kernel_plain_bwd, heads=num_heads,
+                               l_actual=l_actual, scale=scale)
+    row_spec = lambda w: pl.BlockSpec((1, lp, w), lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, l, d), x.dtype),       # dx
+            jax.ShapeDtypeStruct((b, l, 3 * d), x.dtype),   # dqkv
+            jax.ShapeDtypeStruct((b, l, d), x.dtype),       # o
+        ),
+        grid=(b,),
+        in_specs=[
+            row_spec(d),
+            pl.BlockSpec((d, 3 * d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * d,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            row_spec(d),
+        ],
+        out_specs=(row_spec(d), row_spec(3 * d), row_spec(d)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+    )(x, w_qkv, b_qkv, w_out, g)
+
+
+def _bwd_pallas(num_heads, l_actual, res, g):
+    """Kernel-speed backward for ``fused_attention_block``."""
+    x, w_qkv, b_qkv, w_out, b_out = res
+    dx, dqkv, o = fused_qkv_attention_bwd(
+        x, w_qkv, b_qkv, w_out, g.astype(x.dtype), num_heads, l_actual)
+    g32 = g.astype(jnp.float32)
+    dwqkv = jnp.einsum("bld,ble->de", x.astype(jnp.float32),
+                       dqkv.astype(jnp.float32))
+    dbqkv = jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1))
+    dwout = jnp.einsum("bld,ble->de", o.astype(jnp.float32), g32)
+    dbout = jnp.sum(g32, axis=(0, 1))
+    cast = lambda t, like: t.astype(like.dtype)
+    return (cast(dx, x), cast(dwqkv, w_qkv), cast(dbqkv, b_qkv),
+            cast(dwout, w_out), cast(dbout, b_out))
+
+
+def _bwd_dispatch(num_heads, l_actual, res, g):
+    return _bwd_pallas(num_heads, l_actual, res, g)
+
+
+fused_attention_block.defvjp(_fwd, _bwd_dispatch)

@@ -594,19 +594,23 @@ fused_temporal_step_block.defvjp(_fwd_step, _bwd_step)
 
 
 def _bwd_temporal_body_full(x0, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
-                            wout_ref, g, t: int, heads: int, scale: float):
+                            wout_ref, g, t: int, heads: int, scale: float,
+                            with_ln: bool = True):
     rows, d = x0.shape
     tile = rows // t
     hd = d // heads
     dt = x0.dtype
 
-    x32 = x0.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-    rstd = jax.lax.rsqrt(var + 1e-5)
-    xhat = (x32 - mean) * rstd
-    lns = lns_ref[...].astype(jnp.float32)
-    y = (xhat * lns + lnb_ref[...].astype(jnp.float32)).astype(dt)
+    if with_ln:
+        x32 = x0.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        rstd = jax.lax.rsqrt(var + 1e-5)
+        xhat = (x32 - mean) * rstd
+        lns = lns_ref[...].astype(jnp.float32)
+        y = (xhat * lns + lnb_ref[...].astype(jnp.float32)).astype(dt)
+    else:
+        y = x0
 
     w = wqkv_ref[...]
     bq = bqkv_ref[...]
@@ -663,10 +667,13 @@ def _bwd_temporal_body_full(x0, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
 
     dy = jax.lax.dot_general(dqkv, w, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    dxhat = dy * lns
-    mdx = jnp.mean(dxhat, axis=-1, keepdims=True)
-    mdxx = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
-    dx = rstd * (dxhat - mdx - xhat * mdxx)
+    if with_ln:
+        dxhat = dy * lns
+        mdx = jnp.mean(dxhat, axis=-1, keepdims=True)
+        mdxx = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+        dx = rstd * (dxhat - mdx - xhat * mdxx)
+    else:
+        dx = dy
     return dx, dqkv, dy, y, o
 
 
@@ -770,3 +777,81 @@ def _bwd_ln_dispatch(num_frames, num_heads, res, g):
 
 
 fused_ln_temporal_block.defvjp(_fwd_ln, _bwd_ln_dispatch)
+
+
+def _kernel_plain_bwd(x_ref, wqkv_ref, bqkv_ref, wout_ref, g_ref,
+                      dx_ref, dqkv_ref, o_ref,
+                      *, t: int, heads: int, scale: float, n: int):
+    tt, tile, d = x_ref.shape
+    x0 = _sanitize_block(x_ref[...].reshape(t * tile, d), tile, n or tile)
+    g = _sanitize_block(g_ref[...].reshape(t * tile, d), tile, n or tile)
+    dx, dqkv, _, _, o = _bwd_temporal_body_full(
+        x0, None, None, wqkv_ref, bqkv_ref, wout_ref, g, t, heads, scale,
+        with_ln=False)
+    dx_ref[...] = dx.astype(dx_ref.dtype).reshape(t, tile, d)
+    dqkv_ref[...] = dqkv.astype(dqkv_ref.dtype).reshape(t, tile, 3 * d)
+    o_ref[...] = o.astype(o_ref.dtype).reshape(t, tile, d)
+
+
+def fused_temporal_attention_bwd(x, w_qkv, b_qkv, w_out, g,
+                                 num_frames: int, num_heads: int,
+                                 tile: Optional[int] = None):
+    """Pallas backward core for the plain temporal block (T <= 16):
+    returns (dx, dqkv, o)."""
+    bt, n, d = x.shape
+    t = num_frames
+    tile = _auto_tile(d, t, tile, n)
+    b = bt // t
+    scale = 1.0 / ((d // num_heads) ** 0.5)
+    n_cells = pl.cdiv(n, tile)
+    kernel = functools.partial(_kernel_plain_bwd, t=t, heads=num_heads,
+                               scale=scale, n=n)
+    blk = lambda w: pl.BlockSpec((t, tile, w), lambda i, j: (i, j, 0),
+                                 memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((bt, n, d), x.dtype),       # dx
+            jax.ShapeDtypeStruct((bt, n, 3 * d), x.dtype),   # dqkv
+            jax.ShapeDtypeStruct((bt, n, d), x.dtype),       # o
+        ),
+        grid=(b, n_cells),
+        in_specs=[
+            blk(d),
+            pl.BlockSpec((d, 3 * d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * d,), lambda i, j: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            blk(d),
+        ],
+        out_specs=(blk(d), blk(3 * d), blk(d)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+    )(x, w_qkv, b_qkv, w_out, g)
+
+
+def _bwd_plain_pallas(num_frames, num_heads, res, g):
+    x, w_qkv, b_qkv, w_out, b_out = res
+    dx, dqkv, o = fused_temporal_attention_bwd(
+        x, w_qkv, b_qkv, w_out, g.astype(x.dtype), num_frames, num_heads)
+    g32 = g.astype(jnp.float32)
+    dwqkv = jnp.einsum("bld,ble->de", x.astype(jnp.float32),
+                       dqkv.astype(jnp.float32))
+    dbqkv = jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1))
+    dwout = jnp.einsum("bld,ble->de", o.astype(jnp.float32), g32)
+    dbout = jnp.sum(g32, axis=(0, 1))
+    cast = lambda tl, like: tl.astype(like.dtype)
+    return (cast(dx, x), cast(dwqkv, w_qkv), cast(dbqkv, b_qkv),
+            cast(dwout, w_out), cast(dbout, b_out))
+
+
+def _bwd_plain_dispatch(num_frames, num_heads, res, g):
+    if _use_full_core(num_frames):
+        return _bwd_plain_pallas(num_frames, num_heads, res, g)
+    return _bwd(num_frames, num_heads, res, g)
+
+
+fused_temporal_block.defvjp(_fwd, _bwd_plain_dispatch)

@@ -366,3 +366,47 @@ def test_pallas_temporal_ln_backward_grad_check():
         g_kernel = jax.grad(loss_kernel)(x)
     np.testing.assert_allclose(np.asarray(g_kernel), np.asarray(g_ref),
                                rtol=5e-4, atol=5e-4)
+
+
+def test_pallas_plain_attention_backward_matches_xla_vjp():
+    """No-LN backward (fused_attention_block) vs the XLA-remat cotangents."""
+    from adapt_image_models_tpu.ops.fused_qkv_attention import (
+        _bwd, _bwd_pallas,
+    )
+    heads, l, d = 2, 37, 64
+    x = _rand((B, l, d), 0)
+    wqkv = _rand((d, 3 * d), 3) * 0.1
+    bqkv = 0.1 * _rand((3 * d,), 4)
+    wout = _rand((d, d), 5) * 0.1
+    bout = 0.1 * _rand((d,), 6)
+    g = _rand((B, l, d), 7)
+    res = (x, wqkv, bqkv, wout, bout)
+    ref = _bwd(heads, l, res, g)
+    with pltpu.force_tpu_interpret_mode():
+        got = _bwd_pallas(heads, l, res, g)
+    for name, r, o in zip(("dx", "dwqkv", "dbqkv", "dwout", "dbout"),
+                          ref, got):
+        np.testing.assert_allclose(
+            np.asarray(o, np.float32), np.asarray(r, np.float32),
+            rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_pallas_plain_temporal_backward_matches_xla_vjp():
+    from adapt_image_models_tpu.ops import fused_temporal_attention as fta
+    t, heads, n, d = 4, 2, 37, 64
+    b = 3
+    x = _rand((b * t, n, d), 0)
+    wqkv = _rand((d, 3 * d), 3) * 0.1
+    bqkv = 0.1 * _rand((3 * d,), 4)
+    wout = _rand((d, d), 5) * 0.1
+    bout = 0.1 * _rand((d,), 6)
+    g = _rand((b * t, n, d), 7)
+    res = (x, wqkv, bqkv, wout, bout)
+    ref = fta._bwd(t, heads, res, g)
+    with pltpu.force_tpu_interpret_mode():
+        got = fta._bwd_plain_pallas(t, heads, res, g)
+    for name, r, o in zip(("dx", "dwqkv", "dbqkv", "dwout", "dbout"),
+                          ref, got):
+        np.testing.assert_allclose(
+            np.asarray(o, np.float32), np.asarray(r, np.float32),
+            rtol=3e-4, atol=3e-4, err_msg=name)
