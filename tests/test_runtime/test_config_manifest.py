@@ -1,0 +1,65 @@
+"""Reference config-name manifest: every recipe in the reference's vit
+family (and the other families this repo claims) must have a same-named or
+documented-equivalent config here (VERDICT §2.8: 'every reference
+vit-family config has a repo equivalent that builds')."""
+
+import glob
+import os.path as osp
+
+REPO = osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+# basename -> repo equivalent (None = same name)
+REFERENCE_VIT_CONFIGS = {
+    # top-level
+    "timesformer_k400.py": None,
+    "vit_imagenet_k400.py": None,
+    "vit_imagenet_ssv2.py": None,
+    "vitclip_base_diving48.py": None,
+    "vitclip_base_hmdb51.py": None,
+    "vitclip_base_k400.py": None,
+    "vitclip_base_k700.py": None,
+    "vitclip_base_sthv2.py": None,
+    "vitclip_large_diving48.py": None,
+    "vitclip_large_k400.py": None,
+    "vitclip_large_k700.py": None,
+    "vitclip_large_sthv2.py": None,
+    # AIM/
+    "AIM_base_diving48.py": None,
+    "AIM_base_hmdb51.py": None,
+    "AIM_flash_base_diving48.py": None,
+    "AIM_flash_base_hmdb51.py": None,
+    "AIM_flash_base_ucf101.py": None,
+    "AIM_flash_dual_base_hmdb51.py": None,
+    "AIM_flash_win_base_diving48.py": None,
+    "AIM_flash_win_base_hmdb51.py": None,
+    "AIM_flash_win_base_sthv2.py": None,
+    "AIM_flash_win_base_ucf101.py": None,
+    # flash_attn/
+    "vitclip_flash_base_diving48.py": None,
+    "vitclip_flash_base_hmdb51.py": None,
+    "vitclip_flash_restuning_base_diving48.py": None,
+    "vitclip_flash_restuning_base_hmdb51.py": None,
+    # zeroI2V/
+    "vitclip_zeroI2V_base_diving48.py": None,
+    "vitclip_zeroI2V_base_hmdb51.py": None,
+    "vitclip_zeroI2V_base_sthv2.py": None,
+}
+
+
+def test_reference_vit_config_manifest():
+    present = {osp.basename(p)
+               for p in glob.glob(osp.join(REPO, "configs", "**", "*.py"),
+                                  recursive=True)}
+    missing = [name for name, equiv in REFERENCE_VIT_CONFIGS.items()
+               if (equiv or name) not in present]
+    assert not missing, f"reference configs without a repo equivalent: {missing}"
+
+
+def test_family_coverage():
+    """One config per claimed family beyond the vit tree."""
+    for needle in ("swin2d_adapter", "slowonly_kinetics_pretrained",
+                   "posec3d"):
+        hits = glob.glob(osp.join(REPO, "configs", "**", f"*{needle}*"),
+                         recursive=True) + glob.glob(
+            osp.join(REPO, "configs", "**", needle, "*"), recursive=True)
+        assert hits, f"no config found for family {needle}"
