@@ -46,6 +46,7 @@ def main():
     import numpy as np
 
     best = 0.0
+    last_err = None
     for batch in (128, 256, 512):
         # distinct inputs per iteration (the axon relay memoizes repeated
         # identical dispatches) + a forced scalar fetch per result
@@ -55,13 +56,20 @@ def main():
         keys = jax.random.split(jax.random.PRNGKey(batch), 6)
         xs = [jax.random.normal(k, (batch, 3, 8, 224, 224), jnp.bfloat16)
               for k in keys]
-        float(fwd(params, xs[0]).sum())  # compile + warmup
-        t0 = time.perf_counter()
-        outs = [fwd(params, x) for x in xs]
-        _ = sum(float(o.sum()) for o in outs)
-        dt = time.perf_counter() - t0
-        clips_per_s = batch * len(xs) / dt
-        best = max(best, clips_per_s)
+        for attempt in (1, 2):  # retry once on transient relay errors
+            try:
+                float(fwd(params, xs[0]).sum())  # compile + warmup
+                t0 = time.perf_counter()
+                outs = [fwd(params, x) for x in xs]
+                _ = sum(float(o.sum()) for o in outs)
+                dt = time.perf_counter() - t0
+                best = max(best, batch * len(xs) / dt)
+                break
+            except Exception as e:  # noqa: BLE001 — keep the best so far
+                last_err = e
+                time.sleep(20)
+    if best == 0.0 and last_err is not None:
+        raise last_err
 
     print(json.dumps({
         "metric": "aim_vitb16_8f_eval_throughput",
