@@ -407,5 +407,8 @@ class PoseSampleProcessor:
 
         if heat is None:
             raise ValueError("pipeline has no GeneratePoseTarget step")
-        tt = heat.shape[0] // self.num_clips
-        return heat.reshape(self.num_clips, tt, *heat.shape[1:]), label
+        # ``double`` doubles the CLIP count (reference FormatShape divides
+        # the frame total by clip_len), not the clip length
+        n_clips_eff = heat.shape[0] // self.clip_len
+        return heat.reshape(n_clips_eff, self.clip_len,
+                            *heat.shape[1:]), label

@@ -199,3 +199,23 @@ def test_posec3d_backbone_consumes_heatmaps():
     variables = bb.init(jax.random.PRNGKey(0), x)
     out = bb.apply(variables, x)
     assert out.shape[0] == 1 and out.ndim == 5
+
+
+def test_pose_processor_double_flip_doubles_clips(tmp_path):
+    """The test pipeline's double-flip GeneratePoseTarget doubles the CLIP
+    axis (reference FormatShape semantics), not the frame axis."""
+    from adapt_image_models_tpu.data.pose_dataset import PoseDataset
+    ann = str(tmp_path / "ann.pkl")
+    _make_ann(ann, n_videos=1)
+    pipeline = [
+        dict(type="UniformSampleFrames", clip_len=8, num_clips=2,
+             test_mode=True),
+        dict(type="PoseDecode"),
+        dict(type="Resize", scale=(24, 24), keep_ratio=False),
+        dict(type="GeneratePoseTarget", sigma=0.6, double=True),
+        dict(type="FormatShape", input_format="NCTHW"),
+    ]
+    ds = PoseDataset(ann, pipeline=pipeline, test_mode=True)
+    s = ds.prepare_sample(0, np.random.default_rng(0))
+    # 2 clips x double flip -> 4 views of 8 frames each
+    assert s["imgs"].shape == (4, 8, 24, 24, V)
