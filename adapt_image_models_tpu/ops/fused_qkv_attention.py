@@ -410,8 +410,21 @@ def _bwd_ln(num_heads, l_actual, res, g):
     return vjp(g.astype(jnp.float32).astype(g.dtype))
 
 
+def _bwd_vmem_fits(l: int, d: int) -> bool:
+    """Per-cell VMEM estimate for the backward kernel: 9 row blocks
+    (x, g, dx, dqkv x3, dy, y, o) double-buffered + resident weights.
+    ViT-B (208, 768) ~ 10.5M fits; ViT-L (272, 1024) ~ 18.4M does not —
+    those widths keep the XLA-remat backward."""
+    lp = _round_up(l, 16)
+    est = 18 * lp * d * 2 + 8 * d * d * 2
+    return est <= 14 * 2 ** 20
+
+
 def _bwd_ln_dispatch(num_heads, l_actual, res, g):
-    return _bwd_ln_pallas(num_heads, l_actual, res, g)
+    x = res[0]
+    if _bwd_vmem_fits(x.shape[1], x.shape[2]):
+        return _bwd_ln_pallas(num_heads, l_actual, res, g)
+    return _bwd_ln(num_heads, l_actual, res, g)
 
 
 fused_ln_attention_block.defvjp(_fwd_ln, _bwd_ln_dispatch)
@@ -772,7 +785,10 @@ def _bwd_pallas(num_heads, l_actual, res, g):
 
 
 def _bwd_dispatch(num_heads, l_actual, res, g):
-    return _bwd_pallas(num_heads, l_actual, res, g)
+    x = res[0]
+    if _bwd_vmem_fits(x.shape[1], x.shape[2]):
+        return _bwd_pallas(num_heads, l_actual, res, g)
+    return _bwd(num_heads, l_actual, res, g)
 
 
 fused_attention_block.defvjp(_fwd, _bwd_dispatch)
