@@ -309,8 +309,6 @@ def test_pallas_ln_attention_backward_grad_check():
         return jnp.sum(y ** 2)
 
     g_ref = jax.grad(loss_ref)(x)
-    # force the Pallas backward path
-    orig = fqa.fused_ln_attention_block
     with pltpu.force_tpu_interpret_mode():
         g_kernel = jax.grad(loss_kernel)(x)
     np.testing.assert_allclose(np.asarray(g_kernel), np.asarray(g_ref),

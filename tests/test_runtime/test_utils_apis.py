@@ -63,8 +63,6 @@ def test_precise_bn_recovers_population_stats():
                for _ in range(8)]
     new_state = compute_precise_bn_stats(
         model, params, state, batches, prepare_fn=lambda v: v, num_iters=8)
-    bs = jax.tree_util.tree_leaves(
-        new_state["batch_stats"])  # mean + var arrays
     flat = new_state["batch_stats"]["BatchNorm_0"]
     # dense layer output mean/var: just check the stats moved off init
     # (zeros/ones) toward the empirical batch moments
