@@ -777,7 +777,7 @@ def _bwd_ln_pallas(num_frames, num_heads, res, g):
 def _bwd_ln_dispatch(num_frames, num_heads, res, g):
     if _use_full_core(num_frames):
         return _bwd_ln_pallas(num_frames, num_heads, res, g)
-    return _bwd_ln(num_frames, num_heads, res, g)
+    return _bwd_ln_pallas_segment(num_frames, num_heads, res, g)
 
 
 fused_ln_temporal_block.defvjp(_fwd_ln, _bwd_ln_dispatch)
@@ -861,3 +861,193 @@ def _bwd_plain_dispatch(num_frames, num_heads, res, g):
 
 
 fused_temporal_block.defvjp(_fwd, _bwd_plain_dispatch)
+
+
+def _bwd_temporal_body_segment(x0, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
+                               wout_ref, seg_ref, g, t: int, heads: int,
+                               scale: float, with_ln: bool = True):
+    """Segment-core backward for long frame axes (T > 16), mirroring the
+    segment-sum forward: per (tq, tk) pair the head quantities come from a
+    VPU multiply + one (tile, D) @ (D, H) segment matmul, and the lane
+    broadcast uses the transposed segment matrix. Same output contract as
+    the full-core backward: (dx, dqkv, dy, y, o)."""
+    rows, d = x0.shape
+    tile = rows // t
+    dt = x0.dtype
+
+    if with_ln:
+        x32 = x0.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        rstd = jax.lax.rsqrt(var + 1e-5)
+        xhat = (x32 - mean) * rstd
+        lns = lns_ref[...].astype(jnp.float32)
+        y = (xhat * lns + lnb_ref[...].astype(jnp.float32)).astype(dt)
+    else:
+        y = x0
+
+    from adapt_image_models_tpu.ops.fused_qkv_attention import _project_qkv
+    qkv = _project_qkv(y, wqkv_ref, bqkv_ref).reshape(t, tile, 3 * d)
+    seg = seg_ref[...]            # (D, H) bf16 0/1
+    segT = seg.T                  # (H, D)
+
+    # recompute probabilities p[tq]: (T, tile, H)
+    ps = []
+    for tq in range(t):
+        q_tq = qkv[tq, :, :d]
+        pair_logits = []
+        for tk in range(t):
+            prod = (q_tq * qkv[tk, :, d:2 * d]).astype(jnp.bfloat16)
+            pair_logits.append(jnp.dot(prod, seg,
+                                       preferred_element_type=jnp.float32))
+        logits = jnp.stack(pair_logits, axis=0) * scale
+        m = jnp.max(logits, axis=0, keepdims=True)
+        e = jnp.exp(logits - m)
+        ps.append(e / jnp.sum(e, axis=0, keepdims=True))
+
+    # o[tq] + do
+    out_rows = []
+    do = jax.lax.dot_general(g.astype(dt), wout_ref[...],
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    do = do.reshape(t, tile, d)
+    for tq in range(t):
+        acc = jnp.zeros((tile, d), jnp.float32)
+        for tk in range(t):
+            p_lanes = jnp.dot(ps[tq][tk].astype(jnp.bfloat16), segT,
+                              preferred_element_type=jnp.float32)
+            acc = acc + p_lanes * qkv[tk, :, 2 * d:].astype(jnp.float32)
+        out_rows.append(acc.astype(dt))
+    o = jnp.stack(out_rows, axis=0).reshape(rows, d)
+
+    # dp[tq, tk] per head: (do[tq] * v[tk]) @ seg; softmax bwd over tk
+    dq_rows = [None] * t
+    dk_acc = [jnp.zeros((tile, d), jnp.float32) for _ in range(t)]
+    dv_acc = [jnp.zeros((tile, d), jnp.float32) for _ in range(t)]
+    for tq in range(t):
+        do_tq = do[tq].astype(dt)
+        dps = []
+        for tk in range(t):
+            prod = (do_tq * qkv[tk, :, 2 * d:]).astype(jnp.bfloat16)
+            dps.append(jnp.dot(prod, seg,
+                               preferred_element_type=jnp.float32))
+        dp = jnp.stack(dps, axis=0)              # (T, tile, H)
+        p = ps[tq]
+        rowdot = jnp.sum(dp * p, axis=0, keepdims=True)
+        ds = p * (dp - rowdot)                   # (T, tile, H) fp32
+        q_tq = qkv[tq, :, :d].astype(jnp.float32)
+        dq = jnp.zeros((tile, d), jnp.float32)
+        for tk in range(t):
+            ds_lanes = jnp.dot(ds[tk].astype(jnp.bfloat16), segT,
+                               preferred_element_type=jnp.float32)
+            k_tk = qkv[tk, :, d:2 * d].astype(jnp.float32)
+            dq = dq + ds_lanes * k_tk
+            dk_acc[tk] = dk_acc[tk] + ds_lanes * q_tq
+            p_lanes = jnp.dot(p[tk].astype(jnp.bfloat16), segT,
+                              preferred_element_type=jnp.float32)
+            dv_acc[tk] = dv_acc[tk] + p_lanes * do[tq]
+        dq_rows[tq] = dq * scale
+
+    dq = jnp.stack(dq_rows, axis=0).reshape(rows, d).astype(dt)
+    dk = (jnp.stack(dk_acc, axis=0) * scale).reshape(rows, d).astype(dt)
+    dv = jnp.stack(dv_acc, axis=0).reshape(rows, d).astype(dt)
+    dqkv = jnp.concatenate([dq, dk, dv], axis=1)
+
+    dy = jax.lax.dot_general(dqkv, wqkv_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    if with_ln:
+        dxhat = dy * lns
+        mdx = jnp.mean(dxhat, axis=-1, keepdims=True)
+        mdxx = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+        dx = rstd * (dxhat - mdx - xhat * mdxx)
+    else:
+        dx = dy
+    return dx, dqkv, dy, y, o
+
+
+def _kernel_ln_bwd_segment(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
+                           wout_ref, seg_ref, g_ref, dx_ref, dqkv_ref,
+                           dy_ref, y_ref, o_ref, *, t: int, heads: int,
+                           scale: float, n: int):
+    tt, tile, d = x_ref.shape
+    x0 = _sanitize_block(x_ref[...].reshape(t * tile, d), tile, n or tile)
+    g = _sanitize_block(g_ref[...].reshape(t * tile, d), tile, n or tile)
+    dx, dqkv, dy, y, o = _bwd_temporal_body_segment(
+        x0, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wout_ref, seg_ref, g,
+        t, heads, scale)
+    dx_ref[...] = dx.astype(dx_ref.dtype).reshape(t, tile, d)
+    dqkv_ref[...] = dqkv.astype(dqkv_ref.dtype).reshape(t, tile, 3 * d)
+    dy_ref[...] = dy.astype(dy_ref.dtype).reshape(t, tile, d)
+    y_ref[...] = y.astype(y_ref.dtype).reshape(t, tile, d)
+    o_ref[...] = o.astype(o_ref.dtype).reshape(t, tile, d)
+
+
+def fused_ln_temporal_attention_bwd_segment(x, ln_scale, ln_bias, w_qkv,
+                                            b_qkv, w_out, g,
+                                            num_frames: int, num_heads: int,
+                                            tile: Optional[int] = None):
+    """Segment-core Pallas backward (T > 16): returns (dx, dqkv, dy, y, o)."""
+    bt, n, d = x.shape
+    t = num_frames
+    tile = _auto_tile(d, t, tile, n)
+    while tile > 8 and (18 * t * tile * d * 2 + 8 * d * d * 2) > 14 * 2 ** 20:
+        tile = max(8, tile // 2)
+    b = bt // t
+    scale = 1.0 / ((d // num_heads) ** 0.5)
+    seg = _segment_matrix(d, num_heads)
+    n_cells = pl.cdiv(n, tile)
+    kernel = functools.partial(_kernel_ln_bwd_segment, t=t, heads=num_heads,
+                               scale=scale, n=n)
+    blk = lambda w: pl.BlockSpec((t, tile, w), lambda i, j: (i, j, 0),
+                                 memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((bt, n, d), x.dtype),       # dx
+            jax.ShapeDtypeStruct((bt, n, 3 * d), x.dtype),   # dqkv
+            jax.ShapeDtypeStruct((bt, n, d), x.dtype),       # dy
+            jax.ShapeDtypeStruct((bt, n, d), x.dtype),       # y
+            jax.ShapeDtypeStruct((bt, n, d), x.dtype),       # o
+        ),
+        grid=(b, n_cells),
+        in_specs=[
+            blk(d), vec, vec,
+            pl.BlockSpec((d, 3 * d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * d,), lambda i, j: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, num_heads), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            blk(d),
+        ],
+        out_specs=(blk(d), blk(3 * d), blk(d), blk(d), blk(d)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+    )(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, seg, g)
+
+
+def _bwd_ln_pallas_segment(num_frames, num_heads, res, g):
+    x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out = res
+    dx, dqkv, dy, y, o = fused_ln_temporal_attention_bwd_segment(
+        x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, g.astype(x.dtype),
+        num_frames, num_heads)
+    g32 = g.astype(jnp.float32)
+    dwqkv = jnp.einsum("bld,ble->de", y.astype(jnp.float32),
+                       dqkv.astype(jnp.float32))
+    dbqkv = jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1))
+    dwout = jnp.einsum("bld,ble->de", o.astype(jnp.float32), g32)
+    dbout = jnp.sum(g32, axis=(0, 1))
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    xhat = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    dgamma = jnp.sum(dy.astype(jnp.float32) * xhat, axis=(0, 1))
+    dbeta = jnp.sum(dy.astype(jnp.float32), axis=(0, 1))
+    cast = lambda tl, like: tl.astype(like.dtype)
+    return (cast(dx, x), cast(dgamma, ln_scale), cast(dbeta, ln_bias),
+            cast(dwqkv, w_qkv), cast(dbqkv, b_qkv), cast(dwout, w_out),
+            cast(dbout, b_out))
