@@ -1,0 +1,77 @@
+"""Smoke tests for the analysis/deployment/misc CLI tools (reference keeps
+its tools untested; we drive each on synthetic inputs)."""
+
+import importlib.util
+import json
+import os
+import os.path as osp
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__))))
+PY = sys.executable
+ENV = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+
+
+def run_tool(*args, ok=True):
+    r = subprocess.run([PY, *args], capture_output=True, text=True,
+                       cwd=REPO, env=ENV, timeout=300)
+    if ok:
+        assert r.returncode == 0, r.stderr[-800:]
+    return r
+
+
+def test_analyze_logs(tmp_path):
+    log = tmp_path / "train.log"
+    log.write_text("\n".join(
+        f"Epoch [{e}][{i}/10] lr: 3.0e-04 loss: {1.0 / (e * 10 + i):.4f} "
+        f"top1: 0.5000 top5: 0.9000 clips/s: {100 + i}.0"
+        for e in (1, 2) for i in range(1, 11)))
+    r = run_tool("tools/analysis/analyze_logs.py", "cal_train_time",
+                 str(log))
+    assert "epoch 1" in r.stdout and "clips/s" in r.stdout
+    r = run_tool("tools/analysis/analyze_logs.py", "dump_json", str(log))
+    rows = json.loads(r.stdout)
+    assert len(rows) == 20 and rows[0]["epoch"] == 1
+
+
+def test_print_config():
+    r = run_tool("tools/analysis/print_config.py",
+                 "configs/recognition/vit/vitclip_debug_tiny.py")
+    assert "Recognizer3D" in r.stdout or "backbone" in r.stdout
+
+
+def test_report_accuracy(tmp_path):
+    rng = np.random.default_rng(0)
+    labels = np.arange(8) % 3
+    # model A perfect, model B random — fused must stay >= B
+    a = np.zeros((8, 3), np.float32)
+    a[np.arange(8), labels] = 1.0
+    b = rng.normal(size=(8, 3)).astype(np.float32)
+    np.savez(tmp_path / "a.npz", scores=a, labels=labels)
+    np.savez(tmp_path / "b.npz", scores=b, labels=labels)
+    r = run_tool("tools/analysis/report_accuracy.py", "--scores",
+                 str(tmp_path / "a.npz"), str(tmp_path / "b.npz"),
+                 "--weights", "10.0", "1.0")
+    assert "top1 1.0000" in r.stdout  # heavy weight on the perfect model
+
+
+def test_check_videos(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    ok_path = tmp_path / "ok.avi"
+    w = cv2.VideoWriter(str(ok_path), cv2.VideoWriter_fourcc(*"MJPG"),
+                        30, (32, 32))
+    for _ in range(5):
+        w.write(np.zeros((32, 32, 3), np.uint8))
+    w.release()
+    (tmp_path / "bad.avi").write_bytes(b"not a video")
+    ann = tmp_path / "list.txt"
+    ann.write_text("ok.avi 0\nbad.avi 1\n")
+    bad_out = tmp_path / "bad.txt"
+    run_tool("tools/misc/check_videos.py", str(ann), "--prefix",
+             str(tmp_path), "--out", str(bad_out), "--workers", "1")
+    bad = bad_out.read_text()
+    assert "bad.avi" in bad and "ok.avi" not in bad
