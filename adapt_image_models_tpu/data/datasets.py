@@ -269,8 +269,18 @@ class RepeatDataset:
         self._ori_len = len(dataset)
 
     def __getattr__(self, name):
-        # delegate evaluate/labels/pipeline/... to the wrapped dataset
-        return getattr(self.dataset, name)
+        # delegate evaluate/labels/pipeline/... to the wrapped dataset.
+        # prepare_sample must see inner-range indices (VideoLoader feeds
+        # repeated indices straight to it, bypassing __getitem__)
+        attr = getattr(self.dataset, name)
+        if name == "prepare_sample":
+            ori = self._ori_len
+
+            def _wrapped(idx, rng=None):
+                return attr(idx % ori, rng)
+
+            return _wrapped
+        return attr
 
     def __getitem__(self, idx):
         return self.dataset[idx % self._ori_len]

@@ -91,7 +91,17 @@ class PoseDataset:
                        ) -> Dict[str, Any]:
         if self.processor is None:
             raise ValueError("PoseDataset built without a pipeline")
-        imgs, label = self.processor(self.video_infos[idx], rng=rng)
+        info = self.video_infos[idx]
+        if "anno_inds" in info:
+            # Kinetics-pose box_thr filtering: only persons whose detection
+            # score clears the threshold are rendered (reference
+            # LoadKineticsPose anno_inds subsetting, pose_loading.py:262)
+            inds = np.asarray(info["anno_inds"], int)
+            info = dict(info, keypoint=np.asarray(info["keypoint"])[inds])
+            if info.get("keypoint_score") is not None:
+                info["keypoint_score"] = np.asarray(
+                    info["keypoint_score"])[inds]
+        imgs, label = self.processor(info, rng=rng)
         return {"imgs": imgs, "label": label}
 
     def evaluate(self, results, metrics=("top_k_accuracy",), **kwargs):

@@ -52,6 +52,20 @@ def _dedup_gather(indices: Sequence[int]):
     return uniq, inverse
 
 
+def resize_short_side(img, short_side):
+    """Resize so min(H, W) == short_side, keeping aspect (the fused-resize
+    semantics of the C++ decoder, shared by every python reader/tool)."""
+    import cv2
+    h, w = img.shape[:2]
+    if short_side is None or min(h, w) == short_side:
+        return img
+    if h < w:
+        size = (max(1, int(round(w * short_side / h))), short_side)
+    else:
+        size = (short_side, max(1, int(round(h * short_side / w))))
+    return cv2.resize(img, size, interpolation=cv2.INTER_LINEAR)
+
+
 class OpenCVVideoReader(VideoReader):
     """cv2.VideoCapture-based reader (reference OpenCVInit/Decode parity)."""
 
@@ -137,15 +151,7 @@ class RawFrameReader(VideoReader):
             if img is None:
                 raise IOError(f"cannot read frame {path}")
             img = img[:, :, ::-1]
-            if self.short_side is not None:
-                h, w0 = img.shape[:2]
-                ss = self.short_side
-                if min(h, w0) != ss:
-                    if h < w0:
-                        size = (max(1, int(round(w0 * ss / h))), ss)
-                    else:
-                        size = (ss, max(1, int(round(h * ss / w0))))
-                    img = cv2.resize(img, size, interpolation=cv2.INTER_LINEAR)
+            img = resize_short_side(img, self.short_side)
             imgs.append(img)
         stack = np.stack(imgs, axis=0)
         return stack[inverse]
@@ -225,8 +231,12 @@ class FlowFrameReader(VideoReader):
     def get_frames(self, indices: Sequence[int]) -> np.ndarray:
         import cv2
         uniq, inverse = _dedup_gather(indices)
+        # n RGB frames yield n-1 flow pairs: clamp the last index like the
+        # reference's repeat_last out-of-bounds mode
+        last = self.start_index + self.num_frames - 2
         imgs = []
         for fi in uniq:
+            fi = min(int(fi), last)
             chans = []
             for axis in ("x", "y"):
                 path = os.path.join(
@@ -237,15 +247,7 @@ class FlowFrameReader(VideoReader):
                     raise IOError(f"cannot read flow frame {path}")
                 chans.append(img)
             img = np.stack(chans, axis=-1)  # (H, W, 2)
-            if self.short_side is not None:
-                h, w0 = img.shape[:2]
-                ss = self.short_side
-                if min(h, w0) != ss:
-                    if h < w0:
-                        size = (max(1, int(round(w0 * ss / h))), ss)
-                    else:
-                        size = (ss, max(1, int(round(h * ss / w0))))
-                    img = cv2.resize(img, size, interpolation=cv2.INTER_LINEAR)
+            img = resize_short_side(img, self.short_side)
             imgs.append(img)
         stack = np.stack(imgs, axis=0)
         return stack[inverse]

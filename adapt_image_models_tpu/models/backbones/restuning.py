@@ -194,10 +194,14 @@ class ViT_CLIP_RES_TUNING(nn.Module):
         return xt[:, 0].reshape(b, t, d)
 
 
-@BACKBONES.register_module(name="ViT_CLIP_FLASH_RES_TUNING")
-class ViT_CLIP_FLASH_RES_TUNING(ViT_CLIP_RES_TUNING):
-    """Reference-name alias (``vit_clip_flash_restuning.py:240``);
-    flash-attn kwargs accepted for config parity."""
+def ViT_CLIP_FLASH_RES_TUNING(**kwargs):
+    """Reference-name alias (``vit_clip_flash_restuning.py:240``).
+    ``use_flash_attn``/``checkpoint`` are absorbed (res-tuning has no
+    per-block remat here; the side stream is cheap)."""
+    kwargs.pop("use_flash_attn", None)
+    kwargs.pop("checkpoint", None)
+    return ViT_CLIP_RES_TUNING(**kwargs)
 
-    use_flash_attn: bool = True
-    checkpoint: bool = False
+
+BACKBONES.register_module(name="ViT_CLIP_FLASH_RES_TUNING",
+                          module=ViT_CLIP_FLASH_RES_TUNING)

@@ -235,13 +235,16 @@ class ViT_CLIP(nn.Module):
         return xt[:, 0].reshape(b, t, d)
 
 
-@BACKBONES.register_module(name="ViT_CLIP_FLASH")
-class ViT_CLIP_FLASH(ViT_CLIP):
+def ViT_CLIP_FLASH(**kwargs):
     """Reference-name alias (``vit_clip_flash.py``): the flash-attn fork of
-    ViT_CLIP maps here to ViT_CLIP with the fused Pallas attention core;
-    ``use_flash_attn`` / ``checkpoint`` kwargs are accepted for config
-    parity (``use_checkpoint`` is the native spelling)."""
+    ViT_CLIP maps to ViT_CLIP with the fused Pallas attention core.
+    Reference kwargs translate: ``checkpoint`` -> ``use_checkpoint``;
+    ``use_flash_attn`` is absorbed (fusion is the attention_core)."""
+    kwargs.pop("use_flash_attn", None)
+    if kwargs.pop("checkpoint", False):
+        kwargs["use_checkpoint"] = True
+    kwargs.setdefault("attention_core", "fused")
+    return ViT_CLIP(**kwargs)
 
-    use_flash_attn: bool = True
-    checkpoint: bool = False
-    attention_core: str = "fused"
+
+BACKBONES.register_module(name="ViT_CLIP_FLASH", module=ViT_CLIP_FLASH)

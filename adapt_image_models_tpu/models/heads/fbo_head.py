@@ -160,7 +160,13 @@ class FBOHead(nn.Module):
     def __call__(self, roi_feat: jax.Array, lt_feat: jax.Array,
                  deterministic: bool = True) -> jax.Array:
         b, r = roi_feat.shape[:2]
-        # spatial (and, for 6D input, temporal) pooling -> (B*R, 1, C)
+        # 6D input (B, R, T, O, O, C): temporal pool first with its own
+        # mode (reference pools T and HW separately, fbo_head.py:352-366)
+        if roi_feat.ndim == 6:
+            if self.temporal_pool_type == "avg":
+                roi_feat = jnp.mean(roi_feat, axis=2)
+            else:
+                roi_feat = jnp.max(roi_feat, axis=2)
         axes = tuple(range(2, roi_feat.ndim - 1))
         if self.spatial_pool_type == "avg":
             st = jnp.mean(roi_feat, axis=axes)

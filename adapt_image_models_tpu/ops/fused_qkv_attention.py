@@ -416,7 +416,8 @@ def _bwd_vmem_fits(l: int, d: int) -> bool:
     ViT-B (208, 768) ~ 10.5M fits; ViT-L (272, 1024) ~ 18.4M does not —
     those widths keep the XLA-remat backward."""
     lp = _round_up(l, 16)
-    est = 18 * lp * d * 2 + 8 * d * d * 2
+    # 18 double-buffered row-block units + (3d^2 + d^2) weight ELEMENTS x 2B
+    est = 18 * lp * d * 2 + 4 * d * d * 2
     return est <= 14 * 2 ** 20
 
 

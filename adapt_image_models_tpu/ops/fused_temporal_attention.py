@@ -704,7 +704,7 @@ def fused_ln_temporal_attention_bwd(x, ln_scale, ln_bias, w_qkv, b_qkv,
     tile = _auto_tile(d, t, tile, n)
     # backward holds 9 double-buffered row blocks: shrink the tile until
     # the per-cell estimate fits the 16M VMEM scope (ViT-L widths)
-    while tile > 8 and (18 * t * tile * d * 2 + 8 * d * d * 2) > 14 * 2 ** 20:
+    while tile > 8 and (18 * t * tile * d * 2 + 4 * d * d * 2) > 14 * 2 ** 20:
         tile = max(8, tile // 2)
     b = bt // t
     scale = 1.0 / ((d // num_heads) ** 0.5)
@@ -805,7 +805,7 @@ def fused_temporal_attention_bwd(x, w_qkv, b_qkv, w_out, g,
     bt, n, d = x.shape
     t = num_frames
     tile = _auto_tile(d, t, tile, n)
-    while tile > 8 and (18 * t * tile * d * 2 + 8 * d * d * 2) > 14 * 2 ** 20:
+    while tile > 8 and (18 * t * tile * d * 2 + 4 * d * d * 2) > 14 * 2 ** 20:
         tile = max(8, tile // 2)
     b = bt // t
     scale = 1.0 / ((d // num_heads) ** 0.5)
@@ -990,7 +990,7 @@ def fused_ln_temporal_attention_bwd_segment(x, ln_scale, ln_bias, w_qkv,
     bt, n, d = x.shape
     t = num_frames
     tile = _auto_tile(d, t, tile, n)
-    while tile > 8 and (18 * t * tile * d * 2 + 8 * d * d * 2) > 14 * 2 ** 20:
+    while tile > 8 and (18 * t * tile * d * 2 + 4 * d * d * 2) > 14 * 2 ** 20:
         tile = max(8, tile // 2)
     b = bt // t
     scale = 1.0 / ((d // num_heads) ** 0.5)

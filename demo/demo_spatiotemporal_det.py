@@ -83,6 +83,8 @@ def main():
 
     reader = open_video(args.video)
     n = reader.num_frames
+    fps = float(getattr(reader, "avg_fps", 0) or getattr(reader, "fps", 0)
+                or 30.0)
     frames = reader.get_frames(list(range(n)))  # (N, H, W, 3) RGB
     reader.close()
     h0, w0 = frames.shape[1:3]
@@ -129,8 +131,7 @@ def main():
         scores = 1 / (1 + np.exp(-logits))  # multi-label sigmoid
         annos[key] = (boxes, scores[:len(boxes)])
 
-    # render
-    fps = 30.0
+    # render at the source frame rate
     writer = cv2.VideoWriter(args.out, cv2.VideoWriter_fourcc(*"mp4v"),
                              fps, (w0, h0))
     current = None

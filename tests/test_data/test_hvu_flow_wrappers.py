@@ -163,3 +163,22 @@ def test_raw_video_dataset(tmp_path):
     item_b = ds.sample_clip(1, rng=np.random.default_rng(0))
     clip_b = int(item_b["filename"].rsplit("_", 1)[1].split(".")[0])
     assert 0 <= clip_b < 5
+
+
+def test_flow_reader_clamps_last_index(tmp_path):
+    """n RGB frames give n-1 flow pairs; sampling frame n-1 must clamp to
+    the last existing pair instead of raising."""
+    import cv2
+    import numpy as np
+    from adapt_image_models_tpu.data.video_reader import FlowFrameReader
+    d = tmp_path / "v"
+    d.mkdir()
+    n = 5
+    for i in range(1, n):  # flow files 1..n-1
+        for ax in ("x", "y"):
+            cv2.imwrite(str(d / f"flow_{ax}_{i:05d}.jpg"),
+                        np.full((8, 8), i * 10, np.uint8))
+    r = FlowFrameReader(str(d), num_frames=n, start_index=1)
+    out = r.get_frames([1, n - 1, n])  # n is out of range -> clamp to n-1
+    assert out.shape == (3, 8, 8, 2)
+    np.testing.assert_array_equal(out[1], out[2])

@@ -219,3 +219,16 @@ def test_pose_processor_double_flip_doubles_clips(tmp_path):
     s = ds.prepare_sample(0, np.random.default_rng(0))
     # 2 clips x double flip -> 4 views of 8 frames each
     assert s["imgs"].shape == (4, 8, 24, 24, V)
+
+
+def test_repeat_dataset_wraps_prepare_sample(tmp_path):
+    """RepeatDataset(PoseDataset) must modulo indices before delegating
+    prepare_sample (VideoLoader bypasses __getitem__)."""
+    from adapt_image_models_tpu.data.datasets import RepeatDataset
+    from adapt_image_models_tpu.data.pose_dataset import PoseDataset
+    ann = str(tmp_path / "ann.pkl")
+    _make_ann(ann, n_videos=2)
+    rep = RepeatDataset(PoseDataset(ann, pipeline=PIPELINE), times=3)
+    assert len(rep) == 6
+    s = rep.prepare_sample(5, np.random.default_rng(0))  # inner idx 1
+    assert s["imgs"].shape == (1, 8, 24, 24, V)

@@ -436,3 +436,12 @@ def test_pallas_temporal_segment_backward_matches_xla_vjp():
             np.asarray(o, np.float32) / scale,
             np.asarray(r, np.float32) / scale,
             atol=5e-3, err_msg=name)
+
+
+def test_bwd_dispatch_selects_pallas_at_flagship_widths():
+    """Regression: the VMEM estimate must admit the widths the kernels were
+    built for (ViT-B 197/768) and reject ViT-L (272/1024)."""
+    from adapt_image_models_tpu.ops.fused_qkv_attention import _bwd_vmem_fits
+    assert _bwd_vmem_fits(197, 768)     # ViT-B spatial
+    assert _bwd_vmem_fits(208, 768)     # padded-through variant
+    assert not _bwd_vmem_fits(257, 1024)  # ViT-L -> XLA-remat fallback

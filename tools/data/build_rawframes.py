@@ -36,16 +36,9 @@ def quantize_flow(flow: np.ndarray) -> np.ndarray:
 
 def _resize(img, args):
     import cv2
-    h, w = img.shape[:2]
     if args.new_short > 0:
-        ss = args.new_short
-        if min(h, w) == ss:
-            return img
-        if h < w:
-            size = (max(1, int(round(w * ss / h))), ss)
-        else:
-            size = (ss, max(1, int(round(h * ss / w))))
-        return cv2.resize(img, size, interpolation=cv2.INTER_LINEAR)
+        from adapt_image_models_tpu.data.video_reader import resize_short_side
+        return resize_short_side(img, args.new_short)
     if args.new_width > 0 and args.new_height > 0:
         return cv2.resize(img, (args.new_width, args.new_height),
                           interpolation=cv2.INTER_LINEAR)
