@@ -75,3 +75,15 @@ def test_check_videos(tmp_path):
              str(tmp_path), "--out", str(bad_out), "--workers", "1")
     bad = bad_out.read_text()
     assert "bad.avi" in bad and "ok.avi" not in bad
+
+
+def test_profile_tool_writes_trace(tmp_path):
+    r = run_tool("tools/analysis/profile.py",
+                 "configs/recognition/vit/vitclip_debug_tiny.py",
+                 "--out", str(tmp_path / "trace"), "--batch", "1",
+                 "--iters", "1")
+    # jax.profiler writes plugins/profile/<ts>/*.trace.json.gz or xplane
+    found = []
+    for root, _, files in os.walk(tmp_path / "trace"):
+        found.extend(files)
+    assert found, "no trace files written"
