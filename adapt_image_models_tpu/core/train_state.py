@@ -83,7 +83,17 @@ def make_train_step(model, tx: optax.GradientTransformation,
     ``batch``: {'imgs': (B, V, T, H, W, C) uint8 or pre-prepared floats,
     'label': (B,) int}. Train views are folded into the batch like the
     reference (``recognizer3d.py:16``).
+
+    The loss comes from the head config's ``loss_cls`` when present
+    (reference BaseHead semantics — e.g. the HVU recipes'
+    ``BCELossWithLogits(loss_weight=333)``); otherwise hard/soft cross
+    entropy by target shape.
     """
+    custom_loss = None
+    head_cfg = getattr(model, "cls_head", None)
+    if isinstance(head_cfg, dict) and head_cfg.get("loss_cls"):
+        from adapt_image_models_tpu.models.builder import build_loss
+        custom_loss = build_loss(dict(head_cfg["loss_cls"]))
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array],
                    rng: jax.Array) -> Tuple[TrainState, Dict[str, jax.Array]]:
@@ -123,7 +133,9 @@ def make_train_step(model, tx: optax.GradientTransformation,
                 logits = model.apply(variables, imgs, deterministic=False,
                                      rngs={"dropout": rng_drop})
                 new_mstate = state.model_state
-            if targets.ndim == logits.ndim:
+            if custom_loss is not None:
+                loss = custom_loss(logits, targets)
+            elif targets.ndim == logits.ndim:
                 loss = soft_cross_entropy(logits, targets)
             else:
                 loss = cross_entropy(logits, targets)
@@ -134,7 +146,10 @@ def make_train_step(model, tx: optax.GradientTransformation,
         updates, new_opt = tx.update(grads, state.opt_state, state.trainable)
         new_trainable = optax.apply_updates(state.trainable, updates)
 
-        top1, top5 = device_topk_accuracy(logits, labels, (1, 5))
+        # multi-hot labels (multi_class heads): score top-k against the
+        # strongest tag (the reference's BaseHead skips accuracy entirely)
+        acc_labels = labels if labels.ndim == 1 else jnp.argmax(labels, -1)
+        top1, top5 = device_topk_accuracy(logits, acc_labels, (1, 5))
         metrics = {
             "loss": loss,
             "top1_acc": top1,

@@ -8,6 +8,8 @@ standard TSN avg consensus (the reference pools before the fc).
 
 from __future__ import annotations
 
+from typing import Any, Dict, Optional
+
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -21,6 +23,10 @@ class TSNHead(nn.Module):
     in_channels: int
     dropout_ratio: float = 0.4
     init_std: float = 0.01
+    # reference head-config parity: the loss itself runs in the train step,
+    # which reads these fields (core/train_state.make_train_step)
+    multi_class: bool = False
+    loss_cls: Optional[Dict[str, Any]] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:

@@ -182,3 +182,37 @@ def test_flow_reader_clamps_last_index(tmp_path):
     out = r.get_frames([1, n - 1, n])  # n is out of range -> clamp to n-1
     assert out.shape == (3, 8, 8, 2)
     np.testing.assert_array_equal(out[1], out[2])
+
+
+def test_hvu_style_multilabel_train_step():
+    """The HVU recipe's model (Recognizer2D + TSNHead multi_class BCE)
+    takes a train step on multi-hot targets (VERDICT round-2 item 9)."""
+    import jax
+    import jax.numpy as jnp
+    from adapt_image_models_tpu.models import build_model
+    from adapt_image_models_tpu.parallel.partition import partition_params
+    from adapt_image_models_tpu.core.optim import build_optimizer
+    from adapt_image_models_tpu.core.train_state import (
+        create_train_state, make_train_step,
+    )
+    model = build_model(dict(
+        type="Recognizer2D",
+        backbone=dict(type="ResNet", depth=18),
+        cls_head=dict(type="TSNHead", in_channels=512, num_classes=7,
+                      multi_class=True,
+                      loss_cls=dict(type="BCELossWithLogits",
+                                    loss_weight=3.0))))
+    x = jnp.zeros((2, 4, 3, 32, 32))  # (B, segs, C, H, W)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    trainable, _ = partition_params(variables["params"])
+    tx = build_optimizer(dict(type="SGD", lr=0.01), trainable, schedule=0.01)
+    state = create_train_state(variables["params"], tx,
+                               model_state={k: v for k, v in
+                                            variables.items()
+                                            if k != "params"})
+    step = jax.jit(make_train_step(model, tx))
+    labels = jnp.zeros((2, 7)).at[0, 2].set(1).at[1, 5].set(1).at[1, 6].set(1)
+    s2, metrics = step(state, dict(imgs=x, label=labels),
+                       jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(s2.step) == 1
