@@ -63,6 +63,13 @@ def _kernel(x_ref, lns_ref, lnb_ref, wfc_ref, bfc_ref, wproj_ref, bproj_ref,
 def fused_joint_mlp_adapter(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj,
                             w1, b1, w2, b2, scale: float,
                             tile_m: int = 0) -> jax.Array:  # tile_m unused (one sample per cell)
+    # PERF LEAD (unmeasured — relay compile service was down when tried):
+    # one sample per cell means M=197 matmuls, which under-fills the MXU
+    # (microbench: this kernel runs ~114 TFLOP/s vs ~186 for the XLA
+    # full-batch MLP). Packing 2-4 samples per cell (block (R, l, d),
+    # reshape to (R*l, d)) with the hidden chunked to keep the fp32
+    # transient under ~5 MB should close part of that gap; heuristic:
+    # trade n_chunks x2 for rows x2 while rows < 4.
     """x: (B, L, D) raw residual stream ->
     ``x + mlp(LN(x)) + scale * adapter(LN(x))`` (adapter without skip)."""
     b, l, d = x.shape
