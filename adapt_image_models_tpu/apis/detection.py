@@ -83,6 +83,7 @@ def make_detection_train_step(model, tx, prepare_fn):
 
 def train_detector(cfg: Dict[str, Any], work_dir: Optional[str] = None,
                    validate: bool = False, seed: int = 0,
+                   auto_resume: bool = False,
                    max_steps: Optional[int] = None, mesh=None):
     """Detection analog of ``apis.train.train_model`` (same cfg layout)."""
     logger = get_root_logger()
@@ -134,12 +135,17 @@ def train_detector(cfg: Dict[str, Any], work_dir: Optional[str] = None,
         work_dir, max_keep=(cfg.get("checkpoint_config") or {}).get(
             "max_keep_ckpts"))
 
+    start_epoch = 0
+    if auto_resume and ckpt_mgr.latest_epoch() is not None:
+        state, start_epoch = ckpt_mgr.restore(state)
+        logger.info(f"auto-resumed detector from epoch {start_epoch}")
+
     base_rng = jax.random.PRNGKey(seed + 1)
     history = []
     global_step = 0
     log_interval = int((cfg.get("log_config") or {}).get("interval", 20))
     with mesh:
-        for epoch in range(total_epochs):
+        for epoch in range(start_epoch, total_epochs):
             loader.set_epoch(epoch)
             for i, batch_data in enumerate(loader):
                 device_batch = shard_batch(mesh, {
@@ -182,7 +188,10 @@ def run_detection_evaluation(cfg: Dict[str, Any], model=None, params=None,
     if mesh is None:
         mesh = make_mesh()
     n_dev = mesh.devices.size
-    bs = (batch_size or int(cfg["data"].get("videos_per_gpu", 1))) * n_dev
+    dl_cfg = cfg["data"].get(f"{split}_dataloader", {}) or {}
+    bs = (batch_size
+          or int(dl_cfg.get("videos_per_gpu",
+                            cfg["data"].get("videos_per_gpu", 1)))) * n_dev
     loader = VideoLoader(dataset, dataset.pipeline, batch_size=bs,
                          shuffle=False, num_workers=2, drop_last=False)
     prepare = make_det_prepare_fn(dataset.mean, dataset.std)

@@ -56,7 +56,8 @@ def train_model(cfg: Dict[str, Any], work_dir: Optional[str] = None,
     if cfg["model"].get("type") in DETECTORS:
         from adapt_image_models_tpu.apis.detection import train_detector
         return train_detector(cfg, work_dir=work_dir, validate=validate,
-                              seed=seed, max_steps=max_steps, mesh=mesh)
+                              seed=seed, auto_resume=auto_resume,
+                              max_steps=max_steps, mesh=mesh)
 
     logger = get_root_logger()
     work_dir = work_dir or cfg.get("work_dir", "./work_dir")
@@ -161,11 +162,20 @@ def train_model(cfg: Dict[str, Any], work_dir: Optional[str] = None,
     if isinstance(grad_clip, dict):
         grad_clip = grad_clip.get("max_norm")
     from adapt_image_models_tpu.parallel.partition import partition_params
-    trainable, _ = partition_params(params)
+    # CNN frozen_stages: partition the frozen stem/stages OUT of the
+    # trainable tree (stop_gradient alone still lets the optimizer's
+    # weight decay drift them — reference requires_grad=False semantics)
+    fs = int(model_cfg.get("backbone", {}).get("frozen_stages", -1))
+    frozen_prefixes = ()
+    if fs >= 0:
+        frozen_prefixes = ("conv1", "bn1") + tuple(
+            f"layer{i + 1}_" for i in range(fs))
+    trainable, _ = partition_params(params, frozen_prefixes=frozen_prefixes)
     tx = build_optimizer(cfg["optimizer"], trainable, schedule,
                          grad_clip=grad_clip, update_interval=update_interval)
 
-    state = create_train_state(params, tx, model_state=model_state)
+    state = create_train_state(params, tx, model_state=model_state,
+                               frozen_prefixes=frozen_prefixes)
     del params, variables, model_state
 
     blending = None

@@ -68,8 +68,10 @@ def as_variables(params_or_variables) -> Dict[str, Any]:
 
 
 def create_train_state(params, tx: optax.GradientTransformation,
-                       model_state: Any = None) -> TrainState:
-    trainable, frozen = partition_params(params)
+                       model_state: Any = None,
+                       frozen_prefixes=()) -> TrainState:
+    trainable, frozen = partition_params(params,
+                                         frozen_prefixes=frozen_prefixes)
     return TrainState(step=jnp.zeros((), jnp.int32), trainable=trainable,
                       frozen=frozen, opt_state=tx.init(trainable),
                       model_state=model_state or {})

@@ -108,11 +108,16 @@ class AVADataset:
         else:
             self.proposals = None
         if not test_mode and self.exclude_file:
-            excluded = {tuple(line.strip().split(","))
-                        for line in open(self.exclude_file) if line.strip()}
+            # official exclude CSVs zero-pad the timestamp ('vid,0904'):
+            # normalize both sides to int (reference ava_dataset.py:209)
+            excluded = set()
+            for line in open(self.exclude_file):
+                if line.strip():
+                    vid, ts = line.strip().split(",")[:2]
+                    excluded.add((vid, int(ts)))
             self.video_infos = [
                 info for info in self.video_infos
-                if (info["video_id"], str(info["timestamp"])) not in excluded]
+                if (info["video_id"], int(info["timestamp"])) not in excluded]
 
     # ------------------------------------------------------------------
     def _parse_pipeline(self):

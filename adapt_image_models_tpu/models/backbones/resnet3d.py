@@ -67,7 +67,12 @@ class NonLocal3d(nn.Module):
                        preferred_element_type=jnp.float32).astype(cdt)
         y = y.reshape(x.shape[:-1] + (inter,))
         y = nn.Conv(c, (1, 1, 1), dtype=cdt, name="conv_out")(y)
-        y = _bn(deterministic, "bn_out")(y)
+        # zero-init the output norm scale: the block is identity at init,
+        # so inserting it into a pretrained backbone is a no-op at step 0
+        # (mmcv NonLocal3d constant_init(..., 0) semantics)
+        y = nn.BatchNorm(use_running_average=deterministic, momentum=0.9,
+                         scale_init=nn.initializers.zeros,
+                         name="bn_out")(y)
         return x + y
 
 

@@ -73,6 +73,7 @@ class BBoxHeadAVA(nn.Module):
         metrics["recall@thr=0.5"] = recall
         metrics["prec@thr=0.5"] = prec
         for k in self.topk:
+            k = min(int(k), probs.shape[-1])  # reference guards k vs classes
             kth = jnp.sort(probs, axis=-1)[:, -k][:, None]
             pred_k = probs >= kth
             r_k, p_k = _recall_prec(pred_k, target_vec, row_mask[:, 0])

@@ -45,7 +45,6 @@ def stpp_train_pool(x: jax.Array, scale_factors: jax.Array,
     stpp_feat (N, C * num_multipliers)) (reference ``ssn_head.py:82-121``).
     """
     stages = [parse_stage_config(c) for c in stpp_cfg]
-    num_multipliers = sum(m for _, m in stages)
     n0, n1, n2 = num_segments_list
     num_segments = n0 + n1 + n2
     c = x.shape[-1]
@@ -57,14 +56,17 @@ def stpp_train_pool(x: jax.Array, scale_factors: jax.Array,
     stage_scales = [sf[:, 0:1], None, sf[:, 1:2]]
 
     parts = []
-    for (stage_parts, _), feat, scale in zip(stages, stage_feats,
-                                             stage_scales):
+    for (stage_parts, stage_mult), feat, scale in zip(stages, stage_feats,
+                                                      stage_scales):
         slen = feat.shape[1]
         for num_parts in stage_parts:
             ticks = np.arange(0, slen + 1e-5, slen / num_parts).astype(int)
             for i in range(num_parts):
+                # each part is divided by its STAGE's multiplier (reference
+                # _extract_stage_feature, ssn_head.py:74-76 — NOT the
+                # global part count)
                 part = jnp.mean(feat[:, ticks[i]:ticks[i + 1]],
-                                axis=1) / num_multipliers
+                                axis=1) / stage_mult
                 if scale is not None:
                     part = part * scale
                 parts.append(part)

@@ -53,7 +53,13 @@ def roi_align(feat: jax.Array, rois: jax.Array, output_size: int,
         ys = y1[:, None] + frac[None, :] * bin_h[:, None]
 
         def bilinear(coords_y, coords_x):
-            # coords: (R, P) each
+            # coords: (R, P) each. mmcv clamps coords in (-1, 0) to the
+            # edge BEFORE computing weights (value = f[0] there), so border
+            # bins of edge-touching boxes match bilinear_interpolate exactly
+            valid = ((coords_y > -1.0) & (coords_y < h) &
+                     (coords_x > -1.0) & (coords_x < w))
+            coords_y = jnp.clip(coords_y, 0.0, None)
+            coords_x = jnp.clip(coords_x, 0.0, None)
             y0 = jnp.floor(coords_y)
             x0 = jnp.floor(coords_x)
             wy1 = coords_y - y0
@@ -63,8 +69,6 @@ def roi_align(feat: jax.Array, rois: jax.Array, output_size: int,
             x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
             x1i = jnp.clip(x0i + 1, 0, w - 1)
             # out-of-range samples contribute zero (mmcv: empty outside)
-            valid = ((coords_y > -1.0) & (coords_y < h) &
-                     (coords_x > -1.0) & (coords_x < w))
             v00 = f[y0i, x0i]
             v01 = f[y0i, x1i]
             v10 = f[y1i, x0i]

@@ -14,7 +14,7 @@ matmuls, which is most of the backward FLOPs.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Sequence, Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -52,7 +52,8 @@ def trainable_mask(params) -> Any:
     return traverse_util.unflatten_dict(mask)
 
 
-def partition_params(params, freeze_backbone: Optional[bool] = None
+def partition_params(params, freeze_backbone: Optional[bool] = None,
+                     frozen_prefixes: Sequence[str] = ()
                      ) -> Tuple[Dict, Dict]:
     """Split into (trainable, frozen) sub-trees.
 
@@ -61,14 +62,29 @@ def partition_params(params, freeze_backbone: Optional[bool] = None
     recipe); models without adapters (plain CNN/transformer baselines, e.g.
     TSN/SlowOnly/C3D) train everything, exactly like the reference's
     non-adapter configs.
+
+    ``frozen_prefixes``: module-path name prefixes (any path segment match
+    like ``"conv1"`` or ``"layer1_"``) forced into the frozen tree — the
+    CNN families' ``frozen_stages`` (without this, the optimizer's weight
+    decay still drifts stop-gradient'd weights).
     """
     flat = traverse_util.flatten_dict(_as_dict(params))
+
+    def prefix_frozen(k):
+        return any(part.startswith(p) for p in frozen_prefixes
+                   for part in k)
+
     if freeze_backbone is None:
         freeze_backbone = any("Adapter" in part for k in flat for part in k)
     if not freeze_backbone:
-        return traverse_util.unflatten_dict(dict(flat)), {}
-    train = {k: v for k, v in flat.items() if is_trainable_path(k)}
-    frozen = {k: v for k, v in flat.items() if not is_trainable_path(k)}
+        train = {k: v for k, v in flat.items() if not prefix_frozen(k)}
+        frozen = {k: v for k, v in flat.items() if prefix_frozen(k)}
+        return (traverse_util.unflatten_dict(train),
+                traverse_util.unflatten_dict(frozen))
+    train = {k: v for k, v in flat.items()
+             if is_trainable_path(k) and not prefix_frozen(k)}
+    frozen = {k: v for k, v in flat.items()
+              if not is_trainable_path(k) or prefix_frozen(k)}
     return traverse_util.unflatten_dict(train), traverse_util.unflatten_dict(frozen)
 
 

@@ -53,12 +53,14 @@ def main():
         # (block_until_ready does not synchronize over the relay). Dispatches
         # are issued back-to-back and fetched at the end — the async-dispatch
         # pipelining any real eval loop gets for free.
-        keys = jax.random.split(jax.random.PRNGKey(batch), 6)
+        keys = jax.random.split(jax.random.PRNGKey(batch), 7)
+        warm = jax.random.normal(keys[0], (batch, 3, 8, 224, 224),
+                                 jnp.bfloat16)
         xs = [jax.random.normal(k, (batch, 3, 8, 224, 224), jnp.bfloat16)
-              for k in keys]
+              for k in keys[1:]]
         for attempt in (1, 2):  # retry once on transient relay errors
             try:
-                float(fwd(params, xs[0]).sum())  # compile + warmup
+                float(fwd(params, warm).sum())  # compile + warmup
                 t0 = time.perf_counter()
                 outs = [fwd(params, x) for x in xs]
                 _ = sum(float(o.sum()) for o in outs)

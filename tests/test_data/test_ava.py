@@ -238,3 +238,37 @@ def test_acrn_head_relation_features():
     out2, mut = head.apply(v, roi, feat, deterministic=False,
                            mutable=["batch_stats"])
     assert "batch_stats" in mut
+
+
+def test_train_detector_auto_resume(ava_root, tmp_path):
+    """auto_resume restores the detector state and epoch (review fix)."""
+    from adapt_image_models_tpu.apis.detection import train_detector
+    from adapt_image_models_tpu.parallel.mesh import make_mesh
+    cfg = dict(
+        model=dict(
+            type="FastRCNN",
+            backbone=dict(type="ResNet3dSlowOnly", stage_blocks=(1,),
+                          inflate=(0,), num_stages=1,
+                          spatial_strides=(1,)),
+            roi_head=dict(
+                bbox_roi_extractor=dict(type="SingleRoIExtractor3D",
+                                        featmap_stride=4, output_size=4),
+                bbox_head=dict(type="BBoxHeadAVA", in_channels=64,
+                               num_classes=NUM_CLASSES, topk=(1,))),
+            train_cfg=dict(rcnn=dict(pos_weight=1.0)),
+            test_cfg=dict(rcnn=dict(action_thr=0.002))),
+        data=dict(videos_per_gpu=1, workers_per_gpu=1,
+                  train=_dataset_cfg(ava_root)),
+        optimizer=dict(type="SGD", lr=0.01),
+        lr_config=dict(policy="CosineAnnealing", min_lr=0),
+        total_epochs=1, checkpoint_config=dict(interval=1),
+        log_config=dict(interval=1),
+        work_dir=str(tmp_path / "work"))
+    mesh = make_mesh(data=2, model=4)
+    state1, _ = train_detector(cfg, max_steps=1, seed=0, mesh=mesh)
+    # resume: epoch 1 checkpoint exists, so the run starts at epoch 1 == end
+    cfg2 = dict(cfg, total_epochs=1)
+    state2, history2 = train_detector(cfg2, max_steps=1, seed=0, mesh=mesh,
+                                      auto_resume=True)
+    assert int(state2.step) >= int(state1.step)
+    assert history2 == [] or np.isfinite(history2[-1]["loss"])

@@ -148,3 +148,24 @@ def test_resnet_audio():
     variables = model.init(jax.random.PRNGKey(0), x)
     out = model.apply(variables, x)
     assert out.shape == (2, 1024)  # 32 * 2**3 * 4
+
+
+def test_frozen_stages_excluded_from_trainable_partition():
+    """frozen_stages weights must sit in the FROZEN tree (weight decay on
+    the trainable tree would drift stop-gradient'd params otherwise)."""
+    import jax
+    import jax.numpy as jnp
+    from adapt_image_models_tpu.models import build_backbone
+    from adapt_image_models_tpu.parallel.partition import partition_params
+    bb = build_backbone(dict(type="ResNet3dSlowOnly", stage_blocks=(1, 1),
+                             inflate=(0, 1), frozen_stages=1))
+    v = bb.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 4, 32, 32)))
+    prefixes = ("conv1", "bn1", "layer1_")
+    trainable, frozen = partition_params(v["params"],
+                                         frozen_prefixes=prefixes)
+    from flax import traverse_util
+    tkeys = {"/".join(k) for k in traverse_util.flatten_dict(trainable)}
+    fkeys = {"/".join(k) for k in traverse_util.flatten_dict(frozen)}
+    assert any(k.startswith("layer2_") for k in tkeys)
+    assert all(not k.startswith(("conv1", "bn1", "layer1_")) for k in tkeys)
+    assert any(k.startswith("layer1_") for k in fkeys)

@@ -41,11 +41,12 @@ def test_stpp_train_pool_semantics():
     # activity = course-stage mean
     np.testing.assert_allclose(np.asarray(act), xr[:, 2:7].mean(1),
                                rtol=1e-5)
-    # stpp parts: each stage mean / num_multipliers (scale factor 1)
+    # stpp parts: each stage mean / its STAGE multiplier (1 here —
+    # reference ssn_head.py:74-76 divides per stage, not by the global sum)
     np.testing.assert_allclose(np.asarray(stpp[:, :C]),
-                               xr[:, :2].mean(1) / 3, rtol=1e-5)
+                               xr[:, :2].mean(1), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(stpp[:, 2 * C:]),
-                               xr[:, 7:].mean(1) / 3, rtol=1e-5)
+                               xr[:, 7:].mean(1), rtol=1e-5)
 
 
 def test_ohem_hinge_loss_selects_hard_examples():
