@@ -79,7 +79,8 @@ def create_train_state(params, tx: optax.GradientTransformation,
 
 def make_train_step(model, tx: optax.GradientTransformation,
                     prepare_fn: Optional[Callable] = None,
-                    blending: Optional[Callable] = None) -> Callable:
+                    blending: Optional[Callable] = None,
+                    shard_mesh=None, data_axis: str = "data") -> Callable:
     """Returns ``train_step(state, batch, rng) -> (state, metrics)``.
 
     ``batch``: {'imgs': (B, V, T, H, W, C) uint8 or pre-prepared floats,
@@ -90,12 +91,30 @@ def make_train_step(model, tx: optax.GradientTransformation,
     (reference BaseHead semantics — e.g. the HVU recipes'
     ``BCELossWithLogits(loss_weight=333)``); otherwise hard/soft cross
     entropy by target shape.
+
+    ``shard_mesh``: when given, the forward/backward runs inside
+    ``shard_map`` over ``data_axis`` with explicit ``pmean`` of loss/grads/
+    metrics (the reference's DDP gradient all-reduce, made explicit).
+    Required for the Pallas-kernel model variants on a multi-device mesh —
+    a bare ``pallas_call`` cannot be auto-partitioned by GSPMD, so the
+    kernel must run per-shard on the device-local batch. Params must be
+    replicated under this mode (the frozen TP layout needs the GSPMD path,
+    i.e. ``attention_core='xla'``).
     """
     custom_loss = None
+    custom_loss_mask_keys = ()
     head_cfg = getattr(model, "cls_head", None)
     if isinstance(head_cfg, dict) and head_cfg.get("loss_cls"):
+        import inspect
+
         from adapt_image_models_tpu.models.builder import build_loss
         custom_loss = build_loss(dict(head_cfg["loss_cls"]))
+        try:
+            sig = inspect.signature(custom_loss)
+            custom_loss_mask_keys = tuple(
+                k for k in ("mask", "category_mask") if k in sig.parameters)
+        except (TypeError, ValueError):
+            custom_loss_mask_keys = ()
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array],
                    rng: jax.Array) -> Tuple[TrainState, Dict[str, jax.Array]]:
@@ -115,43 +134,83 @@ def make_train_step(model, tx: optax.GradientTransformation,
             targets = labels
 
         has_model_state = bool(jax.tree_util.tree_leaves(state.model_state))
+        mask_kw = {k: batch[k] for k in custom_loss_mask_keys if k in batch}
 
-        def loss_fn(trainable):
-            # stop_gradient on the frozen tree: without it, AD still emits
-            # (and scan accumulates) weight-gradient matmuls for every
-            # frozen CLIP projection — pure waste, since only the adapter
-            # partition is optimized. Cutting them at trace time drops the
-            # backward's dW cost for the big matmuls entirely.
-            frozen = jax.tree_util.tree_map(jax.lax.stop_gradient,
-                                            state.frozen)
-            params = merge_params(trainable, frozen)
-            variables = {"params": params, **state.model_state}
-            if has_model_state:
-                logits, new_mstate = model.apply(
-                    variables, imgs, deterministic=False,
-                    rngs={"dropout": rng_drop},
-                    mutable=list(state.model_state.keys()))
-            else:
-                logits = model.apply(variables, imgs, deterministic=False,
-                                     rngs={"dropout": rng_drop})
-                new_mstate = state.model_state
-            if custom_loss is not None:
-                loss = custom_loss(logits, targets)
-            elif targets.ndim == logits.ndim:
-                loss = soft_cross_entropy(logits, targets)
-            else:
-                loss = cross_entropy(logits, targets)
-            return loss, (logits, new_mstate)
+        def compute(trainable, frozen_in, model_state, imgs, targets,
+                    labels, mask_kw, rng_drop):
+            """loss + grads + metric sums for one (possibly local) batch."""
 
-        (loss, (logits, new_mstate)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.trainable)
+            def loss_fn(trainable):
+                # stop_gradient on the frozen tree: without it, AD still
+                # emits (and scan accumulates) weight-gradient matmuls for
+                # every frozen CLIP projection — pure waste, since only the
+                # adapter partition is optimized. Cutting them at trace time
+                # drops the backward's dW cost for the big matmuls entirely.
+                frozen = jax.tree_util.tree_map(jax.lax.stop_gradient,
+                                                frozen_in)
+                params = merge_params(trainable, frozen)
+                variables = {"params": params, **model_state}
+                if has_model_state:
+                    logits, new_mstate = model.apply(
+                        variables, imgs, deterministic=False,
+                        rngs={"dropout": rng_drop},
+                        mutable=list(model_state.keys()))
+                else:
+                    logits = model.apply(variables, imgs,
+                                         deterministic=False,
+                                         rngs={"dropout": rng_drop})
+                    new_mstate = model_state
+                if custom_loss is not None:
+                    # wire HVU-style mask/category_mask from the batch
+                    loss = custom_loss(logits, targets, **mask_kw)
+                    if isinstance(loss, dict):
+                        # dict-valued losses (HVULoss) report sub-losses;
+                        # the optimized scalar is 'loss_cls' (reference
+                        # ``_parse_losses``, recognizers/base.py:210-244)
+                        loss = loss["loss_cls"]
+                elif targets.ndim == logits.ndim:
+                    loss = soft_cross_entropy(logits, targets)
+                else:
+                    loss = cross_entropy(logits, targets)
+                return loss, (logits, new_mstate)
+
+            (loss, (logits, new_mstate)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(trainable)
+            # multi-hot labels (multi_class heads): score top-k against the
+            # strongest tag (reference BaseHead skips accuracy entirely)
+            acc_labels = labels if labels.ndim == 1 else jnp.argmax(labels, -1)
+            top1, top5 = device_topk_accuracy(logits, acc_labels, (1, 5))
+            return loss, grads, new_mstate, top1, top5
+
+        if shard_mesh is None:
+            loss, grads, new_mstate, top1, top5 = compute(
+                state.trainable, state.frozen, state.model_state, imgs,
+                targets, labels, mask_kw, rng_drop)
+        else:
+            from jax.sharding import PartitionSpec as PS
+            shard_map = jax.shard_map
+
+            def local_compute(trainable, frozen, model_state, imgs,
+                              targets, labels, mask_kw, rng_drop):
+                # decorrelate dropout / drop-path across data shards
+                rng_local = jax.random.fold_in(
+                    rng_drop, jax.lax.axis_index(data_axis))
+                out = compute(trainable, frozen, model_state, imgs,
+                              targets, labels, mask_kw, rng_local)
+                # DDP semantics: pmean of loss/grads/metrics (equal shards)
+                return jax.tree_util.tree_map(
+                    lambda t: jax.lax.pmean(t, data_axis), out)
+
+            loss, grads, new_mstate, top1, top5 = shard_map(
+                local_compute, mesh=shard_mesh,
+                in_specs=(PS(), PS(), PS(), PS(data_axis), PS(data_axis),
+                          PS(data_axis), PS(data_axis), PS()),
+                out_specs=PS(), check_vma=False,
+            )(state.trainable, state.frozen, state.model_state, imgs,
+              targets, labels, mask_kw, rng_drop)
+
         updates, new_opt = tx.update(grads, state.opt_state, state.trainable)
         new_trainable = optax.apply_updates(state.trainable, updates)
-
-        # multi-hot labels (multi_class heads): score top-k against the
-        # strongest tag (the reference's BaseHead skips accuracy entirely)
-        acc_labels = labels if labels.ndim == 1 else jnp.argmax(labels, -1)
-        top1, top5 = device_topk_accuracy(logits, acc_labels, (1, 5))
         metrics = {
             "loss": loss,
             "top1_acc": top1,
@@ -168,19 +227,35 @@ def make_train_step(model, tx: optax.GradientTransformation,
 
 
 def make_eval_step(model, prepare_fn: Optional[Callable] = None,
-                   average_clips: str = "prob") -> Callable:
+                   average_clips: str = "prob",
+                   shard_mesh=None, data_axis: str = "data") -> Callable:
     """Returns ``eval_step(params, imgs) -> (B, C) scores`` with on-device
     multi-view aggregation (no host round-trips, unlike ``apis/test.py``'s
-    pickled all_gather)."""
+    pickled all_gather).
+
+    ``shard_mesh``: run the forward inside ``shard_map`` over ``data_axis``
+    (scores stay batch-sharded). Required for Pallas-kernel variants on a
+    multi-device mesh — see ``make_train_step``."""
     from adapt_image_models_tpu.models.recognizers.recognizer3d import average_clip
+
+    def forward(params, model_state, imgs):
+        num_views = imgs.shape[1] if imgs.ndim == 6 else 1
+        logits = model.apply({"params": params, **model_state}, imgs,
+                             deterministic=True)
+        return average_clip(logits, num_views, average_clips)
 
     def eval_step(params, imgs):
         params, model_state = split_variables(params)
         if prepare_fn is not None:
             imgs = prepare_fn(imgs)
-        num_views = imgs.shape[1] if imgs.ndim == 6 else 1
-        logits = model.apply({"params": params, **model_state}, imgs,
-                             deterministic=True)
-        return average_clip(logits, num_views, average_clips)
+        if shard_mesh is None:
+            return forward(params, model_state, imgs)
+        from jax.sharding import PartitionSpec as PS
+        shard_map = jax.shard_map
+        return shard_map(
+            forward, mesh=shard_mesh,
+            in_specs=(PS(), PS(), PS(data_axis)),
+            out_specs=PS(data_axis), check_vma=False,
+        )(params, model_state, imgs)
 
     return eval_step

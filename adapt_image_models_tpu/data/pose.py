@@ -179,9 +179,12 @@ def flip_kp(kp: np.ndarray, img_w: int,
             left_kp: Sequence[int] = COCO_LEFT_KP,
             right_kp: Sequence[int] = COCO_RIGHT_KP) -> np.ndarray:
     """Horizontal flip + left/right channel swap (the keypoint branch of
-    the reference ``Flip``, ``augmentations.py:1246``)."""
+    the reference ``Flip``, ``augmentations.py:1246``). Only nonzero x
+    coordinates flip (``augmentations.py:1301``): x == 0 marks a missing
+    keypoint, which must not become a phantom point at ``img_w``."""
     kp = kp.copy()
-    kp[..., 0] = img_w - kp[..., 0]
+    nz = kp[..., 0] != 0
+    kp[..., 0] = np.where(nz, img_w - kp[..., 0], kp[..., 0])
     order = np.arange(kp.shape[-2])
     for l, r in zip(left_kp, right_kp):
         order[l], order[r] = r, l

@@ -339,13 +339,17 @@ class SSNDataset:
                         p.end_frame / num_frames))
             ssf, esf = self._stage_scale_factors(p, num_frames)
             sfs.append((ssf, esf))
-            duration = p.end_frame - p.start_frame
-            s0 = (p.start_frame - int(duration * self.aug_ratio[0]))
-            e1 = (p.end_frame + int(duration * self.aug_ratio[1]))
-            to_tick = lambda f: int(np.clip(f // self.test_interval, 0,
-                                            num_snippets))
-            ticks.append((to_tick(s0), to_tick(p.start_frame),
-                          to_tick(p.end_frame), to_tick(e1)))
+            # ticks = relative position x num snippets (reference
+            # ``ssn_dataset.py:864-866``), NOT frame // test_interval: with
+            # clip_len * frame_interval > 1 the latter skews late by up to
+            # ori_clip_len / test_interval snippets
+            rel0 = p.start_frame / num_frames
+            rel1 = p.end_frame / num_frames
+            rd = rel1 - rel0
+            rs = max(0.0, rel0 - rd * self.aug_ratio[0])
+            re_ = min(1.0, rel1 + rd * self.aug_ratio[1])
+            ticks.append(tuple(int(v * num_snippets)
+                               for v in (rs, rel0, rel1, re_)))
         return dict(
             video_id=info["video_id"],
             frame_dir=info["frame_dir"],

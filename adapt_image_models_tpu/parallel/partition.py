@@ -63,16 +63,26 @@ def partition_params(params, freeze_backbone: Optional[bool] = None,
     TSN/SlowOnly/C3D) train everything, exactly like the reference's
     non-adapter configs.
 
-    ``frozen_prefixes``: module-path name prefixes (any path segment match
-    like ``"conv1"`` or ``"layer1_"``) forced into the frozen tree — the
-    CNN families' ``frozen_stages`` (without this, the optimizer's weight
-    decay still drifts stop-gradient'd weights).
+    ``frozen_prefixes``: module-path name prefixes (e.g. ``"conv1"`` or
+    ``"layer1_"``) forced into the frozen tree — the CNN families'
+    ``frozen_stages`` (without this, the optimizer's weight decay still
+    drifts stop-gradient'd weights). The match is anchored to the backbone
+    sub-tree when the tree has a top-level ``backbone`` key: a head/neck
+    module whose name happens to start with ``conv1`` (e.g. ACRNHead's
+    ``conv1_conv``) must stay trainable. Within the backbone (or a bare
+    backbone tree) any segment may match, so multi-pathway backbones
+    (SlowFast's ``slow_path/conv1``) still freeze correctly.
     """
     flat = traverse_util.flatten_dict(_as_dict(params))
+    anchored = any(k and k[0] == "backbone" for k in flat)
 
     def prefix_frozen(k):
+        parts = k[1:] if anchored and k and k[0] == "backbone" else (
+            None if anchored else k)
+        if parts is None:
+            return False
         return any(part.startswith(p) for p in frozen_prefixes
-                   for part in k)
+                   for part in parts)
 
     if freeze_backbone is None:
         freeze_backbone = any("Adapter" in part for k in flat for part in k)

@@ -59,7 +59,10 @@ void paint(const AVFrameSideData* sd, int height, int width, int8_t* dst) {
     int sx = (int)v.dst_x - v.w / 2;
     int sy = (int)v.dst_y - v.h / 2;
     int ex = sx + v.w, ey = sy + v.h;
-    if (sx < 0 || ex > width || sy < 0 || ey > height) continue;
+    // strict end bound (ex >= width drops edge-touching blocks): exactly
+    // the reference's _parse_vectors condition `ex < width and ey < height`
+    // (PyAVDecodeMotionVector, loading.py:880)
+    if (sx < 0 || ex >= width || sy < 0 || ey >= height) continue;
     int8_t cx = (int8_t)std::clamp(dx, -128, 127);
     int8_t cy = (int8_t)std::clamp(dy, -128, 127);
     for (int y = sy; y < ey; ++y) {
