@@ -90,3 +90,118 @@ def melspectrogram(y: np.ndarray, sr: int = 16000, n_fft: int = 400,
         else:
             mel = np.pad(mel, ((0, fixed_frames - mel.shape[0]), (0, 0)))
     return mel.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Compiled audio sample preparation (the audio analog of
+# ``data/pipeline.build_sample_processor``). Parses the mmaction-style
+# pipeline config once; per-sample work is pure numpy over an explicit rng.
+
+
+class AudioSampleProcessor:
+    """Compile an audio pipeline config into ``(info, rng) -> (audios, label)``.
+
+    Supported steps (reference ``pipelines/loading.py`` /
+    ``augmentations.py``):
+      AudioDecodeInit / LoadAudioFeature  (mode selection)
+      SampleFrames                        (frame-index sampling)
+      AudioDecode(fixed_length)           (wav window per clip, ``:1371``)
+      AudioFeatureSelector(fixed_length)  (feature rows per clip, ``:1462``)
+      AudioAmplify(ratio)                 (train gain jitter, ``:1975``)
+      MelSpectrogram(...)                 (log-mel, ``:2011``)
+      FormatAudioShape('NCTF')            (final layout, ``formating.py:338``)
+    """
+
+    def __init__(self, pipeline_cfg):
+        from adapt_image_models_tpu.data.sampling import SampleFrames
+        self.mode = "wav"
+        self.sampler = None
+        self.fixed_length = 32000
+        self.feat_fixed_length = 128
+        self.amplify_ratio = None
+        self.mel_cfg = None
+        self.fmt = "NCTF"
+        for step in pipeline_cfg:
+            t = step["type"]
+            kw = {k: v for k, v in step.items() if k != "type"}
+            if t in ("AudioDecodeInit",):
+                self.mode = "wav"
+            elif t == "LoadAudioFeature":
+                self.mode = "feature"
+                if "pad_method" in kw:
+                    assert kw["pad_method"] in ("zero", "random")
+            elif t == "SampleFrames":
+                self.sampler = SampleFrames(**{
+                    k: v for k, v in kw.items()
+                    if k in ("clip_len", "frame_interval", "num_clips",
+                             "temporal_jitter", "twice_sample",
+                             "out_of_bound_opt", "test_mode",
+                             "frame_uniform")})
+            elif t == "AudioDecode":
+                self.fixed_length = int(kw.get("fixed_length", 32000))
+            elif t == "AudioFeatureSelector":
+                self.feat_fixed_length = int(kw.get("fixed_length", 128))
+            elif t == "AudioAmplify":
+                self.amplify_ratio = float(kw.get("ratio", 0.5))
+            elif t == "MelSpectrogram":
+                self.mel_cfg = kw
+            elif t == "FormatAudioShape":
+                self.fmt = kw.get("input_format", "NCTF")
+            elif t in ("Collect", "ToTensor", "Normalize"):
+                continue
+            else:
+                raise KeyError(f"unsupported audio pipeline step {t}")
+        if self.sampler is None:
+            raise ValueError("audio pipeline needs a SampleFrames step")
+
+    def _clip_windows(self, frame_inds, total_frames, length):
+        """Reference window mapping (``loading.py:1389-1404``)."""
+        n_clips = self.sampler.views
+        frame_inds = np.asarray(frame_inds).reshape(n_clips, -1)
+        spans = []
+        for clip in frame_inds:
+            s = max(0, int(round((clip[0] + 1) / total_frames * length)))
+            e = min(length,
+                    int(round((clip[-1] + 1) / total_frames * length)))
+            spans.append((s, e))
+        return spans
+
+    def __call__(self, info, rng):
+        total_frames = int(info["total_frames"])
+        frame_inds = self.sampler(total_frames,
+                                  info.get("start_index", 0), rng=rng)
+        if self.mode == "feature":
+            feats = np.load(info["audio_path"]).astype(np.float32)
+            length = feats.shape[0]
+            clips = []
+            for s, e in self._clip_windows(frame_inds, total_frames, length):
+                win = feats[s:e]
+                if win.shape[0] >= self.feat_fixed_length:
+                    win = win[:self.feat_fixed_length]
+                else:
+                    win = np.pad(win, ((0, self.feat_fixed_length
+                                        - win.shape[0]), (0, 0)))
+                clips.append(win)
+            audios = np.stack(clips)  # (S, T, F)
+        else:
+            y, sr = load_wav(info["audio_path"])
+            length = len(y)
+            clips = []
+            for s, e in self._clip_windows(frame_inds, total_frames, length):
+                win = y[s:e]
+                if win.shape[0] >= self.fixed_length:
+                    win = win[:self.fixed_length]
+                else:
+                    win = np.pad(win, (0, self.fixed_length - win.shape[0]))
+                if self.amplify_ratio is not None and not self.sampler.test_mode:
+                    win = amplify(win, rng, self.amplify_ratio)
+                mel_kw = dict(self.mel_cfg or {})
+                mel_kw.setdefault("sr", sr)
+                mel_kw.setdefault("fixed_frames",
+                                  self.fixed_length // mel_kw.get(
+                                      "hop_length", 160) + 1)
+                clips.append(melspectrogram(win, **mel_kw))
+            audios = np.stack(clips)  # (S, T, F)
+        if self.fmt != "NCTF":
+            raise NotImplementedError(f"FormatAudioShape {self.fmt}")
+        return audios[:, None].astype(np.float32)  # (S, 1, T, F)

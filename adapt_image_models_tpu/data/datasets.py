@@ -145,6 +145,51 @@ class AudioDataset(BaseVideoDataset):
                                   start_index=self.start_index))
         return infos
 
+    def prepare_sample(self, idx: int, rng=None) -> Dict[str, Any]:
+        from adapt_image_models_tpu.data.audio import AudioSampleProcessor
+        if not hasattr(self, "_audio_proc"):
+            self._audio_proc = AudioSampleProcessor(self.pipeline)
+        rng = rng if rng is not None else np.random.default_rng()
+        info = self.video_infos[idx]
+        audios = self._audio_proc(info, rng)
+        return {"imgs": audios, "label": info["label"]}
+
+
+@DATASETS.register_module()
+class AudioFeatureDataset(AudioDataset):
+    """Pre-extracted ``.npy`` log-mel features (reference
+    ``mmaction/datasets/audio_feature_dataset.py:9`` — rawframe-style
+    ``<path> <total_frames> <label...>`` lines, path suffixed with
+    ``suffix`` when missing)."""
+
+    def __init__(self, *args, suffix: str = ".npy", **kw):
+        self.suffix = suffix
+        super().__init__(*args, **kw)
+
+    def load_annotations(self):
+        infos = []
+        with open(self.ann_file) as f:
+            for line in f:
+                parts = line.strip().split()
+                if not parts:
+                    continue
+                path = parts[0]
+                if self.data_prefix:
+                    path = osp.join(self.data_prefix, path)
+                if self.suffix and not path.endswith(self.suffix):
+                    path += self.suffix
+                if self.multi_class:
+                    if self.num_classes is None:
+                        raise ValueError("multi_class requires num_classes")
+                    label = np.zeros(self.num_classes, np.float32)
+                    label[[int(x) for x in parts[2:]]] = 1.0
+                else:
+                    label = int(parts[2])
+                infos.append(dict(audio_path=path,
+                                  total_frames=int(parts[1]), label=label,
+                                  start_index=self.start_index))
+        return infos
+
 
 @DATASETS.register_module()
 class RawframeDataset(BaseVideoDataset):
@@ -184,6 +229,75 @@ class RawframeDataset(BaseVideoDataset):
                                   start_index=self.start_index,
                                   modality=self.modality))
         return infos
+
+
+@DATASETS.register_module()
+class AudioVisualDataset(RawframeDataset):
+    """Joint audio + visual samples (reference
+    ``mmaction/datasets/audio_visual_dataset.py:9``): rawframe-style
+    annotations, with ``audio_prefix``/``video_prefix`` resolving the
+    per-sample ``.npy`` audio feature and optional ``.mp4``.
+
+    ``prepare_sample`` splits the pipeline config into audio steps
+    (``Audio*``/``LoadAudioFeature``/``MelSpectrogram``/``FormatAudioShape``)
+    and visual steps; both consume an rng restored to the same state, so
+    the shared leading ``SampleFrames`` draws identical frame indices —
+    the reference's single results-dict pipeline, decomposed."""
+
+    def __init__(self, ann_file, pipeline=None, audio_prefix: str = "",
+                 video_prefix: str = "", **kw):
+        self.audio_prefix = audio_prefix
+        self.video_prefix = video_prefix
+        super().__init__(ann_file, pipeline=pipeline, **kw)
+
+    def load_annotations(self):
+        infos = super().load_annotations()
+        for info in infos:
+            rel = osp.relpath(info["frame_dir"], self.data_prefix) \
+                if self.data_prefix else info["frame_dir"]
+            if self.audio_prefix:
+                info["audio_path"] = osp.join(self.audio_prefix,
+                                              rel + ".npy")
+            if self.video_prefix:
+                info["filename"] = osp.join(self.video_prefix, rel + ".mp4")
+        return infos
+
+    _AUDIO_STEPS = ("AudioDecodeInit", "LoadAudioFeature", "AudioDecode",
+                    "AudioFeatureSelector", "AudioAmplify", "MelSpectrogram",
+                    "FormatAudioShape")
+
+    def prepare_sample(self, idx: int, rng=None) -> Dict[str, Any]:
+        from adapt_image_models_tpu.data.audio import AudioSampleProcessor
+        from adapt_image_models_tpu.data.pipeline import build_sample_processor
+        from adapt_image_models_tpu.data.video_reader import RawFrameReader
+        if not hasattr(self, "_av_procs"):
+            audio_steps = [s for s in self.pipeline
+                           if s["type"] in self._AUDIO_STEPS
+                           or s["type"] == "SampleFrames"]
+            visual_steps = [s for s in self.pipeline
+                            if s["type"] not in self._AUDIO_STEPS]
+            self._av_procs = (AudioSampleProcessor(audio_steps),
+                              build_sample_processor(visual_steps))
+        audio_proc, visual_proc = self._av_procs
+        rng = rng if rng is not None else np.random.default_rng()
+        info = self.video_infos[idx]
+        state = rng.bit_generator.state
+        if "filename" in info:
+            clips, label = visual_proc(info["filename"], info["label"],
+                                       rng=rng,
+                                       start_index=info.get("start_index", 0))
+        else:
+            reader = RawFrameReader(
+                info["frame_dir"], info["total_frames"],
+                filename_tmpl=info.get("filename_tmpl", "img_{:05}.jpg"),
+                start_index=info.get("start_index", 1))
+            clips, label = visual_proc(reader, info["label"], rng=rng,
+                                       total_frames=info["total_frames"],
+                                       start_index=info.get("start_index", 1))
+        rng2 = np.random.default_rng()
+        rng2.bit_generator.state = state  # replay -> same frame indices
+        audios = audio_proc(info, rng2)
+        return {"imgs": clips, "audios": audios, "label": label}
 
 
 @DATASETS.register_module()

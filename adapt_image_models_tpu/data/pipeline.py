@@ -55,6 +55,8 @@ class SampleProcessor:
                 crops = 3
             elif name == "TenCrop":
                 crops = 10
+            elif name == "MultiGroupCrop":
+                crops = kw.get("groups", 1)
         return self.sampler.views * crops
 
     def output_size(self) -> Tuple[int, int]:
@@ -63,10 +65,12 @@ class SampleProcessor:
         for name, kw in self.steps:
             if name == "Resize" and not kw.get("keep_ratio_short", False):
                 size = kw["size"]
-            elif name in ("CenterCrop", "RandomCrop", "ThreeCrop", "TenCrop"):
+            elif name in ("CenterCrop", "RandomCrop", "ThreeCrop", "TenCrop",
+                          "MultiGroupCrop"):
                 size = kw["crop_size"]
-            elif name in ("RandomResizedCrop", "MultiScaleCrop"):
-                size = None  # followed by a fixed Resize in valid configs
+            elif name in ("RandomResizedCrop", "MultiScaleCrop",
+                          "RandomRescale", "RandomScale"):
+                size = None  # followed by a fixed resize/crop in valid configs
         if size is None:
             raise ValueError("pipeline does not end at a fixed spatial size")
         return size
@@ -143,6 +147,38 @@ class SampleProcessor:
                         c = v[:, y:y + ch, x:x + cw]
                         new_views.append(c)
                         new_views.append(TH.flip_clip(c))
+                elif name == "MultiGroupCrop":
+                    ch, cw = kw["crop_size"]
+                    for _ in range(kw.get("groups", 1)):
+                        bbox = TH.random_crop_bbox(rng, hw, (cw, ch))
+                        new_views.append(TH.crop_clip(v, bbox))
+                elif name == "RandomRescale":
+                    lo, hi = kw["scale_range"]
+                    short = int(rng.integers(lo, hi + 1))
+                    new_views.append(TH.rescale_short_side(v, short))
+                elif name == "RandomScale":
+                    scales = kw["scales"]
+                    if len(scales) == 1:
+                        scale = scales[0]
+                    elif len(scales) == 2 and kw.get("mode",
+                                                     "range") == "range":
+                        longs = [max(s) for s in scales]
+                        shorts = [min(s) for s in scales]
+                        scale = (int(rng.integers(min(longs),
+                                                  max(longs) + 1)),
+                                 int(rng.integers(min(shorts),
+                                                  max(shorts) + 1)))
+                    else:
+                        scale = scales[int(rng.integers(len(scales)))]
+                    # mmcv rescale semantics: fit within (long, short)
+                    # keeping aspect ratio (reference augmentations.py:510
+                    # -> Resize keep_ratio=True)
+                    long_e, short_e = max(scale), min(scale)
+                    h0, w0 = hw
+                    f = min(long_e / max(h0, w0), short_e / min(h0, w0))
+                    new_views.append(TH.resize_clip(
+                        v, (max(1, int(w0 * f + 0.5)),
+                            max(1, int(h0 * f + 0.5)))))
                 elif name == "Flip":
                     ratio = kw.get("flip_ratio", 0.5)
                     if not self.test_mode and ratio and rng.random() < ratio:
@@ -229,8 +265,11 @@ def build_sample_processor(pipeline_cfg: Sequence[Dict[str, Any]],
                                              size=(h, w))))
             continue
         if t in ("CenterCrop", "RandomCrop", "ThreeCrop", "TenCrop"):
-            ch, cw = _pair(item["crop_size"])[::-1] if isinstance(
-                item["crop_size"], (tuple, list)) else _pair(item["crop_size"])
+            # reference RandomCrop spells its crop size 'size'
+            # (augmentations.py:578); the others use 'crop_size'
+            cs = item["size"] if "size" in item else item["crop_size"]
+            ch, cw = (_pair(cs)[::-1] if isinstance(cs, (tuple, list))
+                      else _pair(cs))
             steps.append((t, dict(crop_size=(ch, cw))))
             continue
         if t == "RandomResizedCrop":
@@ -238,6 +277,21 @@ def build_sample_processor(pipeline_cfg: Sequence[Dict[str, Any]],
                 area_range=tuple(item.get("area_range", (0.08, 1.0))),
                 aspect_ratio_range=tuple(item.get("aspect_ratio_range",
                                                   (3 / 4, 4 / 3))))))
+            continue
+        if t == "MultiGroupCrop":
+            cw, ch = _pair(item["crop_size"])  # reference order: (w, h)
+            steps.append((t, dict(crop_size=(ch, cw),
+                                  groups=int(item.get("groups", 1)))))
+            continue
+        if t == "RandomRescale":
+            steps.append((t, dict(
+                scale_range=tuple(item["scale_range"]))))
+            continue
+        if t == "RandomScale":
+            steps.append((t, dict(
+                scales=tuple(tuple(s) if isinstance(s, (tuple, list))
+                             else (s, s) for s in item["scales"]),
+                mode=item.get("mode", "range"))))
             continue
         if t == "MultiScaleCrop":
             steps.append((t, dict(

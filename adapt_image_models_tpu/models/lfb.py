@@ -31,14 +31,62 @@ def save_lfb(path: str, bank: Dict[str, Dict[int, np.ndarray]],
     np.savez_compressed(path, **flat)
 
 
+def save_lfb_mmap(path_prefix: str, bank: Dict[str, Dict[int, np.ndarray]],
+                  half_precision: bool = True) -> None:
+    """Memory-mapped storage for AVA-scale banks (tens of GB — the
+    reference's lmdb device, ``common/lfb.py:60-90``): one flat
+    ``<prefix>.rows.npy`` (N_total, C) + ``<prefix>.index.npz`` with
+    ``"<video_id>,<sec>"`` -> (offset, count). Readers touch only the rows
+    they sample."""
+    keys, offsets, counts, rows = [], [], [], []
+    off = 0
+    for video_id, secs in bank.items():
+        for sec, feats in secs.items():
+            feats = np.asarray(feats)
+            keys.append(f"{video_id},{int(sec)}")
+            offsets.append(off)
+            counts.append(len(feats))
+            rows.append(feats)
+            off += len(feats)
+    flat = np.concatenate(rows, axis=0).astype(
+        np.float16 if half_precision else np.float32)
+    np.save(path_prefix + ".rows.npy", flat)
+    np.savez(path_prefix + ".index.npz", keys=np.asarray(keys),
+             offsets=np.asarray(offsets, np.int64),
+             counts=np.asarray(counts, np.int64))
+
+
+class _MmapMode:
+    """One dataset mode backed by a row memmap + key index."""
+
+    def __init__(self, path_prefix: str):
+        self.rows = np.load(path_prefix + ".rows.npy", mmap_mode="r")
+        with np.load(path_prefix + ".index.npz") as z:
+            self.index = {str(k): (int(o), int(c)) for k, o, c in
+                          zip(z["keys"], z["offsets"], z["counts"])}
+
+    def get(self, key: str) -> Optional[np.ndarray]:
+        oc = self.index.get(key)
+        if oc is None:
+            return None
+        off, cnt = oc
+        return self.rows[off:off + cnt]
+
+
 class LFB:
+    """``backend='ram'`` loads the whole bank (reference device='gpu'/'cpu');
+    ``backend='mmap'`` memory-maps the row file and reads only sampled rows
+    (reference device='lmdb' for banks too big for RAM);
+    ``backend='auto'`` uses mmap files when present, npz otherwise."""
+
     def __init__(self,
                  lfb_prefix_path: str,
                  max_num_sampled_feat: int = 5,
                  window_size: int = 60,
                  lfb_channels: int = 2048,
                  dataset_modes: Sequence[str] = ("train", "val"),
-                 seed: int = 0):
+                 seed: int = 0,
+                 backend: str = "auto"):
         if not osp.exists(lfb_prefix_path):
             raise ValueError(
                 f"lfb prefix path {lfb_prefix_path} does not exist!")
@@ -50,11 +98,16 @@ class LFB:
             dataset_modes = (dataset_modes,)
         self.rng = np.random.default_rng(seed)
 
-        # {video_id: {sec: (n, C)}}
-        self.lfb: Dict[str, Dict[int, np.ndarray]] = {}
+        self.lfb: Dict[str, Dict[int, np.ndarray]] = {}  # ram backend
+        self._mmap_modes = []
         for mode in dataset_modes:
-            path = osp.normpath(osp.join(lfb_prefix_path, f"lfb_{mode}.npz"))
-            with np.load(path) as z:
+            prefix = osp.normpath(osp.join(lfb_prefix_path, f"lfb_{mode}"))
+            use_mmap = backend == "mmap" or (
+                backend == "auto" and osp.exists(prefix + ".rows.npy"))
+            if use_mmap:
+                self._mmap_modes.append(_MmapMode(prefix))
+                continue
+            with np.load(prefix + ".npz") as z:
                 for key in z.files:
                     video_id, sec = key.rsplit(",", 1)
                     self.lfb.setdefault(video_id, {})[int(sec)] = z[key]
@@ -71,6 +124,11 @@ class LFB:
         out = np.zeros((w * k, self.lfb_channels), np.float32)
         for idx, sec in enumerate(range(start, start + w)):
             feats = video_features.get(sec)
+            if feats is None:
+                for mode in self._mmap_modes:
+                    feats = mode.get(f"{video_id},{sec}")
+                    if feats is not None:
+                        break
             if feats is None or len(feats) == 0:
                 continue
             n = min(len(feats), k)
@@ -83,4 +141,7 @@ class LFB:
         return self.sample_long_term_features(video_id, int(timestamp))
 
     def __len__(self) -> int:
-        return len(self.lfb)
+        vids = set(self.lfb)
+        for mode in self._mmap_modes:
+            vids.update(k.rsplit(",", 1)[0] for k in mode.index)
+        return len(vids)

@@ -64,3 +64,87 @@ def test_audio_recognizer():
     variables = model.init(jax.random.PRNGKey(0), x)
     logits = model.apply(variables, x)
     assert logits.shape == (2, 5)
+
+
+# ---------------------------------------------------------------------------
+# AudioSampleProcessor + AudioFeatureDataset / AudioVisualDataset (round 3)
+
+
+def test_audio_sample_processor_wav(wav_file):
+    from adapt_image_models_tpu.data.audio import AudioSampleProcessor
+    proc = AudioSampleProcessor([
+        dict(type="AudioDecodeInit"),
+        dict(type="SampleFrames", clip_len=16, frame_interval=1,
+             num_clips=2, test_mode=True),
+        dict(type="AudioDecode", fixed_length=8000),
+        dict(type="MelSpectrogram", n_mels=32, fixed_frames=48),
+        dict(type="FormatAudioShape", input_format="NCTF"),
+    ])
+    out = proc(dict(audio_path=wav_file, total_frames=100),
+               np.random.default_rng(0))
+    assert out.shape == (2, 1, 48, 32)
+    assert np.isfinite(out).all()
+
+
+def test_audio_feature_dataset(tmp_path):
+    from adapt_image_models_tpu.data.datasets import AudioFeatureDataset
+    feat = np.random.default_rng(0).normal(size=(200, 80)).astype(np.float32)
+    np.save(tmp_path / "clip.npy", feat)
+    ann = tmp_path / "ann.txt"
+    ann.write_text("clip 200 3\n")
+    ds = AudioFeatureDataset(
+        str(ann), data_prefix=str(tmp_path),
+        pipeline=[
+            dict(type="LoadAudioFeature"),
+            dict(type="SampleFrames", clip_len=64, frame_interval=1,
+                 num_clips=1, test_mode=True),
+            dict(type="AudioFeatureSelector"),
+            dict(type="FormatAudioShape", input_format="NCTF"),
+        ])
+    assert len(ds) == 1
+    sample = ds.prepare_sample(0, np.random.default_rng(0))
+    assert sample["imgs"].shape == (1, 1, 128, 80)
+    assert sample["label"] == 3
+    # the window rows must come from the stored features
+    win = sample["imgs"][0, 0]
+    nonzero = win[np.abs(win).sum(axis=1) > 0]
+    assert len(nonzero) > 0
+    for row in nonzero[:3]:
+        assert (np.abs(feat - row).sum(axis=1).min() < 1e-6)
+
+
+def test_audio_visual_dataset(tmp_path):
+    import cv2
+    from adapt_image_models_tpu.data.datasets import AudioVisualDataset
+    # rawframes
+    frame_dir = tmp_path / "frames" / "vid1"
+    frame_dir.mkdir(parents=True)
+    for i in range(1, 11):
+        img = np.full((32, 48, 3), i * 10, np.uint8)
+        cv2.imwrite(str(frame_dir / f"img_{i:05}.jpg"), img)
+    # audio features
+    audio_dir = tmp_path / "audio"
+    audio_dir.mkdir()
+    np.save(audio_dir / "vid1.npy",
+            np.random.default_rng(0).normal(size=(50, 16)).astype(np.float32))
+    ann = tmp_path / "ann.txt"
+    ann.write_text("vid1 10 2\n")
+    ds = AudioVisualDataset(
+        str(ann), data_prefix=str(tmp_path / "frames"),
+        audio_prefix=str(audio_dir),
+        pipeline=[
+            dict(type="LoadAudioFeature"),
+            dict(type="SampleFrames", clip_len=4, frame_interval=1,
+                 num_clips=1, test_mode=True),
+            dict(type="AudioFeatureSelector", fixed_length=8),
+            dict(type="FormatAudioShape", input_format="NCTF"),
+            dict(type="RawFrameDecode"),
+            dict(type="Resize", scale=(32, 32), keep_ratio=False),
+            dict(type="Normalize", mean=[128, 128, 128], std=[64, 64, 64]),
+            dict(type="FormatShape", input_format="NCTHW"),
+        ])
+    assert ds.video_infos[0]["audio_path"].endswith("vid1.npy")
+    sample = ds.prepare_sample(0, np.random.default_rng(1))
+    assert sample["audios"].shape == (1, 1, 8, 16)
+    assert sample["imgs"].shape[0] == 1  # one view
+    assert sample["label"] == 2

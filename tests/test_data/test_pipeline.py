@@ -131,3 +131,43 @@ def test_full_pipeline_on_real_file(real_video):
     clips, label = proc(real_video, 3)
     assert clips.shape == (2, 4, 56, 56, 3)
     assert label == 3
+
+
+def test_multigroupcrop_randomrescale_randomscale():
+    """Round-3 stragglers (reference augmentations.py:510/1193/1906)."""
+    proc = build_sample_processor([
+        dict(type="DecordInit"),
+        dict(type="SampleFrames", clip_len=2, frame_interval=1, num_clips=1),
+        dict(type="DecordDecode"),
+        dict(type="RandomRescale", scale_range=(96, 128)),
+        dict(type="RandomScale", scales=((128, 96), (160, 120)),
+             mode="range"),
+        dict(type="Resize", scale=(64, 64), keep_ratio=False),
+        dict(type="MultiGroupCrop", crop_size=48, groups=3),
+        dict(type="Normalize", **IMG_NORM),
+        dict(type="FormatShape", input_format="NCTHW"),
+    ])
+    assert proc.num_views == 3
+    assert proc.output_size() == (48, 48)
+    reader = SyntheticVideoReader(num_frames=10, height=120, width=160)
+    clips, label = proc(reader, 1, rng=np.random.default_rng(0),
+                        total_frames=10)
+    assert clips.shape == (3, 2, 48, 48, 3)
+    # groups must be DIFFERENT random crops (with very high probability)
+    assert not np.array_equal(clips[0], clips[1])
+
+
+def test_randomscale_value_mode():
+    proc = build_sample_processor([
+        dict(type="DecordInit"),
+        dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=1),
+        dict(type="DecordDecode"),
+        dict(type="RandomScale", scales=((64, 48), (128, 96), (96, 72)),
+             mode="value"),
+        dict(type="Resize", scale=(32, 32), keep_ratio=False),
+        dict(type="Normalize", **IMG_NORM),
+        dict(type="FormatShape", input_format="NCTHW"),
+    ])
+    reader = SyntheticVideoReader(num_frames=4, height=48, width=64)
+    clips, _ = proc(reader, 0, rng=np.random.default_rng(3), total_frames=4)
+    assert clips.shape == (1, 1, 32, 32, 3)
