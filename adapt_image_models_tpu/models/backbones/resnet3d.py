@@ -220,12 +220,19 @@ class ResNet3dCore(nn.Module):
             frozen = self.frozen_stages >= i + 1
             det = deterministic or frozen
             for j in range(n_blocks):
+                # per-stage 0/1 or per-block tuple (reference i3d_r50.py:
+                # inflate=((1,1,1),(1,0,1,0),...) alternates within a stage)
+                stage_inflate = self.inflate[i]
+                if isinstance(stage_inflate, (tuple, list)):
+                    blk_inflate = bool(stage_inflate[j % len(stage_inflate)])
+                else:
+                    blk_inflate = bool(stage_inflate)
                 kwargs = dict(
                     planes=planes,
                     spatial_stride=self.spatial_strides[i] if j == 0 else 1,
                     temporal_stride=self.temporal_strides[i] if j == 0 else 1,
                     dilation=self.dilations[i],
-                    inflate=bool(self.inflate[i]),
+                    inflate=blk_inflate,
                     compute_dtype=cdt)
                 if block_cls is Bottleneck3d:
                     kwargs.update(inflate_style=self.inflate_style,

@@ -38,21 +38,57 @@ class FastRCNN(nn.Module):
         extractor_cfg = dict(self.roi_head["bbox_roi_extractor"])
         extractor_cfg.pop("type", None)
         self.bbox_roi_extractor = SingleRoIExtractor3D(**extractor_cfg)
+        # optional shared head between roi extraction and classification:
+        # ACRNHead (actor-context relation, reference configs/detection/acrn)
+        # or FBOHead (long-term feature bank, reference configs/detection/lfb)
+        shared = (self.roi_head.get("shared_head")
+                  if isinstance(self.roi_head, dict) else None)
+        if shared:
+            scfg = dict(shared)
+            stype = scfg.pop("type")
+            if stype == "FBOHead":
+                scfg.pop("lfb_cfg", None)  # bank sampling is host-side;
+                # the sampled window arrives as the ``lt_feat`` input
+            self.shared_kind = stype
+            self.shared_head_module = HEADS.get(stype)(**scfg)
+        else:
+            self.shared_kind = None
+            self.shared_head_module = None
         head_cfg = dict(self.roi_head["bbox_head"])
         head_cfg.pop("type", None)
         self.bbox_head_module = HEADS.get("BBoxHeadAVA")(**head_cfg)
 
     def extract_feat(self, imgs: jax.Array,
                      deterministic: bool = True) -> jax.Array:
-        """imgs: (B, C, T, H, W) -> backbone feature map (B, T', H', W', C')."""
-        return self.backbone_module(imgs, deterministic=deterministic)
+        """imgs: (B, C, T, H, W) -> backbone feature map (B, T', H', W', C').
+
+        Tuple-returning backbones (SlowFast pathways) are fused by
+        temporal-pooling each pathway and concatenating channels — the
+        reference's per-pathway temporal pool + concat
+        (``single_straight3d.py:103-112``) folded into extraction."""
+        feat = self.backbone_module(imgs, deterministic=deterministic)
+        if isinstance(feat, (tuple, list)):
+            feat = jnp.concatenate(
+                [f.mean(axis=1, keepdims=True) for f in feat], axis=-1)
+        return feat
 
     def __call__(self, imgs: jax.Array, rois: jax.Array,
+                 lt_feat: Optional[jax.Array] = None,
                  deterministic: bool = True) -> jax.Array:
-        """imgs: (B, C, T, H, W); rois: (B, R, 4) input-image pixel boxes
+        """imgs: (B, C, T, H, W); rois: (B, R, 4) input-image pixel boxes;
+        lt_feat: (B, R, L, C_lt) long-term bank window (FBO models only)
         -> (B, R, num_classes) action logits."""
         feat = self.extract_feat(imgs, deterministic=deterministic)
         roi_feat = self.bbox_roi_extractor(feat, rois)  # (B, R, O, O, C)
+        if self.shared_kind == "ACRNHead":
+            roi_feat = self.shared_head_module(roi_feat, feat,
+                                               deterministic=deterministic)
+        elif self.shared_kind == "FBOHead":
+            if lt_feat is None:
+                raise ValueError("FBO models need the sampled LFB window "
+                                 "as the lt_feat argument")
+            roi_feat = self.shared_head_module(roi_feat, lt_feat,
+                                               deterministic=deterministic)
         return self.bbox_head_module(roi_feat, deterministic=deterministic)
 
     def loss(self, cls_score, labels, weights):

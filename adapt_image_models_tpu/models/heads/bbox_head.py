@@ -34,15 +34,20 @@ class BBoxHeadAVA(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         """x: (B, R, O, O, C) RoI features (temporal dim already pooled by
-        the extractor) -> (B, R, num_classes) logits."""
+        the extractor), (B, R, T, H, W, C) shared-head maps (ACRNHead), or
+        (B, R, C) pre-pooled features (FBOHead) -> (B, R, num_classes)."""
         if not self.multilabel:
             raise NotImplementedError("BBoxHeadAVA supports multilabel only")
         if self.dropout_before_pool and self.dropout_ratio > 0:
             x = nn.Dropout(self.dropout_ratio)(x, deterministic=deterministic)
-        if self.spatial_pool_type == "max":
-            x = x.max(axis=(2, 3))
-        else:
-            x = x.mean(axis=(2, 3))
+        if x.ndim == 6:  # (B, R, T, H, W, C): pool T with its own mode
+            x = x.mean(axis=2) if self.temporal_pool_type == "avg" \
+                else x.max(axis=2)
+        if x.ndim == 5:
+            if self.spatial_pool_type == "max":
+                x = x.max(axis=(2, 3))
+            else:
+                x = x.mean(axis=(2, 3))
         if not self.dropout_before_pool and self.dropout_ratio > 0:
             x = nn.Dropout(self.dropout_ratio)(x, deterministic=deterministic)
         return nn.Dense(self.num_classes,

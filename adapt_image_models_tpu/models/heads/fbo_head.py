@@ -154,6 +154,9 @@ class FBOHead(nn.Module):
         assert self.spatial_pool_type in ("max", "avg")
         cfg = dict(self.fbo_cfg)
         fbo_type = cfg.pop("type", "non_local")
+        # reference cfg carries the (shape-implied on TPU) sequence lengths
+        cfg.pop("num_st_feat", None)
+        cfg.pop("num_lt_feat", None)
         assert fbo_type in _FBO_DICT, f"unknown fbo type {fbo_type}"
         self.fbo = _FBO_DICT[fbo_type](**cfg)
 

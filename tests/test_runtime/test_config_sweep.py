@@ -48,6 +48,22 @@ def test_config_loads_and_builds(path):
             h, w = proc.output_size()
             assert h > 0 and w > 0 and proc.num_views >= 1
             continue
+        if cfg["data"][split].get("type") == "ActivityNetDataset":
+            # feature-based localization: no spatial pipeline; validate the
+            # load step is present instead
+            assert any(s["type"] in ("LoadLocalizationFeature",
+                                     "LoadProposals") for s in pipeline)
+            continue
+        if cfg["data"][split].get("type") == "SSNDataset":
+            assert any(s["type"] == "SampleProposalFrames"
+                       for s in pipeline)
+            continue
+        if cfg["data"][split].get("type") in ("AudioDataset",
+                                              "AudioFeatureDataset"):
+            from adapt_image_models_tpu.data.audio import AudioSampleProcessor
+            proc = AudioSampleProcessor(pipeline)
+            assert proc.sampler is not None
+            continue
         proc = build_sample_processor(pipeline)
         h, w = proc.output_size()
         assert h > 0 and w > 0
