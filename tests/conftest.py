@@ -33,3 +33,25 @@ def pytest_sessionstart(session):
         f"tests must run on CPU, got {jax.default_backend()}")
     assert len(jax.devices()) == 8, (
         f"expected 8 virtual CPU devices, got {len(jax.devices())}")
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--run-slow", action="store_true", default=False,
+        help="run @pytest.mark.slow tests (full-geometry parity etc.)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running tests (full ViT-B geometry parity); "
+                   "off by default, enable with --run-slow")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--run-slow"):
+        return
+    import pytest
+    skip = pytest.mark.skip(reason="slow test: pass --run-slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -242,3 +242,57 @@ def test_reference_aim_zero_init_equals_frozen_clip(ref_aim_module):
         r = ref(x_rep).numpy()
     np.testing.assert_allclose(r[..., 0, 0][:, :, 0], r[..., 0, 0][:, :, 1],
                                atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Full ViT-B/16 geometry (round 3, VERDICT item 3): the toy-dim tests above
+# would miss packing/head-split bugs that only bite at 768-wide, 197-token
+# real geometry. Runs fp32 on CPU with random weights through the converter;
+# ~minutes on a 1-core host, so slow-marked (pytest --run-slow).
+
+
+@pytest.mark.slow
+def test_reference_aim_full_vitb16_geometry_parity(ref_aim_module):
+    """AIM ViT-B/16 true dims (12 layers / width 768 / 224^2 / T=8):
+    forward parity vs /root/reference/.../vitclip_aim.py + the published
+    97 M total / 11 M tunable param counts (reference README.md:90,
+    freeze predicate vitclip_aim.py:424-427)."""
+    res, patch, d, heads, layers, t = 224, 16, 768, 12, 12, 8
+    ref = _randomize(ref_aim_module.AIM(
+        input_resolution=res, num_frames=t, patch_size=patch, width=d,
+        layers=layers, heads=heads, drop_path_rate=0.0, pretrained=None))
+    ref.eval()
+
+    model = build_model(dict(
+        type="Recognizer3D",
+        backbone=dict(type="AIM", input_resolution=res, patch_size=patch,
+                      width=d, layers=layers, heads=heads, num_frames=t,
+                      drop_path_rate=0.0),
+        cls_head=dict(type="I3DHead", num_classes=400, in_channels=d,
+                      dropout_ratio=0.0),
+        test_cfg=dict(average_clips="prob"),
+    ))
+    params = _ref_state_into_flax(ref, model, (1, 3, t, res, res))
+
+    # --- param-count parity: backbone totals must match the reference
+    # exactly; totals must match the published 97 M / 11 M (README.md:90)
+    ref_total = sum(p.numel() for p in ref.parameters())
+    import jax.tree_util as jtu
+    ours_bb = sum(int(np.prod(x.shape))
+                  for x in jtu.tree_leaves(params["backbone_module"]))
+    assert ours_bb == ref_total, (ours_bb, ref_total)
+    head = sum(int(np.prod(x.shape))
+               for x in jtu.tree_leaves(params["head_module"]))
+    total_m = (ours_bb + head) / 1e6
+    assert 96.0 < total_m < 98.5, total_m  # published: 97 M
+
+    from adapt_image_models_tpu.parallel.partition import partition_params
+    trainable, _ = partition_params(params)
+    tunable_m = sum(int(np.prod(x.shape))
+                    for x in jtu.tree_leaves(trainable)) / 1e6
+    assert 10.5 < tunable_m < 11.5, tunable_m  # published: 11 M
+
+    # --- forward parity at real geometry
+    x = torch.randn(1, 3, t, res, res,
+                    generator=torch.Generator().manual_seed(11))
+    _compare(ref, model, params, x)
