@@ -48,20 +48,32 @@ from adapt_image_models_tpu.models.layers import (
     Adapter, AdapterParams, CLIPAttention, CLIPMLP, CLIPMLPParams,
     LayerNormFP32, LayerNormParams, trunc_normal_02,
 )
-from adapt_image_models_tpu.ops.fused_joint_mlp import fused_joint_block
+from adapt_image_models_tpu.ops.fused_joint_mlp import (
+    fused_joint_block, fused_joint_mlp_rows, fused_joint_train_block,
+)
 
 Dtype = jnp.dtype
 
 
+def drop_path_gate(rng: jax.Array, batch: int, rate: jax.Array) -> jax.Array:
+    """Per-sample stochastic-depth gate: 0 or 1/keep, shape (batch,)."""
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, p=keep, shape=(batch,))
+    return mask.astype(jnp.float32) / keep.astype(jnp.float32)
+
+
 def drop_path(rng: Optional[jax.Array], x: jax.Array, rate: jax.Array,
               deterministic: bool) -> jax.Array:
-    """Stochastic depth with a (possibly traced) per-layer rate."""
+    """Stochastic depth with a (possibly traced) per-layer rate.
+
+    Implemented as a multiply by a per-sample gate rather than
+    ``jnp.where``: a where saves its full-broadcast ``pred`` tensor for the
+    backward (measured 450 MB per scanned mask at ViT-B batch 32), while the
+    multiply saves only the (B, 1, ...) gate."""
     if deterministic or rng is None:
         return x
-    keep = 1.0 - rate
-    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
-    mask = jax.random.bernoulli(rng, p=keep, shape=shape)
-    return jnp.where(mask, x / keep.astype(x.dtype), jnp.zeros_like(x))
+    gate = drop_path_gate(rng, x.shape[0], rate)
+    return x * gate.astype(x.dtype).reshape((x.shape[0],) + (1,) * (x.ndim - 1))
 
 
 class AIMBlock(nn.Module):
@@ -73,6 +85,7 @@ class AIMBlock(nn.Module):
     num_tadapter: int = 1
     compute_dtype: Dtype = jnp.float32
     attention_core: str = "xla"
+    joint_core: str = "sample"  # 'sample' | 'rows' | 'xla' (fused eval only)
     deterministic: bool = True
 
     @nn.compact
@@ -94,12 +107,17 @@ class AIMBlock(nn.Module):
         # (ops/fused_*_attention.py) but measured SLOWER than letting XLA
         # overlap the small adapter matmuls with the next kernel
         # (223 -> 215 clips/s), so blocks keep the separate adapters.
-        s_adapter = AdapterParams(d, skip_connect=True,
-                                  compute_dtype=self.compute_dtype,
-                                  name="S_Adapter")
-        t_adapter = AdapterParams(d, skip_connect=False,
-                                  compute_dtype=self.compute_dtype,
-                                  name="T_Adapter")
+        # train: remat the XLA-applied adapters — their GELU hiddens
+        # otherwise persist per layer across the scan (576 MB per adapter
+        # per save at ViT-B batch 64; recompute is ~2% of step FLOPs)
+        adapter_cls = (AdapterParams if deterministic
+                       else nn.remat(AdapterParams))
+        s_adapter = adapter_cls(d, skip_connect=True,
+                                compute_dtype=self.compute_dtype,
+                                name="S_Adapter")
+        t_adapter = adapter_cls(d, skip_connect=False,
+                                compute_dtype=self.compute_dtype,
+                                name="T_Adapter")
         mlp_adapter = AdapterParams(d, skip_connect=False,
                                     compute_dtype=self.compute_dtype,
                                     name="MLP_Adapter")
@@ -140,11 +158,31 @@ class AIMBlock(nn.Module):
         # eval path: ln_2 + MLP + MLP_Adapter + residual in one Pallas kernel
         # (no ln_2 reduction pass, no (BT, N, 4D) hidden round-trip); train
         # keeps the XLA composition because drop_path splits the sum
-        if self.attention_core == "fused" and deterministic:
+        if (self.attention_core == "fused" and deterministic
+                and self.joint_core != "xla"):
             cdt = self.compute_dtype
-            x = fused_joint_block(
+            if self.joint_core == "rows":
+                x = fused_joint_mlp_rows(
+                    x.astype(cdt), ln_2.scale, ln_2.bias, *mlp.weights(cdt),
+                    *mlp_adapter.weights(cdt), float(self.adapter_scale))
+            else:
+                x = fused_joint_block(
+                    x.astype(cdt), ln_2.scale, ln_2.bias, *mlp.weights(cdt),
+                    *mlp_adapter.weights(cdt), float(self.adapter_scale))
+        elif self.attention_core == "fused" and self.joint_core != "xla":
+            # TRAIN path: gated rows kernel with the Pallas backward —
+            # the XLA joint backward saves the (B*L, 4D) hidden per layer
+            # across the scan (3 x 3.46 GB at ViT-B batch 32; the dominant
+            # OOM source), this saves only (x, weights, gate). Valid only
+            # with the CLIP MLP + ln_2 frozen (apis/train guards).
+            cdt = self.compute_dtype
+            gate = (drop_path_gate(rng_m, bt, dpr) if rng_m is not None
+                    else jnp.ones((bt,), jnp.float32))
+            gate_rows = jnp.repeat(gate, n)
+            x = fused_joint_train_block(
                 x.astype(cdt), ln_2.scale, ln_2.bias, *mlp.weights(cdt),
-                *mlp_adapter.weights(cdt), float(self.adapter_scale))
+                *mlp_adapter.weights(cdt), gate_rows,
+                float(self.adapter_scale))
         else:
             xn = ln_2(x)
             scale = jnp.asarray(self.adapter_scale, x.dtype)
@@ -282,6 +320,7 @@ class AIMTransformer(nn.Module):
     use_checkpoint: bool = False
     compute_dtype: Dtype = jnp.float32
     attention_core: str = "xla"
+    joint_core: str = "sample"
     wind_attn: bool = False
     window_size: tuple = (32, 2, 2)
     not_shift: bool = True
@@ -340,6 +379,7 @@ class AIMTransformer(nn.Module):
             num_tadapter=self.num_tadapter,
             compute_dtype=self.compute_dtype,
             attention_core=self.attention_core,
+            joint_core=self.joint_core,
             deterministic=deterministic,
             name="resblocks",
         )
@@ -369,6 +409,7 @@ class AIM(nn.Module):
     use_checkpoint: bool = False
     compute_dtype: Dtype = jnp.float32
     attention_core: str = "xla"
+    joint_core: str = "sample"
     # window-attention path (reference vitclip_aim.py:212-287, :343-344)
     wind_attn: bool = False
     window_size: tuple = (32, 2, 2)
@@ -421,7 +462,7 @@ class AIM(nn.Module):
             num_frames=self.num_frames, adapter_scale=self.adapter_scale,
             num_tadapter=self.num_tadapter, drop_path_rate=self.drop_path_rate,
             use_checkpoint=self.use_checkpoint, compute_dtype=cdt,
-            attention_core=self.attention_core,
+            attention_core=self.attention_core, joint_core=self.joint_core,
             wind_attn=self.wind_attn, window_size=tuple(self.window_size),
             not_shift=self.not_shift, prompt=self.prompt,
             input_hw=self.input_resolution // self.patch_size,

@@ -112,7 +112,9 @@ class DropPath(nn.Module):
         rng = self.make_rng("dropout")
         shape = (x.shape[0],) + (1,) * (x.ndim - 1)
         mask = jax.random.bernoulli(rng, p=keep, shape=shape)
-        return jnp.where(mask, x / keep, jnp.zeros_like(x)).astype(x.dtype)
+        # multiply (not where): where saves its full-broadcast pred tensor
+        # for the backward; the multiply saves only the (B, 1, ...) gate
+        return x * (mask.astype(x.dtype) / jnp.asarray(keep, x.dtype))
 
 
 # ---------------------------------------------------------------------------

@@ -63,13 +63,8 @@ def _kernel(x_ref, lns_ref, lnb_ref, wfc_ref, bfc_ref, wproj_ref, bproj_ref,
 def fused_joint_mlp_adapter(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj,
                             w1, b1, w2, b2, scale: float,
                             tile_m: int = 0) -> jax.Array:  # tile_m unused (one sample per cell)
-    # PERF LEAD (unmeasured — relay compile service was down when tried):
-    # one sample per cell means M=197 matmuls, which under-fills the MXU
-    # (microbench: this kernel runs ~114 TFLOP/s vs ~186 for the XLA
-    # full-batch MLP). Packing 2-4 samples per cell (block (R, l, d),
-    # reshape to (R*l, d)) with the hidden chunked to keep the fp32
-    # transient under ~5 MB should close part of that gap; heuristic:
-    # trade n_chunks x2 for rows x2 while rows < 4.
+    # Superseded by ``fused_joint_mlp_rows`` (rows-tiled, fills the MXU);
+    # kept as the per-sample oracle for interpret-mode tests.
     """x: (B, L, D) raw residual stream ->
     ``x + mlp(LN(x)) + scale * adapter(LN(x))`` (adapter without skip)."""
     b, l, d = x.shape
@@ -119,6 +114,138 @@ def fused_joint_mlp_adapter(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj,
     return out
 
 
+# ---------------------------------------------------------------------------
+# Rows-tiled kernel (the round-3 multi-row upgrade).
+#
+# The per-sample kernel above runs M=197-row matmuls that under-fill the MXU
+# (measured ~114 TFLOP/s vs ~186 for the XLA full-batch MLP). This variant
+# flattens (B, L, D) -> (B*L, D) — LN/MLP/adapter are all row-local, so
+# sample boundaries are irrelevant — and tiles rows at ``TM`` per grid cell.
+#
+# Weight residency: hidden-chunked grids (grid (rows, chunks)) re-fetch every
+# weight chunk once per row tile — O(n_tiles x W) HBM traffic. Instead the
+# hidden dim is split across SEQUENTIAL ``pallas_call``s, each with its split
+# of Wfc/Wproj resident via constant index maps (fetched exactly once).
+# ViT-B (9.4 MB) runs as one call; ViT-L (16.8 MB) as two, chained through a
+# fp32 partial-sum carry so accumulation stays fp32 end-to-end.
+#
+# ``gate``: optional per-row multiplier on the adapter branch — the
+# drop-path gate (0 or 1/keep per sample, expanded to rows), which lets the
+# TRAIN path use this kernel too (reference ``vitclip_aim.py:211``).
+
+
+def _kernel_rows(x_ref, lns_ref, lnb_ref, wfc_ref, bfc_ref, wproj_ref,
+                 bproj_ref, w1_ref, b1_ref, w2_ref, b2_ref, gate_ref,
+                 carry_ref, o_ref, *, scale: float, first: bool, last: bool,
+                 has_gate: bool):
+    x = x_ref[...]  # (TM, D)
+    xn = _kernel_layernorm(x, lns_ref, lnb_ref, x.dtype)
+
+    if first:
+        # residual + gated adapter branch + proj bias (done once)
+        a = jnp.dot(xn, w1_ref[...], preferred_element_type=jnp.float32)
+        a = jax.nn.gelu(a + b1_ref[...].astype(jnp.float32), approximate=True)
+        z = jnp.dot(a.astype(x.dtype), w2_ref[...],
+                    preferred_element_type=jnp.float32)
+        z = z + b2_ref[...].astype(jnp.float32)
+        if has_gate:
+            z = z * gate_ref[...].astype(jnp.float32)
+        acc = (x.astype(jnp.float32) + scale * z
+               + bproj_ref[...].astype(jnp.float32))
+    else:
+        acc = carry_ref[...]
+
+    h = jnp.dot(xn, wfc_ref[...], preferred_element_type=jnp.float32)
+    h = h + bfc_ref[...].astype(jnp.float32)
+    h = h * jax.nn.sigmoid(1.702 * h)  # QuickGELU, fp32
+    acc = acc + jnp.dot(h.astype(x.dtype), wproj_ref[...],
+                        preferred_element_type=jnp.float32)
+    o_ref[...] = acc.astype(o_ref.dtype)  # fp32 carry between splits
+
+
+def _pick_splits(d: int, d4: int, itemsize: int = 2,
+                 budget: int = 9 * 2 ** 20 + 2 ** 19) -> int:
+    """Fewest sequential calls whose resident Wfc+Wproj split fits VMEM."""
+    n = 1
+    while 2 * d * (d4 // n) * itemsize > budget:
+        n *= 2
+    return n
+
+
+def fused_joint_mlp_rows(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj,
+                         w1, b1, w2, b2, scale: float,
+                         gate=None, tile_rows: int = 128,
+                         n_splits: int = 0) -> jax.Array:
+    """x: (B, L, D) raw residual stream ->
+    ``x + mlp(LN(x)) + gate * scale * adapter(LN(x))``.
+
+    ``gate``: optional (B*L,) or (B, L) per-row multiplier for the adapter
+    branch (drop-path); ``None`` = 1.
+    """
+    b, l, d = x.shape
+    rows = b * l
+    d4 = w_fc.shape[1]
+    dh = w1.shape[1]
+    if n_splits <= 0:
+        n_splits = _pick_splits(d, d4, jnp.dtype(w_fc.dtype).itemsize)
+    hs = d4 // n_splits
+    tm = min(tile_rows, _round_up(rows, 16))
+
+    xr = x.reshape(rows, d)
+    has_gate = gate is not None
+    gate_r = (gate.reshape(rows, 1).astype(jnp.float32) if has_gate
+              else jnp.zeros((1, 1), jnp.float32))
+
+    n_tiles = -(-rows // tm)
+    row_spec = lambda w: pl.BlockSpec((tm, w), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM)
+    vec = lambda w: pl.BlockSpec((w,), lambda i: (0,),
+                                 memory_space=pltpu.VMEM)
+    mat = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM)
+    gate_spec = (row_spec(1) if has_gate
+                 else pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM))
+
+    carry = jnp.zeros((1, 1), jnp.float32)  # dummy for the first call
+    for s in range(n_splits):
+        first = s == 0
+        last = s == n_splits - 1
+        kernel = functools.partial(_kernel_rows, scale=float(scale),
+                                   first=first, last=last,
+                                   has_gate=has_gate)
+        carry_spec = (row_spec(d) if not first
+                      else pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                        memory_space=pltpu.VMEM))
+        out_dtype = x.dtype if last else jnp.float32
+        flops_s = 2 * rows * d * (2 * hs + (2 * dh if first else 0))
+        carry = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((rows, d), out_dtype),
+            grid=(n_tiles,),
+            in_specs=[
+                row_spec(d), vec(d), vec(d),
+                mat(d, hs), vec(hs), mat(hs, d), vec(d),
+                mat(d, dh), vec(dh), mat(dh, d), vec(d),
+                gate_spec, carry_spec,
+            ],
+            out_specs=row_spec(d),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=flops_s,
+                bytes_accessed=2 * rows * d * (2 if last and first else 6)
+                + 2 * d * hs * 2,
+                transcendentals=rows * (hs + (dh if first else 0)),
+            ),
+        )(xr, ln_scale, ln_bias,
+          w_fc[:, s * hs:(s + 1) * hs], b_fc[s * hs:(s + 1) * hs],
+          w_proj[s * hs:(s + 1) * hs], b_proj,
+          w1, b1, w2, b2, gate_r, carry)
+    return carry.reshape(b, l, d)
+
+
 def _ref_impl(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj,
               w1, b1, w2, b2, scale):
     x32 = x.astype(jnp.float32)
@@ -159,3 +286,220 @@ def _bwd(scale, res, g):
 
 
 fused_joint_block.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Rows-tiled BACKWARD kernel (round 3 — the train-memory/throughput fix).
+#
+# The XLA backward of the joint step saves the (B*L, 4D) MLP hidden per
+# layer across the scan (3 x 3.46 GB at ViT-B batch 32 — the dominant OOM
+# source, measured r3) and runs at remat speed. This kernel recomputes
+# LN -> hidden in VMEM and emits only dX; the custom VJP saves just
+# (x, weights, gate).
+#
+# Split of labor (mirrors the attention backward kernels):
+#   kernel : dxn_mlp = (g Wproj^T * qgelu'(xn Wfc + b)) Wfc^T  [hot matmuls]
+#            + LN backward + residual add -> dX
+#   XLA    : adapter backward (tiny matmuls; EXACT dW1/db1/dW2/db2 since
+#            adapters are the trainable unit), dgate, and the carry init
+#            dxn_adapter fed into the kernel's fp32 accumulator.
+#   frozen : Wfc/bfc/Wproj/bproj/ln_2 cotangents are returned as ZEROS —
+#            valid for the AIM regime where the CLIP MLP + ln_2 are frozen
+#            (reference vitclip_aim.py:424-427). apis/train refuses the
+#            fused train path if those weights are in the trainable tree.
+
+
+def _qgelu_grad(h):
+    s = jax.nn.sigmoid(1.702 * h)
+    return s + 1.702 * h * s * (1.0 - s)
+
+
+def _kernel_rows_bwd(x_ref, g_ref, carry_ref, wfc_ref, bfc_ref, wproj_ref,
+                     lns_ref, lnb_ref, o_ref, *, last: bool, inner: int):
+    x = x_ref[...]                       # (TM, D) stream dtype
+    g = g_ref[...]                       # (TM, D) stream dtype
+    dt = x.dtype
+
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + 1e-5)
+    xhat = (x32 - mean) * rstd
+    lns = lns_ref[...].astype(jnp.float32)
+    xn = (xhat * lns + lnb_ref[...].astype(jnp.float32)).astype(dt)
+    acc = carry_ref[...]                 # (TM, D) fp32
+
+    hs = wfc_ref.shape[1]
+    step = hs // inner
+    for i in range(inner):
+        w_c = wfc_ref[:, i * step:(i + 1) * step]
+        b_c = bfc_ref[i * step:(i + 1) * step]
+        p_c = wproj_ref[i * step:(i + 1) * step, :]
+        h = jnp.dot(xn, w_c, preferred_element_type=jnp.float32)
+        h = h + b_c.astype(jnp.float32)
+        dact = jax.lax.dot_general(g, p_c, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        dh = (dact * _qgelu_grad(h)).astype(dt)
+        acc = acc + jax.lax.dot_general(
+            dh, w_c, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    if last:
+        dxhat = acc * lns
+        mdx = jnp.mean(dxhat, axis=-1, keepdims=True)
+        mdxx = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+        dx = rstd * (dxhat - mdx - xhat * mdxx) + g.astype(jnp.float32)
+        o_ref[...] = dx.astype(o_ref.dtype)
+    else:
+        o_ref[...] = acc
+
+
+def fused_joint_mlp_rows_bwd(x, g, carry0, ln_scale, ln_bias, w_fc, b_fc,
+                             w_proj, tile_rows: int = 128,
+                             n_splits: int = 0) -> jax.Array:
+    """dX of the MLP branch + LN backward + residual.
+
+    x: (B, L, D) raw residual input; g: cotangent at the op output;
+    carry0: (B*L, D) fp32 accumulator init (the adapter branch's dxn,
+    computed exactly in XLA). Returns dx (B, L, D) in x.dtype.
+    """
+    b, l, d = x.shape
+    rows = b * l
+    d4 = w_fc.shape[1]
+    if n_splits <= 0:
+        n_splits = _pick_splits(d, d4, jnp.dtype(w_fc.dtype).itemsize)
+    hs = d4 // n_splits
+    tm = min(tile_rows, _round_up(rows, 16))
+    inner = 2 if hs * d * 2 > 5 * 2 ** 20 else 1
+
+    xr = x.reshape(rows, d)
+    gr = g.reshape(rows, d)
+    n_tiles = -(-rows // tm)
+    row_spec = lambda w: pl.BlockSpec((tm, w), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM)
+    vec = lambda w: pl.BlockSpec((w,), lambda i: (0,),
+                                 memory_space=pltpu.VMEM)
+    mat = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM)
+
+    carry = carry0
+    for s in range(n_splits):
+        last = s == n_splits - 1
+        kernel = functools.partial(_kernel_rows_bwd, last=last, inner=inner)
+        out_dtype = x.dtype if last else jnp.float32
+        carry = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((rows, d), out_dtype),
+            grid=(n_tiles,),
+            in_specs=[
+                row_spec(d), row_spec(d), row_spec(d),
+                mat(d, hs), vec(hs), mat(hs, d),
+                vec(d), vec(d),
+            ],
+            out_specs=row_spec(d),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * rows * d * 3 * hs,
+                bytes_accessed=2 * rows * d * 10 + 2 * d * hs * 2,
+                transcendentals=rows * hs,
+            ),
+        )(xr, gr, carry,
+          w_fc[:, s * hs:(s + 1) * hs], b_fc[s * hs:(s + 1) * hs],
+          w_proj[s * hs:(s + 1) * hs], ln_scale, ln_bias)
+    return carry.reshape(b, l, d)
+
+
+def _ref_train_impl(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj,
+                    w1, b1, w2, b2, gate, scale):
+    """XLA oracle for the gated train op (gate: (B*L,) rows)."""
+    b, l, d = x.shape
+    g3 = gate.reshape(b, l, 1)
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    xn32 = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    xn32 = xn32 * ln_scale.astype(jnp.float32) + ln_bias.astype(jnp.float32)
+    xn = xn32.astype(x.dtype)
+    h = xn @ w_fc.astype(x.dtype) + b_fc.astype(x.dtype)
+    h32 = h.astype(jnp.float32)
+    h = (h32 * jax.nn.sigmoid(1.702 * h32)).astype(x.dtype)
+    mlp = h @ w_proj.astype(x.dtype) + b_proj.astype(x.dtype)
+    a = jax.nn.gelu(xn32 @ w1.astype(jnp.float32) + b1.astype(jnp.float32),
+                    approximate=True)
+    z = a @ w2.astype(jnp.float32) + b2.astype(jnp.float32)
+    return (x32 + mlp.astype(jnp.float32) + g3 * scale * z).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12,))
+def fused_joint_train_block(x, ln_scale, ln_bias, w_fc, b_fc, w_proj,
+                            b_proj, w1, b1, w2, b2, gate, scale):
+    """Train-mode joint adaptation with a per-row drop-path gate:
+    ``x + mlp(LN(x)) + gate * scale * adapter(LN(x))``.
+
+    Forward = rows kernel; backward = rows backward kernel for the hot
+    MLP/LN path + exact XLA adapter cotangents. Cotangents for the frozen
+    CLIP MLP and ln_2 are ZEROS (AIM freeze regime, vitclip_aim.py:424-427)
+    — apis/train guards that those params are not trainable when this op is
+    active."""
+    return fused_joint_mlp_rows(x, ln_scale, ln_bias, w_fc, b_fc, w_proj,
+                                b_proj, w1, b1, w2, b2, scale, gate=gate)
+
+
+def _train_fwd(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj, w1, b1,
+               w2, b2, gate, scale):
+    y = fused_joint_mlp_rows(x, ln_scale, ln_bias, w_fc, b_fc, w_proj,
+                             b_proj, w1, b1, w2, b2, scale, gate=gate)
+    return y, (x, ln_scale, ln_bias, w_fc, b_fc, w_proj, w1, b1, w2, b2,
+               gate)
+
+
+def _train_bwd(scale, res, g):
+    x, ln_scale, ln_bias, w_fc, b_fc, w_proj, w1, b1, w2, b2, gate = res
+    b, l, d = x.shape
+    rows = b * l
+    dt = x.dtype
+    g32 = g.astype(jnp.float32)
+    gate3 = gate.reshape(b, l, 1).astype(jnp.float32)
+
+    # ---- adapter backward in XLA (exact; the adapters are THE trainable
+    # unit). Recompute xn (one LN) + the tiny bottleneck matmuls.
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + 1e-5)
+    xn32 = ((x32 - mean) * rstd) * ln_scale.astype(jnp.float32) \
+        + ln_bias.astype(jnp.float32)
+    xn = xn32.astype(dt)
+    pre = xn32 @ w1.astype(jnp.float32) + b1.astype(jnp.float32)
+    a = jax.nn.gelu(pre, approximate=True)
+    dz = gate3 * scale * g32                                 # (B, L, D)
+    da = dz @ w2.astype(jnp.float32).T
+    # tanh-gelu derivative
+    c = 0.7978845608028654  # sqrt(2/pi)
+    u = c * (pre + 0.044715 * pre ** 3)
+    th = jnp.tanh(u)
+    dgelu = 0.5 * (1 + th) + 0.5 * pre * (1 - th ** 2) * c * (
+        1 + 3 * 0.044715 * pre ** 2)
+    dpre = da * dgelu
+    dxn_ad = dpre @ w1.astype(jnp.float32).T                 # (B, L, D)
+    dw1 = jnp.einsum("bld,blh->dh", xn32, dpre).astype(w1.dtype)
+    db1 = jnp.sum(dpre, axis=(0, 1)).astype(b1.dtype)
+    dw2 = jnp.einsum("blh,bld->hd", a, dz).astype(w2.dtype)
+    db2 = jnp.sum(dz, axis=(0, 1)).astype(b2.dtype)
+    z = a @ w2.astype(jnp.float32) + b2.astype(jnp.float32)
+    dgate = (scale * jnp.sum(g32 * z, axis=-1)).reshape(rows)
+    dgate = dgate.astype(gate.dtype)
+
+    # ---- hot path: MLP + LN backward in the Pallas kernel
+    dx = fused_joint_mlp_rows_bwd(
+        x, g, dxn_ad.reshape(rows, d), ln_scale, ln_bias, w_fc, b_fc,
+        w_proj)
+
+    zeros = lambda t: jnp.zeros_like(t)
+    return (dx, zeros(ln_scale), zeros(ln_bias), zeros(w_fc), zeros(b_fc),
+            zeros(w_proj), jnp.zeros((d,), dt), dw1, db1, dw2, db2, dgate)
+
+
+fused_joint_train_block.defvjp(_train_fwd, _train_bwd)

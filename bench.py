@@ -14,6 +14,12 @@ costs ~404 GFLOPs (FMA=2 convention; the README's "202 G" per clip counts
 MACs). A100 bf16 dense peak 312 TFLOP/s at 40% achieved MFU (generous for
 eval-size ViT batches with flash-attn) -> 312e12*0.4/404e9 ~= 309 clips/s.
 vs_baseline = value / 309.
+
+Honest ceiling: ONE v5e chip peaks at 197 TFLOP/s bf16, so the compute
+roofline at 404 GFLOP/clip is ~487 clips/s = 1.58x this baseline —
+"vs_baseline >= 5" is physically impossible on a single chip; >=5x requires
+~4 chips at near-linear data-parallel scaling (the multichip path validated
+by dryrun_multichip / tests/test_runtime/test_multichip_dryrun.py).
 """
 
 import json
