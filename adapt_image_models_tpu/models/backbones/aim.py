@@ -97,7 +97,8 @@ class AIMBlock(nn.Module):
         b = bt // t
 
         attn = CLIPAttention(self.num_heads, compute_dtype=self.compute_dtype,
-                             attention_core=self.attention_core, name="attn")
+                             attention_core=self.attention_core,
+                             frozen_backward=not deterministic, name="attn")
         # ln_1/ln_2 expose raw scale/bias so the fused kernels run them in
         # their prologues (identical param tree to LayerNormFP32)
         ln_1 = LayerNormParams(d, name="ln_1")

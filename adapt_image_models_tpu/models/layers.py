@@ -275,6 +275,11 @@ class CLIPAttention(nn.Module):
     num_heads: int
     compute_dtype: Dtype = jnp.float32
     attention_core: str = "xla"
+    # dX-only Pallas backwards (weight/LN cotangents = ZEROS): valid only
+    # when the CLIP attention weights + LN are frozen — the AIM training
+    # regime (apis/train guards). Cuts 6/7 of the backward kernels' HBM
+    # writes and fits ViT-L widths in VMEM.
+    frozen_backward: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, kv: Optional[jax.Array] = None,
@@ -335,6 +340,12 @@ class CLIPAttention(nn.Module):
                 if ln is not None:
                     if adapter is not None:
                         raise ValueError("ln+adapter fusion unsupported")
+                    if self.frozen_backward:
+                        from adapt_image_models_tpu.ops.fused_qkv_attention \
+                            import fused_ln_attention_block_frozen
+                        return fused_ln_attention_block_frozen(
+                            xin.astype(cdt), ln.scale, ln.bias, *common[1:],
+                            self.num_heads)
                     return fused_ln_attention_block(
                         xin.astype(cdt), ln.scale, ln.bias, *common[1:],
                         self.num_heads)
@@ -350,6 +361,12 @@ class CLIPAttention(nn.Module):
             if ln is not None:
                 if adapter is not None:
                     raise ValueError("ln+adapter fusion unsupported")
+                if self.frozen_backward:
+                    from adapt_image_models_tpu.ops.fused_temporal_attention \
+                        import fused_ln_temporal_block_frozen
+                    return fused_ln_temporal_block_frozen(
+                        xin.astype(cdt), ln.scale, ln.bias, *common[1:],
+                        temporal_frames, self.num_heads)
                 return fused_ln_temporal_block(
                     xin.astype(cdt), ln.scale, ln.bias, *common[1:],
                     temporal_frames, self.num_heads)

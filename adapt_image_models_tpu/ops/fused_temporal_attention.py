@@ -1051,3 +1051,101 @@ def _bwd_ln_pallas_segment(num_frames, num_heads, res, g):
     return (cast(dx, x), cast(dgamma, ln_scale), cast(dbeta, ln_bias),
             cast(dwqkv, w_qkv), cast(dbqkv, b_qkv), cast(dwout, w_out),
             cast(dbout, b_out))
+
+
+# ---------------------------------------------------------------------------
+# FROZEN-backward variant (round 3; mirror of
+# fused_qkv_attention.fused_ln_attention_block_frozen): dX only — the
+# dqkv/dy/y/o outputs exist purely for weight cotangents that the AIM
+# freeze regime always DCEs. The smaller VMEM footprint also lets ViT-L
+# widths keep larger token tiles.
+
+
+def _kernel_ln_bwd_dx(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wout_ref,
+                      g_ref, dx_ref, *, t: int, heads: int, scale: float,
+                      n: int):
+    tt, tile, d = x_ref.shape
+    x0 = _sanitize_block(x_ref[...].reshape(t * tile, d), tile, n or tile)
+    g = _sanitize_block(g_ref[...].reshape(t * tile, d), tile, n or tile)
+    dx, _, _, _, _ = _bwd_temporal_body_full(
+        x0, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wout_ref, g,
+        t, heads, scale)
+    dx_ref[...] = dx.astype(dx_ref.dtype).reshape(t, tile, d)
+
+
+def fused_ln_temporal_attention_bwd_dx(x, ln_scale, ln_bias, w_qkv, b_qkv,
+                                       w_out, g, num_frames: int,
+                                       num_heads: int,
+                                       tile: Optional[int] = None):
+    """dX-only Pallas backward for the LN+temporal block (full core)."""
+    bt, n, d = x.shape
+    t = num_frames
+    tile = _auto_tile(d, t, tile, n)
+    # 3 row units (x, g, dx) double-buffered + resident weights
+    while tile > 8 and (6 * t * tile * d * 2 + 4 * d * d * 2) > 14 * 2 ** 20:
+        tile = max(8, tile // 2)
+    b = bt // t
+    scale = 1.0 / ((d // num_heads) ** 0.5)
+    n_cells = pl.cdiv(n, tile)
+    kernel = functools.partial(_kernel_ln_bwd_dx, t=t, heads=num_heads,
+                               scale=scale, n=n)
+    blk = lambda w: pl.BlockSpec((t, tile, w), lambda i, j: (i, j, 0),
+                                 memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bt, n, d), x.dtype),
+        grid=(b, n_cells),
+        in_specs=[
+            blk(d), vec, vec,
+            pl.BlockSpec((d, 3 * d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * d,), lambda i, j: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            blk(d),
+        ],
+        out_specs=blk(d),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bt * n_cells * tile * d * 8 * d
+                  + 2 * b * n_cells * tile * t * t * d * 6,
+            bytes_accessed=2 * (3 * bt * n * d * 2 + 4 * d * d),
+            transcendentals=b * n * num_heads * t * t,
+        ),
+    )(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def fused_ln_temporal_block_frozen(x, ln_scale, ln_bias, w_qkv, b_qkv,
+                                   w_out, b_out, num_frames, num_heads):
+    """LN + frame-axis attention with a dX-only backward (frozen CLIP
+    weights — apis/train enforces)."""
+    return fused_ln_temporal_attention(x, ln_scale, ln_bias, w_qkv, b_qkv,
+                                       w_out, b_out, num_frames, num_heads)
+
+
+def _fwd_ln_frozen(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
+                   num_frames, num_heads):
+    y = fused_ln_temporal_attention(x, ln_scale, ln_bias, w_qkv, b_qkv,
+                                    w_out, b_out, num_frames, num_heads)
+    return y, (x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out)
+
+
+def _bwd_ln_frozen(num_frames, num_heads, res, g):
+    x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out = res
+    if _use_full_core(num_frames):
+        dx = fused_ln_temporal_attention_bwd_dx(
+            x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, g.astype(x.dtype),
+            num_frames, num_heads)
+    else:  # 32-frame clips: exact dx via the segment-core backward
+        dx = _bwd_ln_pallas_segment(num_frames, num_heads, res, g)[0]
+    z = jnp.zeros_like
+    return (dx, z(ln_scale), z(ln_bias), z(w_qkv), z(b_qkv), z(w_out),
+            z(b_out))
+
+
+fused_ln_temporal_block_frozen.defvjp(_fwd_ln_frozen, _bwd_ln_frozen)

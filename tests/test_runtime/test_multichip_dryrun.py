@@ -88,6 +88,9 @@ def test_tp_shardings_actually_partition_frozen_tree(dp_tp_setup):
 def test_dp_tp_train_step_runs(dp_tp_setup):
     """Full train step over the 4x2 mesh with TP-sharded frozen params."""
     mesh, model, params = dp_tp_setup
+    # donate_argnums below consumes the state; keep the module-scoped
+    # fixture's arrays alive for later tests by working on copies
+    params = jax.tree_util.tree_map(jnp.array, params)
     trainable, _ = partition_params(params)
     tx = build_optimizer(
         dict(type="AdamW", lr=1e-3, weight_decay=0.05),
