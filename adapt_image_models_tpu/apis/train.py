@@ -171,18 +171,22 @@ def train_model(cfg: Dict[str, Any], work_dir: Optional[str] = None,
         frozen_prefixes = ("conv1", "bn1") + tuple(
             f"layer{i + 1}_" for i in range(fs))
     trainable, _ = partition_params(params, frozen_prefixes=frozen_prefixes)
-    # the fused train path returns ZERO cotangents for the CLIP MLP / ln_2
-    # (ops/fused_joint_mlp.fused_joint_train_block) — only valid when those
-    # weights are frozen (the AIM regime, reference vitclip_aim.py:424-427)
+    # the fused train path returns ZERO cotangents for the frozen CLIP
+    # weights: joint kernel -> mlp/ln_2 (fused_joint_train_block), dX-only
+    # attention backwards -> attn/ln_1 (fused_*_block_frozen). Only valid
+    # when those weights are frozen (the AIM regime, reference
+    # vitclip_aim.py:424-427).
     if model_cfg.get("backbone", {}).get("attention_core") == "fused":
         from flax import traverse_util
+        frozen_only = ("mlp", "ln_2", "attn", "ln_1")
         bad = [k for k in traverse_util.flatten_dict(trainable)
-               if "backbone" in k and any(p in ("mlp", "ln_2") for p in k)]
+               if "backbone" in k and any(p in frozen_only for p in k)]
         if bad:
             raise ValueError(
                 "attention_core='fused' trains with kernel backwards that "
-                "assume a frozen CLIP MLP/ln_2, but these params are "
-                f"trainable: {['/'.join(map(str, k)) for k in bad[:4]]}. "
+                "assume frozen CLIP attention/MLP/LN weights, but these "
+                "params are trainable: "
+                f"{['/'.join(map(str, k)) for k in bad[:4]]}. "
                 "Use attention_core='xla' for full fine-tuning.")
     tx = build_optimizer(cfg["optimizer"], trainable, schedule,
                          grad_clip=grad_clip, update_interval=update_interval)

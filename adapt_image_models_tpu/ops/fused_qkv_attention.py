@@ -896,3 +896,77 @@ def _bwd_ln_frozen(num_heads, l_actual, res, g):
 
 
 fused_ln_attention_block_frozen.defvjp(_fwd_ln_frozen, _bwd_ln_frozen)
+
+
+# ---------------------------------------------------------------------------
+# Experimental: R samples per grid cell — bigger projection matmuls
+# (M = R*L_pad rows) to probe whether per-cell M=208 under-fills the MXU.
+# MEASURED (v5e, BT=512, r3): r=1 100.3, r=2 99.4, r=4 101.7 TFLOP/s —
+# bit-exact vs the r=1 kernel but perf-NEUTRAL, so M-fill is not the
+# limiter; the per-cell LN->QKV->12-head-core->out chain pipelines as well
+# at M=208 as at M=832. Kept as a documented negative result (not wired).
+
+
+def _kernel_ln_r(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wout_ref,
+                 bout_ref, o_ref, *, heads: int, l_actual: int, scale: float,
+                 lp: int, r: int):
+    rr, lpp, d = x_ref.shape
+    x = x_ref[...].reshape(r * lp, d)
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) % lp
+    x = jnp.where(row < l_actual, x, jnp.zeros_like(x))
+    xn = _kernel_layernorm(x, lns_ref, lnb_ref, x.dtype)
+    qkv = _project_qkv(xn, wqkv_ref, bqkv_ref)  # (R*L_pad, 3D) — big matmul
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 1)
+    keymask = jnp.where(col < l_actual, jnp.float32(0.0),
+                        jnp.float32(MASK_VALUE))
+    hd = d // heads
+    outs = []
+    for i in range(r):
+        qkv_i = qkv[i * lp:(i + 1) * lp]
+        for h in range(heads):
+            q = qkv_i[:, h * hd:(h + 1) * hd]
+            k = qkv_i[:, d + h * hd:d + (h + 1) * hd]
+            v = qkv_i[:, 2 * d + h * hd:2 * d + (h + 1) * hd]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s * scale + keymask
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s - m)
+            denom = jnp.sum(p, axis=1, keepdims=True)
+            o_h = jax.lax.dot(p.astype(v.dtype), v,
+                              preferred_element_type=jnp.float32) / denom
+            outs.append(o_h.astype(x.dtype))
+    out = jnp.concatenate(
+        [jnp.concatenate(outs[i * heads:(i + 1) * heads], axis=1)
+         for i in range(r)], axis=0)  # (R*L_pad, D)
+    y = jnp.dot(out, wout_ref[...], preferred_element_type=jnp.float32)
+    y = y + bout_ref[...].astype(jnp.float32)
+    o_ref[...] = y.astype(o_ref.dtype).reshape(r, lp, d)
+
+
+def fused_ln_qkv_attention_r(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
+                             b_out, num_heads: int, r: int = 2,
+                             l_actual: Optional[int] = None) -> jax.Array:
+    b, l, d = x.shape
+    l_actual = l if l_actual is None else l_actual
+    lp = _round_up(l, 16)
+    scale = 1.0 / ((d // num_heads) ** 0.5)
+    kernel = functools.partial(_kernel_ln_r, heads=num_heads,
+                               l_actual=l_actual, scale=scale, lp=lp, r=r)
+    ln_specs = [
+        pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+    ]
+    x_spec = pl.BlockSpec((r, lp, d), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, l, d), x.dtype),
+        grid=(-(-b // r),),
+        in_specs=[x_spec, *ln_specs, *_WEIGHT_SPECS(d)],
+        out_specs=x_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+    )(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out)

@@ -58,26 +58,25 @@ def _sanitize_tokens(x, tile: int, tok_limit):
     return jnp.where(tok < tok_limit, x, jnp.zeros_like(x))
 
 
-def _temporal_body_full(x, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
-                        t: int, heads: int, scale: float):
-    """Full-core variant: per head ONE masked (T*tile, T*tile) attention —
-    row r = frame*tile + token attends where (r % tile) matches — instead of
-    T^2 segment-sum matmuls. The mask waste (factor=tile) rides the MXU at
-    full rate while the segment core pays N=heads<128 lanes per pair."""
-    rows, d = x.shape
-    tile = rows // t
+def _core_group(t: int) -> int:
+    """Token-group width for the masked-full core: ~128 rows per score
+    matmul. The un-grouped core at tile=104/T=8 computes (832, 832) score
+    matrices where only the T x T frame blocks are useful — 26% of kernel
+    FLOPs wasted (measured r3: temporal fwd 85 TF/s useful vs spatial 100).
+    Grouping keeps the MXU filled (t*group ~ 128 rows) at 6.5x less score
+    waste."""
+    return max(8, 128 // t)
+
+
+def _masked_full_core(q, k, v, t: int, gw: int, heads: int, scale: float,
+                      dtype):
+    """One group's attention: q/k/v (t*gw, D), row = frame*gw + token;
+    token attends its own slot across frames. Returns (t*gw, D) in dtype."""
+    grows, d = q.shape
     hd = d // heads
-    w = wqkv_ref[...]
-    b = bqkv_ref[...]
-    q = (jnp.dot(x, w[:, :d], preferred_element_type=jnp.float32)
-         + b[:d].astype(jnp.float32)).astype(x.dtype)
-    k = (jnp.dot(x, w[:, d:2 * d], preferred_element_type=jnp.float32)
-         + b[d:2 * d].astype(jnp.float32)).astype(x.dtype)
-    v = (jnp.dot(x, w[:, 2 * d:], preferred_element_type=jnp.float32)
-         + b[2 * d:].astype(jnp.float32)).astype(x.dtype)
-    ri = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
-    ci = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
-    maskadd = jnp.where((ri % tile) == (ci % tile), jnp.float32(0.0),
+    ri = jax.lax.broadcasted_iota(jnp.int32, (grows, grows), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (grows, grows), 1)
+    maskadd = jnp.where((ri % gw) == (ci % gw), jnp.float32(0.0),
                         jnp.float32(MASK_VALUE))
     outs = []
     for h in range(heads):
@@ -92,8 +91,44 @@ def _temporal_body_full(x, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
         denom = jnp.sum(p, axis=1, keepdims=True)
         oh = jax.lax.dot(p.astype(vh.dtype), vh,
                          preferred_element_type=jnp.float32) / denom
-        outs.append(oh.astype(x.dtype))
-    out = jnp.concatenate(outs, axis=1)
+        outs.append(oh.astype(dtype))
+    return jnp.concatenate(outs, axis=1)
+
+
+def _temporal_body_full(x, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+                        t: int, heads: int, scale: float):
+    """Full-core variant: masked (rows x rows) attention per token GROUP —
+    row r = frame*group + token attends where the token slot matches. The
+    projections run on the whole block (big MXU matmuls); the cores run on
+    ~128-row groups (see _core_group)."""
+    rows, d = x.shape
+    tile = rows // t
+    w = wqkv_ref[...]
+    b = bqkv_ref[...]
+    q = (jnp.dot(x, w[:, :d], preferred_element_type=jnp.float32)
+         + b[:d].astype(jnp.float32)).astype(x.dtype)
+    k = (jnp.dot(x, w[:, d:2 * d], preferred_element_type=jnp.float32)
+         + b[d:2 * d].astype(jnp.float32)).astype(x.dtype)
+    v = (jnp.dot(x, w[:, 2 * d:], preferred_element_type=jnp.float32)
+         + b[2 * d:].astype(jnp.float32)).astype(x.dtype)
+    group = _core_group(t)
+    if group >= tile:
+        out = _masked_full_core(q, k, v, t, tile, heads, scale, x.dtype)
+    else:
+        q3 = q.reshape(t, tile, d)
+        k3 = k.reshape(t, tile, d)
+        v3 = v.reshape(t, tile, d)
+        o_groups = []
+        for g0 in range(0, tile, group):
+            ge = min(tile, g0 + group)
+            gw = ge - g0
+            og = _masked_full_core(
+                q3[:, g0:ge, :].reshape(t * gw, d),
+                k3[:, g0:ge, :].reshape(t * gw, d),
+                v3[:, g0:ge, :].reshape(t * gw, d),
+                t, gw, heads, scale, x.dtype)
+            o_groups.append(og.reshape(t, gw, d))
+        out = jnp.concatenate(o_groups, axis=1).reshape(rows, d)
     y = jnp.dot(out, wout_ref[...], preferred_element_type=jnp.float32)
     return y + bout_ref[...].astype(jnp.float32)
 
@@ -621,49 +656,74 @@ def _bwd_temporal_body_full(x0, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
     v = (jnp.dot(y, w[:, 2 * d:], preferred_element_type=jnp.float32)
          + bq[2 * d:].astype(jnp.float32)).astype(dt)
 
-    ri = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
-    ci = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
-    maskadd = jnp.where((ri % tile) == (ci % tile), jnp.float32(0.0),
-                        jnp.float32(MASK_VALUE))
-
     do = jax.lax.dot_general(g.astype(dt), wout_ref[...],
                              (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
 
-    o_parts, dq_parts, dk_parts, dv_parts = [], [], [], []
-    for h in range(heads):
-        qh = q[:, h * hd:(h + 1) * hd]
-        kh = k[:, h * hd:(h + 1) * hd]
-        vh = v[:, h * hd:(h + 1) * hd]
-        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        s = s * scale + maskadd
-        m = jnp.max(s, axis=1, keepdims=True)
-        e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=1, keepdims=True)
-        pb = p.astype(dt)
-        oh = jax.lax.dot(pb, vh, preferred_element_type=jnp.float32)
-        o_parts.append(oh.astype(dt))
+    def group_bwd(qg, kg, vg, dog, gw):
+        """One token group's core backward: all inputs (t*gw, D)."""
+        grows = qg.shape[0]
+        ri = jax.lax.broadcasted_iota(jnp.int32, (grows, grows), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (grows, grows), 1)
+        maskadd = jnp.where((ri % gw) == (ci % gw), jnp.float32(0.0),
+                            jnp.float32(MASK_VALUE))
+        o_parts, dq_parts, dk_parts, dv_parts = [], [], [], []
+        for h in range(heads):
+            qh = qg[:, h * hd:(h + 1) * hd]
+            kh = kg[:, h * hd:(h + 1) * hd]
+            vh = vg[:, h * hd:(h + 1) * hd]
+            s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s * scale + maskadd
+            m = jnp.max(s, axis=1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = e / jnp.sum(e, axis=1, keepdims=True)
+            pb = p.astype(dt)
+            oh = jax.lax.dot(pb, vh, preferred_element_type=jnp.float32)
+            o_parts.append(oh.astype(dt))
 
-        do_h = do[:, h * hd:(h + 1) * hd].astype(dt)
-        dv = jax.lax.dot_general(pb, do_h, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(do_h, vh, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        rowdot = jnp.sum(dp * p, axis=1, keepdims=True)
-        ds = (p * (dp - rowdot)).astype(dt)  # masked pairs: p = 0 -> ds = 0
-        dq = jax.lax.dot(ds, kh, preferred_element_type=jnp.float32) * scale
-        dk = jax.lax.dot_general(ds, qh, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32) * scale
-        dq_parts.append(dq.astype(dt))
-        dk_parts.append(dk.astype(dt))
-        dv_parts.append(dv.astype(dt))
+            do_h = dog[:, h * hd:(h + 1) * hd].astype(dt)
+            dv = jax.lax.dot_general(pb, do_h, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(do_h, vh, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            rowdot = jnp.sum(dp * p, axis=1, keepdims=True)
+            ds = (p * (dp - rowdot)).astype(dt)  # masked pairs: p=0 -> ds=0
+            dq = jax.lax.dot(ds, kh,
+                             preferred_element_type=jnp.float32) * scale
+            dk = jax.lax.dot_general(ds, qh, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32) * scale
+            dq_parts.append(dq.astype(dt))
+            dk_parts.append(dk.astype(dt))
+            dv_parts.append(dv.astype(dt))
+        og = jnp.concatenate(o_parts, axis=1)
+        dqkvg = jnp.concatenate(
+            [jnp.concatenate(dq_parts, axis=1),
+             jnp.concatenate(dk_parts, axis=1),
+             jnp.concatenate(dv_parts, axis=1)], axis=1)
+        return og, dqkvg
 
-    o = jnp.concatenate(o_parts, axis=1)
-    dqkv = jnp.concatenate(
-        [jnp.concatenate(dq_parts, axis=1),
-         jnp.concatenate(dk_parts, axis=1),
-         jnp.concatenate(dv_parts, axis=1)], axis=1)
+    group = _core_group(t)
+    if group >= tile:
+        o, dqkv = group_bwd(q, k, v, do, tile)
+    else:
+        q3 = q.reshape(t, tile, d)
+        k3 = k.reshape(t, tile, d)
+        v3 = v.reshape(t, tile, d)
+        do3 = do.reshape(t, tile, d)
+        o_gs, dqkv_gs = [], []
+        for g0 in range(0, tile, group):
+            ge = min(tile, g0 + group)
+            gw = ge - g0
+            og, dqkvg = group_bwd(
+                q3[:, g0:ge, :].reshape(t * gw, d),
+                k3[:, g0:ge, :].reshape(t * gw, d),
+                v3[:, g0:ge, :].reshape(t * gw, d),
+                do3[:, g0:ge, :].reshape(t * gw, d), gw)
+            o_gs.append(og.reshape(t, gw, d))
+            dqkv_gs.append(dqkvg.reshape(t, gw, 3 * d))
+        o = jnp.concatenate(o_gs, axis=1).reshape(rows, d)
+        dqkv = jnp.concatenate(dqkv_gs, axis=1).reshape(rows, 3 * d)
 
     dy = jax.lax.dot_general(dqkv, w, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
