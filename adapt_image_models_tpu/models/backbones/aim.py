@@ -113,12 +113,18 @@ class AIMBlock(nn.Module):
         # per save at ViT-B batch 64; recompute is ~2% of step FLOPs)
         adapter_cls = (AdapterParams if deterministic
                        else nn.remat(AdapterParams))
-        s_adapter = adapter_cls(d, skip_connect=True,
-                                compute_dtype=self.compute_dtype,
-                                name="S_Adapter")
-        t_adapter = adapter_cls(d, skip_connect=False,
-                                compute_dtype=self.compute_dtype,
-                                name="T_Adapter")
+        # spatial/temporal steps run fully in-kernel in BOTH modes when
+        # fused (adapter weights consumed directly) -> plain AdapterParams;
+        # remat only matters when an adapter is XLA-applied (num_tadapter=2)
+        step_adapter_cls = (AdapterParams
+                            if self.attention_core == "fused"
+                            else adapter_cls)
+        s_adapter = step_adapter_cls(d, skip_connect=True,
+                                     compute_dtype=self.compute_dtype,
+                                     name="S_Adapter")
+        t_adapter = step_adapter_cls(d, skip_connect=False,
+                                     compute_dtype=self.compute_dtype,
+                                     name="T_Adapter")
         mlp_adapter = AdapterParams(d, skip_connect=False,
                                     compute_dtype=self.compute_dtype,
                                     name="MLP_Adapter")
@@ -141,16 +147,23 @@ class AIMBlock(nn.Module):
                          name="T_Adapter_in")(ln_1(x))
             xt = t_adapter(attn(xt, temporal_frames=t))
             x = x + drop_path(rng_t, xt, dpr, deterministic)
-        elif fuse_steps:
-            # whole step in one kernel (drop_path is identity in eval)
+        elif self.attention_core == "fused":
+            # whole step in one kernel, both modes; train passes the
+            # drop-path gate in (per sample-frame) and uses the in-kernel
+            # backward (CLIPAttention.frozen_backward)
+            t_gate = (drop_path_gate(rng_t, bt, dpr)
+                      if not deterministic and rng_t is not None else None)
             x = attn(x, temporal_frames=t, ln=ln_1, adapter=t_adapter,
-                     residual=True)
+                     residual=True, gate=t_gate)
         else:
             xt = t_adapter(attn(x, temporal_frames=t, ln=ln_1))
             x = x + drop_path(rng_t, xt, dpr, deterministic)
 
         # 2. spatial adaptation --------------------------------------------
-        if fuse_steps:
+        # no drop-path on this step (reference :208), so the whole step runs
+        # in one kernel in BOTH modes; train uses the in-kernel backward
+        # (CLIPAttention.frozen_backward routes to fused_spatial_train_step)
+        if self.attention_core == "fused":
             x = attn(x, ln=ln_1, adapter=s_adapter, residual=True)
         else:
             x = x + s_adapter(attn(x, ln=ln_1))

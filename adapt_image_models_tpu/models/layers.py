@@ -288,7 +288,8 @@ class CLIPAttention(nn.Module):
                  temporal_frames: Optional[int] = None,
                  adapter: Optional["AdapterParams"] = None,
                  ln: Optional["LayerNormParams"] = None,
-                 residual: bool = False) -> jax.Array:
+                 residual: bool = False,
+                 gate: Optional[jax.Array] = None) -> jax.Array:
         """Self/cross attention over the sequence axis — or, when
         ``temporal_frames=T`` is given, over the FRAME axis of a
         ``(B*T, N, D)`` tensor without materializing the
@@ -320,13 +321,23 @@ class CLIPAttention(nn.Module):
                          *adapter.weights(cdt))
                 if temporal_frames is None:
                     from adapt_image_models_tpu.ops.fused_qkv_attention import (
-                        fused_spatial_step_block,
+                        fused_spatial_step_block, fused_spatial_train_step,
                     )
+                    if self.frozen_backward or gate is not None:
+                        # train: in-kernel fwd AND bwd (exact adapter dW,
+                        # frozen-attn zeros)
+                        return fused_spatial_train_step(
+                            *wargs, gate, self.num_heads,
+                            adapter.skip_connect, None)
                     return fused_spatial_step_block(
                         *wargs, self.num_heads, adapter.skip_connect, None)
                 from adapt_image_models_tpu.ops.fused_temporal_attention import (
-                    fused_temporal_step_block,
+                    fused_temporal_step_block, fused_temporal_train_step,
                 )
+                if self.frozen_backward or gate is not None:
+                    return fused_temporal_train_step(
+                        *wargs, gate, temporal_frames, self.num_heads,
+                        adapter.skip_connect)
                 return fused_temporal_step_block(
                     *wargs, temporal_frames, self.num_heads,
                     adapter.skip_connect)

@@ -970,3 +970,371 @@ def fused_ln_qkv_attention_r(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
             dimension_semantics=("parallel",),
         ),
     )(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out)
+
+
+# ---------------------------------------------------------------------------
+# Whole-step TRAIN ops (round 3): LN -> attention -> bottleneck adapter ->
+# (drop-path gate) -> residual in ONE kernel for BOTH directions. The r3
+# profile puts the training step at 53% MFU while the kernels run at ~72% —
+# the gap is XLA glue, dominated by the separately-applied adapters
+# (remat'd fwd+bwd+recompute stream passes) and drop-path multiplies. These
+# ops absorb the adapter into the attention kernels: the backward
+# recomputes everything from x, emits dX plus the tiny (u, dpre, a)
+# intermediates from which XLA forms EXACT adapter cotangents; frozen
+# attention/LN cotangents are zeros (apis/train guards).
+
+
+def _adapter_fwd_parts(u, w1_ref, b1_ref, w2_ref, b2_ref, dtype):
+    """u -> (pre, a, z) with tanh-gelu (matches _adapter_epilogue)."""
+    pre = jnp.dot(u.astype(dtype), w1_ref[...],
+                  preferred_element_type=jnp.float32)
+    pre = pre + b1_ref[...].astype(jnp.float32)
+    a = jax.nn.gelu(pre, approximate=True)
+    z = jnp.dot(a.astype(dtype), w2_ref[...],
+                preferred_element_type=jnp.float32)
+    return pre, a, z + b2_ref[...].astype(jnp.float32)
+
+
+def _tanh_gelu_grad(pre):
+    c = 0.7978845608028654  # sqrt(2/pi)
+    u = c * (pre + 0.044715 * pre ** 3)
+    th = jnp.tanh(u)
+    return (0.5 * (1 + th)
+            + 0.5 * pre * (1 - th ** 2) * c * (1 + 3 * 0.044715 * pre ** 2))
+
+
+def _kernel_step_bwd_dx(x_ref, gate_ref, lns_ref, lnb_ref, wqkv_ref,
+                        bqkv_ref, wout_ref, bout_ref, w1_ref, b1_ref,
+                        w2_ref, b2_ref, g_ref, dx_ref, u_ref, dpre_ref,
+                        a_ref, *, heads: int, l_actual: int, scale: float,
+                        skip: bool, has_gate: bool):
+    """Backward of ``x + gate * Adapter(attn(LN(x)))`` — dX in-kernel,
+    (u, dpre, a) emitted for XLA's exact adapter dW."""
+    x0 = _sanitize_rows(x_ref[0], l_actual)
+    g = _sanitize_rows(g_ref[0], l_actual)
+    dt = x0.dtype
+    gate = (gate_ref[pl.program_id(0), 0].astype(jnp.float32)
+            if has_gate else None)
+
+    # recompute forward: LN -> qkv -> probs -> o -> u
+    x32 = x0.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + 1e-5)
+    xhat = (x32 - mean) * rstd
+    lns = lns_ref[...].astype(jnp.float32)
+    y = (xhat * lns + lnb_ref[...].astype(jnp.float32)).astype(dt)
+    lp, d = x0.shape
+    hd = d // heads
+    qkv = _project_qkv(y, wqkv_ref, bqkv_ref)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 1)
+    keymask = jnp.where(col < l_actual, jnp.float32(0.0),
+                        jnp.float32(MASK_VALUE))
+    o_parts = []
+    p_list, q_list, k_list, v_list = [], [], [], []
+    for h in range(heads):
+        q = qkv[:, h * hd:(h + 1) * hd]
+        k = qkv[:, d + h * hd:d + (h + 1) * hd]
+        v = qkv[:, 2 * d + h * hd:2 * d + (h + 1) * hd]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * scale + keymask
+        m = jnp.max(s, axis=1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=1, keepdims=True)
+        o_parts.append(jax.lax.dot(p.astype(dt), v,
+                                   preferred_element_type=jnp.float32)
+                       .astype(dt))
+        p_list.append(p)
+        q_list.append(q)
+        k_list.append(k)
+        v_list.append(v)
+    o = jnp.concatenate(o_parts, axis=1)
+    u = (jnp.dot(o, wout_ref[...], preferred_element_type=jnp.float32)
+         + bout_ref[...].astype(jnp.float32))  # attention block out, fp32
+
+    # adapter forward + backward (exact)
+    pre, a, _ = _adapter_fwd_parts(u.astype(dt), w1_ref, b1_ref, w2_ref,
+                                   b2_ref, dt)
+    g32 = g.astype(jnp.float32)
+    db = g32 * gate if has_gate else g32          # branch cotangent
+    da = jax.lax.dot_general(db.astype(dt), w2_ref[...],
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dpre = da * _tanh_gelu_grad(pre)
+    du = jax.lax.dot_general(dpre.astype(dt), w1_ref[...],
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    if skip:
+        du = du + db
+
+    # attention backward with cotangent du at the block output
+    do = jax.lax.dot_general(du.astype(dt), wout_ref[...],
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dq_parts, dk_parts, dv_parts = [], [], []
+    for h in range(heads):
+        p = p_list[h]
+        pb = p.astype(dt)
+        do_h = do[:, h * hd:(h + 1) * hd].astype(dt)
+        dv = jax.lax.dot_general(pb, do_h, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do_h, v_list[h], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        rowdot = jnp.sum(dp * p, axis=1, keepdims=True)
+        ds = (p * (dp - rowdot)).astype(dt)
+        dq = jax.lax.dot(ds, k_list[h],
+                         preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(ds, q_list[h], (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        dq_parts.append(dq.astype(dt))
+        dk_parts.append(dk.astype(dt))
+        dv_parts.append(dv.astype(dt))
+    dqkv = jnp.concatenate(
+        [jnp.concatenate(dq_parts, axis=1),
+         jnp.concatenate(dk_parts, axis=1),
+         jnp.concatenate(dv_parts, axis=1)], axis=1)
+    dy = jax.lax.dot_general(dqkv, wqkv_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dxhat = dy * lns
+    mdx = jnp.mean(dxhat, axis=-1, keepdims=True)
+    mdxx = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = rstd * (dxhat - mdx - xhat * mdxx) + g32  # + residual
+
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+    u_ref[0] = u.astype(u_ref.dtype)
+    dpre_ref[0] = dpre.astype(dpre_ref.dtype)
+    a_ref[0] = a.astype(a_ref.dtype)
+
+
+def fused_step_bwd_dx(x, gate, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
+                      b_out, w1, b1, w2, b2, g, num_heads: int, skip: bool,
+                      l_actual: Optional[int] = None):
+    """Returns (dx, u, dpre, a) for the whole-step backward."""
+    b, l, d = x.shape
+    dh = w1.shape[1]
+    l_actual = l if l_actual is None else l_actual
+    lp = _round_up(l, 16)
+    scale = 1.0 / ((d // num_heads) ** 0.5)
+    has_gate = gate is not None
+    gate_in = (gate.reshape(b, 1).astype(jnp.float32) if has_gate
+               else jnp.zeros((1, 1), jnp.float32))
+    kernel = functools.partial(_kernel_step_bwd_dx, heads=num_heads,
+                               l_actual=l_actual, scale=scale, skip=skip,
+                               has_gate=has_gate)
+    # per-sample scalars live in SMEM (a (1, 1) VMEM block would violate
+    # Mosaic's (8, 128)-divisibility rule on the real chip)
+    row_spec = lambda w: pl.BlockSpec((1, lp, w), lambda i: (i, 0, 0),
+                                      memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM)
+    gate_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    adapter_specs = [
+        pl.BlockSpec((d, dh), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((dh,), lambda i: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((dh, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        vec_spec,
+    ]
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, l, d), x.dtype),    # dx
+            jax.ShapeDtypeStruct((b, l, d), x.dtype),    # u
+            jax.ShapeDtypeStruct((b, l, dh), x.dtype),   # dpre
+            jax.ShapeDtypeStruct((b, l, dh), x.dtype),   # a
+        ),
+        grid=(b,),
+        in_specs=[row_spec(d), gate_spec, vec_spec, vec_spec,
+                  pl.BlockSpec((d, 3 * d), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((3 * d,), lambda i: (0,),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((d, d), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  vec_spec, *adapter_specs, row_spec(d)],
+        out_specs=(row_spec(d), row_spec(d), row_spec(dh), row_spec(dh)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * (2 * lp * d * 3 * d + 6 * lp * lp * d
+                           + 2 * lp * d * d + 4 * lp * d * dh),
+            bytes_accessed=2 * (4 * b * lp * d * 2 + 4 * d * d),
+            transcendentals=b * num_heads * lp * lp,
+        ),
+    )(x, gate_in, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
+      w1, b1, w2, b2, g)
+
+
+def _step_vmem_fits(l: int, d: int, dh: int) -> bool:
+    """x, g in + dx, u, dpre, a out, double-buffered + resident weights
+    + the (lp, 3d) qkv transient. ViT-B fits; ViT-L (~16 MB with
+    transients) takes the two-kernel fallback below."""
+    lp = _round_up(l, 16)
+    est = (2 * (2 + 2) * lp * d + 2 * 2 * lp * dh) * 2 \
+        + (4 * d * d + 2 * d * dh) * 2 + lp * 3 * d * 2
+    return est <= 12 * 2 ** 20
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14))
+def fused_spatial_train_step(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
+                             b_out, w1, b1, w2, b2, gate, num_heads, skip,
+                             l_actual=None):
+    """TRAIN whole-step op: ``x + gate * Adapter(attn(LN(x)))`` with
+    in-kernel forward AND backward. Adapter cotangents are EXACT; frozen
+    attention/LN cotangents are zeros (AIM regime; apis/train guards).
+    ``gate``: (B,) drop-path gate or None."""
+    if gate is None:
+        return fused_ln_attn_adapter_residual(
+            x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
+            w1, b1, w2, b2, num_heads, skip, l_actual)
+    return fused_ln_attn_adapter_residual_gated(
+        x, gate, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
+        w1, b1, w2, b2, num_heads, skip, l_actual)
+
+
+def _fwd_train_step(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out, w1,
+                    b1, w2, b2, gate, num_heads, skip, l_actual):
+    y = fused_spatial_train_step(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
+                                 b_out, w1, b1, w2, b2, gate, num_heads,
+                                 skip, l_actual)
+    return y, (x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
+               w1, b1, w2, b2, gate)
+
+
+def _ref_train_step_impl(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
+                         b_out, w1, b1, w2, b2, gate, num_heads, skip,
+                         l_actual=None):
+    """XLA oracle of the gated whole step (tanh-gelu adapter)."""
+    y = _ref_ln_impl(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
+                     num_heads, l_actual)
+    pre = (y.astype(jnp.float32) @ w1.astype(jnp.float32)
+           + b1.astype(jnp.float32))
+    a = jax.nn.gelu(pre, approximate=True)
+    z = a @ w2.astype(jnp.float32) + b2.astype(jnp.float32)
+    branch = z + y.astype(jnp.float32) if skip else z
+    if gate is not None:
+        branch = gate.reshape(-1, 1, 1).astype(jnp.float32) * branch
+    return (x.astype(jnp.float32) + branch).astype(x.dtype)
+
+
+def _bwd_train_step(num_heads, skip, l_actual, res, g):
+    (x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
+     w1, b1, w2, b2, gate) = res
+    if not _step_vmem_fits(x.shape[1], x.shape[2], w1.shape[1]):
+        # ViT-L widths: two-kernel composition — recompute u with the
+        # (VMEM-fitting) forward kernel, adapter backward in XLA (exact),
+        # dX through attention with the dX-only backward kernel
+        u = fused_ln_qkv_attention(x, ln_scale, ln_bias, w_qkv, b_qkv,
+                                   w_out, b_out, num_heads, l_actual)
+        g32 = g.astype(jnp.float32)
+        gb = (gate.reshape(-1, 1, 1).astype(jnp.float32)
+              if gate is not None else None)
+        db = g32 * gb if gb is not None else g32
+        u32 = u.astype(jnp.float32)
+        pre = u32 @ w1.astype(jnp.float32) + b1.astype(jnp.float32)
+        a = jax.nn.gelu(pre, approximate=True)
+        c = 0.7978845608028654
+        uu = c * (pre + 0.044715 * pre ** 3)
+        th = jnp.tanh(uu)
+        dgelu = 0.5 * (1 + th) + 0.5 * pre * (1 - th ** 2) * c * (
+            1 + 3 * 0.044715 * pre ** 2)
+        da = db @ w2.astype(jnp.float32).T
+        dpre = da * dgelu
+        du = dpre @ w1.astype(jnp.float32).T
+        if skip:
+            du = du + db
+        dx = fused_ln_qkv_attention_bwd_dx(
+            x, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
+            du.astype(x.dtype), num_heads, l_actual) + g.astype(x.dtype)
+        dw1 = jnp.einsum("bld,blh->dh", u32, dpre).astype(w1.dtype)
+        db1 = jnp.sum(dpre, axis=(0, 1)).astype(b1.dtype)
+        dw2 = jnp.einsum("blh,bld->hd", a, db).astype(w2.dtype)
+        db2 = jnp.sum(db, axis=(0, 1)).astype(b2.dtype)
+        if gate is not None:
+            z = a @ w2.astype(jnp.float32) + b2.astype(jnp.float32)
+            branch = z + u32 if skip else z
+            dgate = jnp.sum(g32 * branch, axis=(1, 2)).astype(gate.dtype)
+        else:
+            dgate = None
+        z_ = jnp.zeros_like
+        return (dx, z_(ln_scale), z_(ln_bias), z_(w_qkv), z_(b_qkv),
+                z_(w_out), z_(b_out), dw1, db1, dw2, db2, dgate)
+    dx, u, dpre, a = fused_step_bwd_dx(
+        x, gate, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
+        w1, b1, w2, b2, g.astype(x.dtype), num_heads, skip, l_actual)
+    g32 = g.astype(jnp.float32)
+    gb = (gate.reshape(-1, 1, 1).astype(jnp.float32) if gate is not None
+          else None)
+    db = g32 * gb if gb is not None else g32
+    dw1 = jnp.einsum("bld,blh->dh", u.astype(jnp.float32),
+                     dpre.astype(jnp.float32)).astype(w1.dtype)
+    db1 = jnp.sum(dpre.astype(jnp.float32), axis=(0, 1)).astype(b1.dtype)
+    dw2 = jnp.einsum("blh,bld->hd", a.astype(jnp.float32), db)
+    dw2 = dw2.astype(w2.dtype)
+    db2 = jnp.sum(db, axis=(0, 1)).astype(b2.dtype)
+    if gate is not None:
+        z = (a.astype(jnp.float32) @ w2.astype(jnp.float32)
+             + b2.astype(jnp.float32))
+        branch = z + u.astype(jnp.float32) if skip else z
+        dgate = jnp.sum(g32 * branch, axis=(1, 2)).astype(gate.dtype)
+    else:
+        dgate = None
+    z_ = jnp.zeros_like
+    return (dx, z_(ln_scale), z_(ln_bias), z_(w_qkv), z_(b_qkv), z_(w_out),
+            z_(b_out), dw1, db1, dw2, db2, dgate)
+
+
+fused_spatial_train_step.defvjp(_fwd_train_step, _bwd_train_step)
+
+
+def _kernel_ln_adapter_res_gated(x_ref, gate_ref, lns_ref, lnb_ref,
+                                 wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+                                 w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+                                 *, heads: int, l_actual: int, scale: float,
+                                 skip: bool):
+    """``x + gate * Adapter(attn(LN(x)))`` — the train-mode step forward
+    with the drop-path gate applied in-kernel."""
+    x0 = _sanitize_rows(x_ref[0], l_actual)
+    xn = _kernel_layernorm(x0, lns_ref, lnb_ref, x_ref.dtype)
+    y = _attention_body(xn, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+                        heads, l_actual, scale)
+    y = _adapter_epilogue(y, w1_ref, b1_ref, w2_ref, b2_ref, skip,
+                          x_ref.dtype)
+    gate = gate_ref[pl.program_id(0), 0].astype(jnp.float32)
+    o_ref[0] = (x0.astype(jnp.float32) + gate * y).astype(o_ref.dtype)
+
+
+def fused_ln_attn_adapter_residual_gated(x, gate, ln_scale, ln_bias, w_qkv,
+                                         b_qkv, w_out, b_out, w1, b1, w2,
+                                         b2, num_heads: int, skip: bool,
+                                         l_actual: Optional[int] = None):
+    b, l, d = x.shape
+    l_actual = l if l_actual is None else l_actual
+    lp = _round_up(l, 16)
+    scale = 1.0 / ((d // num_heads) ** 0.5)
+    dh = w1.shape[1]
+    kernel = functools.partial(_kernel_ln_adapter_res_gated, heads=num_heads,
+                               l_actual=l_actual, scale=scale, skip=skip)
+    vec_spec = pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM)
+    adapter_specs = [
+        pl.BlockSpec((d, dh), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((dh,), lambda i: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((dh, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        vec_spec,
+    ]
+    x_spec = pl.BlockSpec((1, lp, d), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    gate_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, l, d), x.dtype),
+        grid=(b,),
+        in_specs=[x_spec, gate_spec, vec_spec, vec_spec, *_WEIGHT_SPECS(d),
+                  *adapter_specs],
+        out_specs=x_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+    )(x, gate.reshape(b, 1).astype(jnp.float32), ln_scale, ln_bias,
+      w_qkv, b_qkv, w_out, b_out, w1, b1, w2, b2)

@@ -628,6 +628,97 @@ fused_temporal_step_block.defvjp(_fwd_step, _bwd_step)
 # it covers T <= 16; longer clips fall back to the XLA-remat backward.
 
 
+def _grouped_core_fwd_dispatch(q, k, v, t, tile, heads, scale, dt):
+    """Grouped temporal-core forward over the whole (t*tile, D) block."""
+    rows, d = q.shape
+    group = _core_group(t)
+    if group >= tile:
+        return _masked_full_core(q, k, v, t, tile, heads, scale, dt)
+    q3 = q.reshape(t, tile, d)
+    k3 = k.reshape(t, tile, d)
+    v3 = v.reshape(t, tile, d)
+    o_gs = []
+    for g0 in range(0, tile, group):
+        ge = min(tile, g0 + group)
+        gw = ge - g0
+        og = _masked_full_core(
+            q3[:, g0:ge, :].reshape(t * gw, d),
+            k3[:, g0:ge, :].reshape(t * gw, d),
+            v3[:, g0:ge, :].reshape(t * gw, d), t, gw, heads, scale, dt)
+        o_gs.append(og.reshape(t, gw, d))
+    return jnp.concatenate(o_gs, axis=1).reshape(rows, d)
+
+
+def _grouped_core_bwd(qg, kg, vg, dog, gw, heads, hd, scale, dt):
+    """One token group's temporal-core backward: all inputs (t*gw, D).
+    Returns (o_group, dqkv_group)."""
+    grows = qg.shape[0]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (grows, grows), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (grows, grows), 1)
+    maskadd = jnp.where((ri % gw) == (ci % gw), jnp.float32(0.0),
+                        jnp.float32(MASK_VALUE))
+    o_parts, dq_parts, dk_parts, dv_parts = [], [], [], []
+    for h in range(heads):
+        qh = qg[:, h * hd:(h + 1) * hd]
+        kh = kg[:, h * hd:(h + 1) * hd]
+        vh = vg[:, h * hd:(h + 1) * hd]
+        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * scale + maskadd
+        m = jnp.max(s, axis=1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=1, keepdims=True)
+        pb = p.astype(dt)
+        oh = jax.lax.dot(pb, vh, preferred_element_type=jnp.float32)
+        o_parts.append(oh.astype(dt))
+
+        do_h = dog[:, h * hd:(h + 1) * hd].astype(dt)
+        dv = jax.lax.dot_general(pb, do_h, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do_h, vh, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        rowdot = jnp.sum(dp * p, axis=1, keepdims=True)
+        ds = (p * (dp - rowdot)).astype(dt)  # masked pairs: p=0 -> ds=0
+        dq = jax.lax.dot(ds, kh,
+                         preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(ds, qh, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        dq_parts.append(dq.astype(dt))
+        dk_parts.append(dk.astype(dt))
+        dv_parts.append(dv.astype(dt))
+    og = jnp.concatenate(o_parts, axis=1)
+    dqkvg = jnp.concatenate(
+        [jnp.concatenate(dq_parts, axis=1),
+         jnp.concatenate(dk_parts, axis=1),
+         jnp.concatenate(dv_parts, axis=1)], axis=1)
+    return og, dqkvg
+
+
+def _grouped_core_bwd_dispatch(q, k, v, do, t, tile, heads, hd, scale, dt):
+    """Grouped temporal-core backward over the whole (t*tile, D) block."""
+    rows, d = q.shape
+    group = _core_group(t)
+    if group >= tile:
+        return _grouped_core_bwd(q, k, v, do, tile, heads, hd, scale, dt)
+    q3 = q.reshape(t, tile, d)
+    k3 = k.reshape(t, tile, d)
+    v3 = v.reshape(t, tile, d)
+    do3 = do.reshape(t, tile, d)
+    o_gs, dqkv_gs = [], []
+    for g0 in range(0, tile, group):
+        ge = min(tile, g0 + group)
+        gw = ge - g0
+        og, dqkvg = _grouped_core_bwd(
+            q3[:, g0:ge, :].reshape(t * gw, d),
+            k3[:, g0:ge, :].reshape(t * gw, d),
+            v3[:, g0:ge, :].reshape(t * gw, d),
+            do3[:, g0:ge, :].reshape(t * gw, d), gw, heads, hd, scale, dt)
+        o_gs.append(og.reshape(t, gw, d))
+        dqkv_gs.append(dqkvg.reshape(t, gw, 3 * d))
+    return (jnp.concatenate(o_gs, axis=1).reshape(rows, d),
+            jnp.concatenate(dqkv_gs, axis=1).reshape(rows, 3 * d))
+
+
 def _bwd_temporal_body_full(x0, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
                             wout_ref, g, t: int, heads: int, scale: float,
                             with_ln: bool = True):
@@ -660,71 +751,8 @@ def _bwd_temporal_body_full(x0, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
                              (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
 
-    def group_bwd(qg, kg, vg, dog, gw):
-        """One token group's core backward: all inputs (t*gw, D)."""
-        grows = qg.shape[0]
-        ri = jax.lax.broadcasted_iota(jnp.int32, (grows, grows), 0)
-        ci = jax.lax.broadcasted_iota(jnp.int32, (grows, grows), 1)
-        maskadd = jnp.where((ri % gw) == (ci % gw), jnp.float32(0.0),
-                            jnp.float32(MASK_VALUE))
-        o_parts, dq_parts, dk_parts, dv_parts = [], [], [], []
-        for h in range(heads):
-            qh = qg[:, h * hd:(h + 1) * hd]
-            kh = kg[:, h * hd:(h + 1) * hd]
-            vh = vg[:, h * hd:(h + 1) * hd]
-            s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            s = s * scale + maskadd
-            m = jnp.max(s, axis=1, keepdims=True)
-            e = jnp.exp(s - m)
-            p = e / jnp.sum(e, axis=1, keepdims=True)
-            pb = p.astype(dt)
-            oh = jax.lax.dot(pb, vh, preferred_element_type=jnp.float32)
-            o_parts.append(oh.astype(dt))
-
-            do_h = dog[:, h * hd:(h + 1) * hd].astype(dt)
-            dv = jax.lax.dot_general(pb, do_h, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            dp = jax.lax.dot_general(do_h, vh, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            rowdot = jnp.sum(dp * p, axis=1, keepdims=True)
-            ds = (p * (dp - rowdot)).astype(dt)  # masked pairs: p=0 -> ds=0
-            dq = jax.lax.dot(ds, kh,
-                             preferred_element_type=jnp.float32) * scale
-            dk = jax.lax.dot_general(ds, qh, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32) * scale
-            dq_parts.append(dq.astype(dt))
-            dk_parts.append(dk.astype(dt))
-            dv_parts.append(dv.astype(dt))
-        og = jnp.concatenate(o_parts, axis=1)
-        dqkvg = jnp.concatenate(
-            [jnp.concatenate(dq_parts, axis=1),
-             jnp.concatenate(dk_parts, axis=1),
-             jnp.concatenate(dv_parts, axis=1)], axis=1)
-        return og, dqkvg
-
-    group = _core_group(t)
-    if group >= tile:
-        o, dqkv = group_bwd(q, k, v, do, tile)
-    else:
-        q3 = q.reshape(t, tile, d)
-        k3 = k.reshape(t, tile, d)
-        v3 = v.reshape(t, tile, d)
-        do3 = do.reshape(t, tile, d)
-        o_gs, dqkv_gs = [], []
-        for g0 in range(0, tile, group):
-            ge = min(tile, g0 + group)
-            gw = ge - g0
-            og, dqkvg = group_bwd(
-                q3[:, g0:ge, :].reshape(t * gw, d),
-                k3[:, g0:ge, :].reshape(t * gw, d),
-                v3[:, g0:ge, :].reshape(t * gw, d),
-                do3[:, g0:ge, :].reshape(t * gw, d), gw)
-            o_gs.append(og.reshape(t, gw, d))
-            dqkv_gs.append(dqkvg.reshape(t, gw, 3 * d))
-        o = jnp.concatenate(o_gs, axis=1).reshape(rows, d)
-        dqkv = jnp.concatenate(dqkv_gs, axis=1).reshape(rows, 3 * d)
-
+    o, dqkv = _grouped_core_bwd_dispatch(q, k, v, do, t, tile, heads, hd,
+                                         scale, dt)
     dy = jax.lax.dot_general(dqkv, w, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     if with_ln:
@@ -1209,3 +1237,279 @@ def _bwd_ln_frozen(num_frames, num_heads, res, g):
 
 
 fused_ln_temporal_block_frozen.defvjp(_fwd_ln_frozen, _bwd_ln_frozen)
+
+
+# ---------------------------------------------------------------------------
+# Whole-step TRAIN op (round 3; mirror of
+# fused_qkv_attention.fused_spatial_train_step): LN -> temporal attention ->
+# T_Adapter -> drop-path gate -> residual, in one kernel both directions.
+# The gate is per (sample, frame): the AIM drop-path masks the leading
+# B*T axis, and a cell spans all T frames of one sample, so the gate rides
+# in as a (B, T) input applied per frame row-block.
+
+
+def _kernel_temporal_step_bwd_dx(x_ref, gate_ref, lns_ref, lnb_ref,
+                                 wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+                                 w1_ref, b1_ref, w2_ref, b2_ref, g_ref,
+                                 dx_ref, u_ref, dpre_ref, a_ref,
+                                 *, t: int, heads: int, scale: float,
+                                 skip: bool, has_gate: bool, n: int):
+    from adapt_image_models_tpu.ops.fused_qkv_attention import (
+        _adapter_fwd_parts, _tanh_gelu_grad,
+    )
+    tt, tile, d = x_ref.shape
+    hd = d // heads
+    x0 = _sanitize_block(x_ref[...].reshape(t * tile, d), tile, n or tile)
+    g = _sanitize_block(g_ref[...].reshape(t * tile, d), tile, n or tile)
+    dt = x0.dtype
+    rows = t * tile
+
+    # recompute forward: LN -> q,k,v -> grouped cores -> o -> u
+    x32 = x0.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + 1e-5)
+    xhat = (x32 - mean) * rstd
+    lns = lns_ref[...].astype(jnp.float32)
+    y = (xhat * lns + lnb_ref[...].astype(jnp.float32)).astype(dt)
+    w = wqkv_ref[...]
+    bq = bqkv_ref[...]
+    q = (jnp.dot(y, w[:, :d], preferred_element_type=jnp.float32)
+         + bq[:d].astype(jnp.float32)).astype(dt)
+    k = (jnp.dot(y, w[:, d:2 * d], preferred_element_type=jnp.float32)
+         + bq[d:2 * d].astype(jnp.float32)).astype(dt)
+    v = (jnp.dot(y, w[:, 2 * d:], preferred_element_type=jnp.float32)
+         + bq[2 * d:].astype(jnp.float32)).astype(dt)
+    # du depends on u = o Wout + bout, and the core backward needs
+    # do = du Wout^T — so the cores run twice: forward-only for o, then
+    # the real backward with the adapter-derived cotangent.
+    o_fwd = _grouped_core_fwd_dispatch(q, k, v, t, tile, heads, scale, dt)
+    u = (jnp.dot(o_fwd, wout_ref[...], preferred_element_type=jnp.float32)
+         + bout_ref[...].astype(jnp.float32))
+
+    pre, a, _ = _adapter_fwd_parts(u.astype(dt), w1_ref, b1_ref, w2_ref,
+                                   b2_ref, dt)
+    g32 = g.astype(jnp.float32)
+    if has_gate:
+        i = pl.program_id(0)
+        g3 = g32.reshape(t, tile, d)
+        # scalar (SMEM) x vector per frame — building a (t,) vector from
+        # SMEM scalars does not lower in Mosaic
+        db = jnp.concatenate(
+            [g3[f] * gate_ref[i, f] for f in range(t)], axis=0)
+    else:
+        db = g32
+    da = jax.lax.dot_general(db.astype(dt), w2_ref[...],
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dpre = da * _tanh_gelu_grad(pre)
+    du = jax.lax.dot_general(dpre.astype(dt), w1_ref[...],
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    if skip:
+        du = du + db
+
+    do = jax.lax.dot_general(du.astype(dt), wout_ref[...],
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    _, dqkv = _grouped_core_bwd_dispatch(q, k, v, do, t, tile, heads, hd,
+                                         scale, dt)
+    dy = jax.lax.dot_general(dqkv, w, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dxhat = dy * lns
+    mdx = jnp.mean(dxhat, axis=-1, keepdims=True)
+    mdxx = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = rstd * (dxhat - mdx - xhat * mdxx) + g32
+
+    dx_ref[...] = dx.astype(dx_ref.dtype).reshape(t, tile, d)
+    u_ref[...] = u.astype(u_ref.dtype).reshape(t, tile, d)
+    dh = dpre.shape[-1]
+    dpre_ref[...] = dpre.astype(dpre_ref.dtype).reshape(t, tile, dh)
+    a_ref[...] = a.astype(a_ref.dtype).reshape(t, tile, dh)
+
+
+def fused_temporal_step_bwd_dx(x, gate, ln_scale, ln_bias, w_qkv, b_qkv,
+                               w_out, b_out, w1, b1, w2, b2, g,
+                               num_frames: int, num_heads: int, skip: bool,
+                               tile: Optional[int] = None):
+    """Returns (dx, u, dpre, a) for the temporal whole-step backward."""
+    bt, n, d = x.shape
+    t = num_frames
+    tile = _auto_tile(d, t, tile, n)
+    while tile > 8 and (10 * t * tile * d * 2 + 4 * d * d * 2) > 14 * 2 ** 20:
+        tile = max(8, tile // 2)
+    b = bt // t
+    dh = w1.shape[1]
+    scale = 1.0 / ((d // num_heads) ** 0.5)
+    has_gate = gate is not None
+    gate_in = (gate.reshape(b, t).astype(jnp.float32) if has_gate
+               else jnp.zeros((1, 1), jnp.float32))
+    kernel = functools.partial(_kernel_temporal_step_bwd_dx, t=t,
+                               heads=num_heads, scale=scale, skip=skip,
+                               has_gate=has_gate, n=n)
+    n_cells = pl.cdiv(n, tile)
+    blk = lambda w_: pl.BlockSpec((t, tile, w_), lambda i, j: (i, j, 0),
+                                  memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM)
+    gate_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((bt, n, d), x.dtype),    # dx
+            jax.ShapeDtypeStruct((bt, n, d), x.dtype),    # u
+            jax.ShapeDtypeStruct((bt, n, dh), x.dtype),   # dpre
+            jax.ShapeDtypeStruct((bt, n, dh), x.dtype),   # a
+        ),
+        grid=(b, n_cells),
+        in_specs=[blk(d), gate_spec, vec, vec,
+                  pl.BlockSpec((d, 3 * d), lambda i, j: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((3 * d,), lambda i, j: (0,),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((d, d), lambda i, j: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  vec,
+                  pl.BlockSpec((d, dh), lambda i, j: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((dh,), lambda i, j: (0,),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((dh, d), lambda i, j: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  vec, blk(d)],
+        out_specs=(blk(d), blk(d), blk(dh), blk(dh)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+    )(x, gate_in, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
+      w1, b1, w2, b2, g)
+
+
+def _kernel_ln_adapter_res_gated(x_ref, gate_ref, lns_ref, lnb_ref,
+                                 wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+                                 seg_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                                 o_ref, *, t: int, heads: int, scale: float,
+                                 adapter_skip: bool, n: int = 0):
+    from adapt_image_models_tpu.ops.fused_qkv_attention import (
+        _kernel_layernorm, _adapter_epilogue,
+    )
+    tt, tile, d = x_ref.shape
+    x0 = _sanitize_block(x_ref[...].reshape(t * tile, d), tile, n or tile)
+    xn = _kernel_layernorm(x0, lns_ref, lnb_ref, x_ref.dtype)
+    y = _temporal_body(xn, wqkv_ref, bqkv_ref, wout_ref, bout_ref, seg_ref,
+                       t, heads, scale)
+    y = _adapter_epilogue(y, w1_ref, b1_ref, w2_ref, b2_ref, adapter_skip,
+                          x_ref.dtype)
+    i = pl.program_id(0)
+    x3 = x0.astype(jnp.float32).reshape(t, tile, d)
+    y3 = y.reshape(t, tile, d)
+    out = jnp.stack([x3[f] + y3[f] * gate_ref[i, f] for f in range(t)],
+                    axis=0)
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+def fused_ln_temporal_adapter_residual_gated(x, gate, ln_scale, ln_bias,
+                                             w_qkv, b_qkv, w_out, b_out,
+                                             w1, b1, w2, b2,
+                                             num_frames: int,
+                                             num_heads: int,
+                                             adapter_skip: bool,
+                                             tile: Optional[int] = None):
+    bt, n, d = x.shape
+    tile = _auto_tile(d, num_frames, tile, n)
+    t = num_frames
+    b = bt // t
+    scale = 1.0 / ((d // num_heads) ** 0.5)
+    seg = _segment_matrix(d, num_heads)
+    dh = w1.shape[1]
+    kernel = functools.partial(_kernel_ln_adapter_res_gated, t=t,
+                               heads=num_heads, scale=scale,
+                               adapter_skip=adapter_skip, n=n)
+    n_cells = pl.cdiv(n, tile)
+    blk = pl.BlockSpec((t, tile, d), lambda i, j: (i, j, 0),
+                       memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bt, n, d), x.dtype),
+        grid=(b, n_cells),
+        in_specs=[blk,
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  vec, vec,
+                  pl.BlockSpec((d, 3 * d), lambda i, j: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((3 * d,), lambda i, j: (0,),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((d, d), lambda i, j: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  vec,
+                  pl.BlockSpec((d, num_heads), lambda i, j: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((d, dh), lambda i, j: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((dh,), lambda i, j: (0,),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((dh, d), lambda i, j: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  vec],
+        out_specs=blk,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+    )(x, gate.reshape(b, t).astype(jnp.float32), ln_scale, ln_bias,
+      w_qkv, b_qkv, w_out, b_out, seg, w1, b1, w2, b2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14))
+def fused_temporal_train_step(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
+                              b_out, w1, b1, w2, b2, gate, num_frames,
+                              num_heads, skip):
+    """TRAIN whole-step op: ``x + gate * T_Adapter(attn_T(LN(x)))`` with
+    in-kernel forward AND backward (exact adapter dW; frozen attn/LN zeros;
+    gate per sample-frame (B*T,) or None)."""
+    if gate is None:
+        return fused_ln_temporal_adapter_residual(
+            x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
+            w1, b1, w2, b2, num_frames, num_heads, skip)
+    return fused_ln_temporal_adapter_residual_gated(
+        x, gate, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
+        w1, b1, w2, b2, num_frames, num_heads, skip)
+
+
+def _fwd_tstep(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out, w1, b1,
+               w2, b2, gate, num_frames, num_heads, skip):
+    y = fused_temporal_train_step(x, ln_scale, ln_bias, w_qkv, b_qkv,
+                                  w_out, b_out, w1, b1, w2, b2, gate,
+                                  num_frames, num_heads, skip)
+    return y, (x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
+               w1, b1, w2, b2, gate)
+
+
+def _bwd_tstep(num_frames, num_heads, skip, res, g):
+    (x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
+     w1, b1, w2, b2, gate) = res
+    dx, u, dpre, a = fused_temporal_step_bwd_dx(
+        x, gate, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
+        w1, b1, w2, b2, g.astype(x.dtype), num_frames, num_heads, skip)
+    g32 = g.astype(jnp.float32)
+    if gate is not None:
+        db = g32 * gate.reshape(-1, 1, 1).astype(jnp.float32)
+    else:
+        db = g32
+    dw1 = jnp.einsum("bld,blh->dh", u.astype(jnp.float32),
+                     dpre.astype(jnp.float32)).astype(w1.dtype)
+    db1 = jnp.sum(dpre.astype(jnp.float32), axis=(0, 1)).astype(b1.dtype)
+    dw2 = jnp.einsum("blh,bld->hd", a.astype(jnp.float32), db).astype(w2.dtype)
+    db2 = jnp.sum(db, axis=(0, 1)).astype(b2.dtype)
+    if gate is not None:
+        z = (a.astype(jnp.float32) @ w2.astype(jnp.float32)
+             + b2.astype(jnp.float32))
+        branch = z + u.astype(jnp.float32) if skip else z
+        dgate = jnp.sum(g32 * branch, axis=(1, 2)).astype(gate.dtype)
+    else:
+        dgate = None
+    z_ = jnp.zeros_like
+    return (dx, z_(ln_scale), z_(ln_bias), z_(w_qkv), z_(b_qkv), z_(w_out),
+            z_(b_out), dw1, db1, dw2, db2, dgate)
+
+
+fused_temporal_train_step.defvjp(_fwd_tstep, _bwd_tstep)

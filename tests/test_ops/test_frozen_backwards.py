@@ -62,3 +62,128 @@ def test_frozen_temporal_dx_matches_exact(weights):
                                atol=5e-3, rtol=5e-3)
     for gw in grads[1:]:
         assert float(jnp.abs(gw).max()) == 0.0
+
+
+def test_fused_spatial_train_step_grads(weights):
+    """Whole-step train op: dx + EXACT adapter cotangents must match
+    autodiff of the XLA oracle (tanh-gelu adapter); frozen attn/LN = 0."""
+    from adapt_image_models_tpu.ops.fused_qkv_attention import (
+        fused_spatial_train_step,
+    )
+    ks = jax.random.split(jax.random.PRNGKey(3), 4)
+    DH = 8
+    w1 = jax.random.normal(ks[0], (D, DH)) * 0.1
+    b1 = jax.random.normal(ks[1], (DH,)) * 0.1
+    w2 = jax.random.normal(ks[2], (DH, D)) * 0.1
+    b2 = jax.random.normal(ks[3], (D,)) * 0.1
+    x = jax.random.normal(jax.random.PRNGKey(11), (B, L, D))
+    gate = jnp.asarray([0.0, 1.0 / 0.9])
+
+    def oracle(x, w1, b1, w2, b2, gate):
+        y = _ref_ln_impl(x, *weights, H)
+        pre = y @ w1 + b1
+        a = jax.nn.gelu(pre, approximate=True)
+        z = a @ w2 + b2
+        branch = y + z  # skip_connect=True
+        out = x + gate.reshape(-1, 1, 1) * branch
+        return jnp.sum(jnp.sin(out))
+
+    def kernel_loss(x, w1, b1, w2, b2, gate):
+        out = fused_spatial_train_step(x, *weights, w1, b1, w2, b2, gate,
+                                       H, True, None)
+        return jnp.sum(jnp.sin(out))
+
+    argnums = (0, 1, 2, 3, 4, 5)
+    ref_grads = jax.grad(oracle, argnums=argnums)(x, w1, b1, w2, b2, gate)
+    with pltpu.force_tpu_interpret_mode():
+        ker_grads = jax.grad(kernel_loss, argnums=argnums)(
+            x, w1, b1, w2, b2, gate)
+    for name, r, k in zip(("dx", "dw1", "db1", "dw2", "db2", "dgate"),
+                          ref_grads, ker_grads):
+        np.testing.assert_allclose(np.asarray(k), np.asarray(r),
+                                   atol=7e-3, rtol=7e-3, err_msg=name)
+
+    # ungated (spatial AIM step): frozen weights get zero cotangents
+    def kernel_loss_nogate(lns, wqkv):
+        w = (lns, *weights[1:2], wqkv, *weights[3:])
+        out = fused_spatial_train_step(x, *w, w1, b1, w2, b2, None,
+                                       H, True, None)
+        return jnp.sum(out ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gl, gw = jax.grad(kernel_loss_nogate, argnums=(0, 1))(
+            weights[0], weights[2])
+    assert float(jnp.abs(gl).max()) == 0.0
+    assert float(jnp.abs(gw).max()) == 0.0
+
+
+def test_fused_temporal_train_step_grads(weights):
+    """Temporal whole-step train op: dx + exact adapter cotangents +
+    per-sample-frame gate cotangent vs the XLA oracle."""
+    from adapt_image_models_tpu.ops.fused_temporal_attention import (
+        fused_temporal_train_step,
+    )
+    from adapt_image_models_tpu.ops import fused_temporal_attention as fta
+    ks = jax.random.split(jax.random.PRNGKey(5), 4)
+    DH = 8
+    w1 = jax.random.normal(ks[0], (D, DH)) * 0.1
+    b1 = jax.random.normal(ks[1], (DH,)) * 0.1
+    w2 = jax.random.normal(ks[2], (DH, D)) * 0.1
+    b2 = jax.random.normal(ks[3], (D,)) * 0.1
+    x = jax.random.normal(jax.random.PRNGKey(12), (B * T, L, D))
+    gate = jnp.asarray(
+        np.random.default_rng(0).choice([0.0, 1.0 / 0.9], B * T),
+        jnp.float32)
+
+    def oracle(x, w1, b1, w2, b2, gate):
+        y = fta._ref_ln_impl(x, *weights, T, H)
+        pre = y @ w1 + b1
+        a = jax.nn.gelu(pre, approximate=True)
+        z = a @ w2 + b2  # skip_connect=False (T_Adapter)
+        out = x + gate.reshape(-1, 1, 1) * z
+        return jnp.sum(jnp.sin(out))
+
+    def kernel_loss(x, w1, b1, w2, b2, gate):
+        out = fused_temporal_train_step(x, *weights, w1, b1, w2, b2, gate,
+                                        T, H, False)
+        return jnp.sum(jnp.sin(out))
+
+    argnums = (0, 1, 2, 3, 4, 5)
+    ref_grads = jax.grad(oracle, argnums=argnums)(x, w1, b1, w2, b2, gate)
+    with pltpu.force_tpu_interpret_mode():
+        ker_grads = jax.grad(kernel_loss, argnums=argnums)(
+            x, w1, b1, w2, b2, gate)
+    for name, r, k in zip(("dx", "dw1", "db1", "dw2", "db2", "dgate"),
+                          ref_grads, ker_grads):
+        np.testing.assert_allclose(np.asarray(k), np.asarray(r),
+                                   atol=7e-3, rtol=7e-3, err_msg=name)
+
+
+def test_fused_spatial_train_step_vitl_fallback_grads(weights, monkeypatch):
+    """The two-kernel ViT-L fallback path must produce the same cotangents
+    as the single-kernel path (forced via the VMEM gate)."""
+    from adapt_image_models_tpu.ops import fused_qkv_attention as fqa
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    DH = 8
+    w1 = jax.random.normal(ks[0], (D, DH)) * 0.1
+    b1 = jax.random.normal(ks[1], (DH,)) * 0.1
+    w2 = jax.random.normal(ks[2], (DH, D)) * 0.1
+    b2 = jax.random.normal(ks[3], (D,)) * 0.1
+    x = jax.random.normal(jax.random.PRNGKey(13), (B, L, D))
+    gate = jnp.asarray([1.0, 1.0 / 0.9])
+
+    def loss(x, w1, b1, w2, b2, gate):
+        out = fqa.fused_spatial_train_step(x, *weights, w1, b1, w2, b2,
+                                           gate, H, True, None)
+        return jnp.sum(jnp.sin(out))
+
+    argnums = (0, 1, 2, 3, 4, 5)
+    with pltpu.force_tpu_interpret_mode():
+        g_kernel = jax.grad(loss, argnums=argnums)(x, w1, b1, w2, b2, gate)
+        monkeypatch.setattr(fqa, "_step_vmem_fits", lambda *a: False)
+        g_fallback = jax.grad(loss, argnums=argnums)(x, w1, b1, w2, b2,
+                                                     gate)
+    for name, a_, b_ in zip(("dx", "dw1", "db1", "dw2", "db2", "dgate"),
+                            g_kernel, g_fallback):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a_),
+                                   atol=5e-3, rtol=5e-3, err_msg=name)

@@ -77,6 +77,7 @@ def test_check_videos(tmp_path):
     assert "bad.avi" in bad and "ok.avi" not in bad
 
 
+@pytest.mark.slow
 def test_profile_tool_writes_trace(tmp_path):
     r = run_tool("tools/analysis/profile.py",
                  "configs/recognition/vit/vitclip_debug_tiny.py",

@@ -127,8 +127,11 @@ def test_dp_tp_train_step_runs(dp_tp_setup):
         assert isinstance(leaf.sharding, NamedSharding)
 
 
+@pytest.mark.slow
 def test_driver_entrypoint_in_subprocess():
-    """The actual driver contract: fresh process, no env help, n=8."""
+    """The actual driver contract: fresh process, no env help, n=8
+    (slow: cold jax import + full compile in a subprocess; the driver
+    also runs this exact entry point every round)."""
     import subprocess
     import sys
     r = subprocess.run(

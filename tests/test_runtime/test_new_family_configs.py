@@ -14,7 +14,7 @@ from adapt_image_models_tpu.models import build_model
 REPO = __file__.rsplit("/tests/", 1)[0]
 
 
-def _model_from(path, **backbone_overrides):
+def _model_from(path, _model_overrides=None, **backbone_overrides):
     cfg = Config.fromfile(f"{REPO}/configs/{path}")
     model_cfg = dict(cfg["model"])
     model_cfg.pop("train_cfg", None)
@@ -22,6 +22,7 @@ def _model_from(path, **backbone_overrides):
     if backbone_overrides and "backbone" in model_cfg:
         model_cfg["backbone"] = dict(model_cfg["backbone"],
                                      **backbone_overrides)
+    model_cfg.update(_model_overrides or {})
     return cfg, build_model(model_cfg, test_cfg=test_cfg)
 
 
@@ -32,8 +33,12 @@ def test_bmn_config_train_step():
     from adapt_image_models_tpu.models.localizers.bmn import (
         _bm_valid_mask, generate_bmn_labels,
     )
+    # tiny dims: the full 400x100 BMN's (T, S, T, T) sampling constant is
+    # ~384 MB and minutes of CPU compile; the config wiring is what's under
+    # test here (the full-dim model is covered by the sweep build)
     cfg, model = _model_from(
-        "localization/bmn/bmn_400x100_2x8_9e_activitynet_feature.py")
+        "localization/bmn/bmn_400x100_2x8_9e_activitynet_feature.py",
+        _model_overrides=dict(temporal_dim=20, feat_dim=16))
     assert cfg["total_epochs"] == 9
     t_dim = model.temporal_dim
     feats = jnp.asarray(np.random.default_rng(0).normal(
@@ -58,7 +63,9 @@ def test_bmn_config_train_step():
 def test_bsn_tem_config_train_step():
     """BSN TEM recipe: loss + grads on synthetic snippet features."""
     cfg, model = _model_from(
-        "localization/bsn/bsn_tem_400x100_1x16_20e_activitynet_feature.py")
+        "localization/bsn/bsn_tem_400x100_1x16_20e_activitynet_feature.py",
+        _model_overrides=dict(temporal_dim=24, tem_feat_dim=16,
+                              tem_hidden_dim=16))
     t_dim = model.temporal_dim
     feats = jnp.asarray(np.random.default_rng(0).normal(
         size=(2, model.tem_feat_dim, t_dim)), jnp.float32)
