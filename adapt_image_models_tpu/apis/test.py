@@ -30,12 +30,26 @@ from adapt_image_models_tpu.parallel.mesh import make_mesh, shard_batch
 
 
 def make_chunked_eval_step(model, prepare_fn, average_clips: str = "prob",
-                           max_testing_views: Optional[int] = None):
-    """Eval step that processes views in chunks of ``max_testing_views``."""
+                           max_testing_views: Optional[int] = None,
+                           shard_mesh=None, data_axis: str = "data"):
+    """Eval step that processes views in chunks of ``max_testing_views``.
+
+    ``shard_mesh``: run the forward inside ``shard_map`` over ``data_axis``
+    — required for Pallas-kernel models on a multi-device mesh (a bare
+    pallas_call cannot be auto-partitioned by GSPMD)."""
 
     def eval_step(variables, imgs_uint8):
         params, model_state = split_variables(variables)
         variables = {"params": params, **model_state}
+        if shard_mesh is not None:
+            from jax.sharding import PartitionSpec as PS
+            inner = make_chunked_eval_step(model, prepare_fn, average_clips,
+                                           max_testing_views)
+            return jax.shard_map(
+                inner, mesh=shard_mesh,
+                in_specs=(PS(), PS(data_axis)), out_specs=PS(data_axis),
+                check_vma=False,
+            )(variables, imgs_uint8)
         imgs = prepare_fn(imgs_uint8)  # (B, V, C, T, H, W)
         b, v = imgs.shape[:2]
         if max_testing_views is None or v <= max_testing_views:
@@ -104,9 +118,14 @@ def run_evaluation(cfg: Dict[str, Any], model=None, params=None,
     loader = VideoLoader(dataset, proc, batch_size=eval_bs, shuffle=False,
                          num_workers=num_workers, drop_last=False)
 
+    backbone_cfg = dict(cfg["model"]).get("backbone", {})
+    use_shard_map = (backbone_cfg.get("attention_core") == "fused"
+                     and mesh.devices.size > 1
+                     and mesh.devices.shape[1] == 1)
     eval_step = jax.jit(make_chunked_eval_step(
         model, prepare, test_cfg.get("average_clips", "prob"),
-        test_cfg.get("max_testing_views")))
+        test_cfg.get("max_testing_views"),
+        shard_mesh=mesh if use_shard_map else None))
 
     scores = []
     n = len(dataset)

@@ -180,7 +180,8 @@ def train_model(cfg: Dict[str, Any], work_dir: Optional[str] = None,
         from flax import traverse_util
         frozen_only = ("mlp", "ln_2", "attn", "ln_1")
         bad = [k for k in traverse_util.flatten_dict(trainable)
-               if "backbone" in k and any(p in frozen_only for p in k)]
+               if any(part.startswith("backbone") for part in k)
+               and any(p in frozen_only for p in k)]
         if bad:
             raise ValueError(
                 "attention_core='fused' trains with kernel backwards that "
@@ -200,8 +201,20 @@ def train_model(cfg: Dict[str, Any], work_dir: Optional[str] = None,
         blending = build_blending(train_cfg["blending"])
 
     # ---- jit ---------------------------------------------------------------
+    # kernel models on a multi-device mesh need the explicit shard_map DP
+    # path: a bare pallas_call cannot be auto-partitioned by GSPMD (see
+    # core/train_state.make_train_step). Params stay replicated under it,
+    # so the (optional) TP model axis must be 1.
+    use_shard_map = (model_cfg.get("backbone", {}).get("attention_core")
+                     == "fused" and mesh.devices.size > 1)
+    if use_shard_map and mesh.devices.shape[1] != 1:
+        raise ValueError(
+            "attention_core='fused' trains data-parallel only (Pallas "
+            "kernels run per-shard under shard_map with replicated "
+            "params); use attention_core='xla' for a model-parallel mesh")
     train_step = make_train_step(model, tx, prepare_fn=prepare,
-                                 blending=blending)
+                                 blending=blending,
+                                 shard_mesh=mesh if use_shard_map else None)
     train_step = jax.jit(train_step, donate_argnums=(0,))
 
     ckpt_mgr = CheckpointManager(

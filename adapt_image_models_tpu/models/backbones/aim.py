@@ -141,7 +141,6 @@ class AIMBlock(nn.Module):
         # the attention core batches over frames (no materialized relayout).
         # ln_1 fuses into the kernel prologue unless T_Adapter_in sits
         # between LN and attention.
-        fuse_steps = self.attention_core == "fused" and deterministic
         if self.num_tadapter == 2:
             xt = Adapter(compute_dtype=self.compute_dtype,
                          name="T_Adapter_in")(ln_1(x))

@@ -476,13 +476,8 @@ def _train_bwd(scale, res, g):
     a = jax.nn.gelu(pre, approximate=True)
     dz = gate3 * scale * g32                                 # (B, L, D)
     da = dz @ w2.astype(jnp.float32).T
-    # tanh-gelu derivative
-    c = 0.7978845608028654  # sqrt(2/pi)
-    u = c * (pre + 0.044715 * pre ** 3)
-    th = jnp.tanh(u)
-    dgelu = 0.5 * (1 + th) + 0.5 * pre * (1 - th ** 2) * c * (
-        1 + 3 * 0.044715 * pre ** 2)
-    dpre = da * dgelu
+    from adapt_image_models_tpu.ops.fused_qkv_attention import _tanh_gelu_grad
+    dpre = da * _tanh_gelu_grad(pre)
     dxn_ad = dpre @ w1.astype(jnp.float32).T                 # (B, L, D)
     dw1 = jnp.einsum("bld,blh->dh", xn32, dpre).astype(w1.dtype)
     db1 = jnp.sum(dpre, axis=(0, 1)).astype(b1.dtype)

@@ -1234,13 +1234,8 @@ def _bwd_train_step(num_heads, skip, l_actual, res, g):
         u32 = u.astype(jnp.float32)
         pre = u32 @ w1.astype(jnp.float32) + b1.astype(jnp.float32)
         a = jax.nn.gelu(pre, approximate=True)
-        c = 0.7978845608028654
-        uu = c * (pre + 0.044715 * pre ** 3)
-        th = jnp.tanh(uu)
-        dgelu = 0.5 * (1 + th) + 0.5 * pre * (1 - th ** 2) * c * (
-            1 + 3 * 0.044715 * pre ** 2)
         da = db @ w2.astype(jnp.float32).T
-        dpre = da * dgelu
+        dpre = da * _tanh_gelu_grad(pre)
         du = dpre @ w1.astype(jnp.float32).T
         if skip:
             du = du + db

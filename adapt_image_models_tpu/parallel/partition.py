@@ -74,11 +74,13 @@ def partition_params(params, freeze_backbone: Optional[bool] = None,
     (SlowFast's ``slow_path/conv1``) still freeze correctly.
     """
     flat = traverse_util.flatten_dict(_as_dict(params))
-    anchored = any(k and k[0] == "backbone" for k in flat)
+    # recognizer trees name the sub-module 'backbone_module'
+    # (models/recognizers), so anchor on the prefix, not equality
+    anchored = any(k and k[0].startswith("backbone") for k in flat)
 
     def prefix_frozen(k):
-        parts = k[1:] if anchored and k and k[0] == "backbone" else (
-            None if anchored else k)
+        parts = k[1:] if anchored and k and k[0].startswith("backbone") \
+            else (None if anchored else k)
         if parts is None:
             return False
         return any(part.startswith(p) for p in frozen_prefixes

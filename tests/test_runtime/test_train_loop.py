@@ -209,3 +209,42 @@ def test_blending_shapes():
     np.testing.assert_allclose(np.asarray(soft[0]),
                                [1 - 0.1 + 0.1 / 3, 0.1 / 3, 0.1 / 3],
                                rtol=1e-5)
+
+
+def test_frozen_prefix_anchoring_spares_head_modules():
+    """Round-3 review regression: recognizer trees name the backbone
+    'backbone_module', so the frozen_prefixes anchor must match on the
+    prefix — a head conv1_* must stay trainable while backbone conv1
+    freezes."""
+    import jax.numpy as jnp
+    from flax import traverse_util
+    from adapt_image_models_tpu.parallel.partition import partition_params
+    tree = {
+        "backbone_module": {"conv1": {"kernel": jnp.ones((1,))},
+                            "layer1_0": {"w": jnp.ones((1,))},
+                            "layer2_0": {"w": jnp.ones((1,))}},
+        "head_module": {"conv1_conv": {"kernel": jnp.ones((1,))}},
+    }
+    tr, fz = partition_params(tree, freeze_backbone=False,
+                              frozen_prefixes=("conv1", "layer1_"))
+    tk = {"/".join(k) for k in traverse_util.flatten_dict(tr)}
+    fk = {"/".join(k) for k in traverse_util.flatten_dict(fz)}
+    assert "head_module/conv1_conv/kernel" in tk
+    assert "backbone_module/conv1/kernel" in fk
+    assert "backbone_module/layer1_0/w" in fk
+    assert "backbone_module/layer2_0/w" in tk
+
+
+def test_fused_core_freeze_guard_fires():
+    """Round-3 review regression: the attention_core='fused' guard must
+    actually detect frozen-contract params in the trainable tree (the
+    param key is 'backbone_module', not 'backbone')."""
+    from flax import traverse_util
+    # mirror of the guard predicate in apis/train.py
+    frozen_only = ("mlp", "ln_2", "attn", "ln_1")
+    trainable = {"backbone_module": {"transformer": {"resblocks": {
+        "attn": {"in_proj_kernel": 0}}}}}
+    bad = [k for k in traverse_util.flatten_dict(trainable)
+           if any(part.startswith("backbone") for part in k)
+           and any(p in frozen_only for p in k)]
+    assert bad, "guard predicate no longer matches fused-frozen params"
