@@ -315,7 +315,10 @@ def _qgelu_grad(h):
 
 
 def _kernel_rows_bwd(x_ref, g_ref, carry_ref, wfc_ref, bfc_ref, wproj_ref,
-                     lns_ref, lnb_ref, o_ref, *, last: bool, inner: int):
+                     lns_ref, lnb_ref, gate_ref, w1_ref, b1_ref, w2_ref,
+                     o_ref, xn_ref, dpre_ref, a_ref,
+                     *, last: bool, inner: int, first: bool,
+                     has_gate: bool, scale: float):
     x = x_ref[...]                       # (TM, D) stream dtype
     g = g_ref[...]                       # (TM, D) stream dtype
     dt = x.dtype
@@ -327,7 +330,34 @@ def _kernel_rows_bwd(x_ref, g_ref, carry_ref, wfc_ref, bfc_ref, wproj_ref,
     xhat = (x32 - mean) * rstd
     lns = lns_ref[...].astype(jnp.float32)
     xn = (xhat * lns + lnb_ref[...].astype(jnp.float32)).astype(dt)
-    acc = carry_ref[...]                 # (TM, D) fp32
+    if first:
+        # adapter backward in-kernel (first split only): exact dpre/a out,
+        # dxn_adapter folded straight into the accumulator — no fp32
+        # (rows, D) carry round-trips through HBM
+        from adapt_image_models_tpu.ops.fused_qkv_attention import (
+            _tanh_gelu_grad,
+        )
+        pre = jnp.dot(xn, w1_ref[...], preferred_element_type=jnp.float32)
+        pre = pre + b1_ref[...].astype(jnp.float32)
+        a = jax.nn.gelu(pre, approximate=True)
+        dz = g.astype(jnp.float32) * scale
+        if has_gate:
+            dz = dz * gate_ref[...].astype(jnp.float32)
+        da = jax.lax.dot_general(dz.astype(dt), w2_ref[...],
+                                 (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dpre = da * _tanh_gelu_grad(pre)
+        acc = jax.lax.dot_general(dpre.astype(dt), w1_ref[...],
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        xn_ref[...] = xn.astype(xn_ref.dtype)
+        dpre_ref[...] = dpre.astype(dpre_ref.dtype)
+        a_ref[...] = a.astype(a_ref.dtype)
+    else:
+        acc = carry_ref[...]             # (TM, D) fp32
+        xn_ref[...] = jnp.zeros_like(xn_ref[...])
+        dpre_ref[...] = jnp.zeros_like(dpre_ref[...])
+        a_ref[...] = jnp.zeros_like(a_ref[...])
 
     hs = wfc_ref.shape[1]
     step = hs // inner
@@ -354,49 +384,72 @@ def _kernel_rows_bwd(x_ref, g_ref, carry_ref, wfc_ref, bfc_ref, wproj_ref,
         o_ref[...] = acc
 
 
-def fused_joint_mlp_rows_bwd(x, g, carry0, ln_scale, ln_bias, w_fc, b_fc,
-                             w_proj, tile_rows: int = 128,
-                             n_splits: int = 0) -> jax.Array:
-    """dX of the MLP branch + LN backward + residual.
+def fused_joint_mlp_rows_bwd(x, g, gate, ln_scale, ln_bias, w_fc, b_fc,
+                             w_proj, w1, b1, w2, scale: float,
+                             tile_rows: int = 128, n_splits: int = 0):
+    """Whole joint-step backward: dX (MLP + in-kernel adapter dxn + LN
+    backward + residual) plus (xn, dpre, a) for XLA's exact adapter dW.
 
     x: (B, L, D) raw residual input; g: cotangent at the op output;
-    carry0: (B*L, D) fp32 accumulator init (the adapter branch's dxn,
-    computed exactly in XLA). Returns dx (B, L, D) in x.dtype.
+    gate: (B*L,) per-row drop-path gate or None.
+    Returns (dx (B, L, D), xn, dpre, a).
     """
     b, l, d = x.shape
     rows = b * l
     d4 = w_fc.shape[1]
+    dh = w1.shape[1]
     if n_splits <= 0:
         n_splits = _pick_splits(d, d4, jnp.dtype(w_fc.dtype).itemsize)
     hs = d4 // n_splits
     tm = min(tile_rows, _round_up(rows, 16))
     inner = 2 if hs * d * 2 > 5 * 2 ** 20 else 1
+    has_gate = gate is not None
 
     xr = x.reshape(rows, d)
     gr = g.reshape(rows, d)
+    gate_r = (gate.reshape(rows, 1).astype(jnp.float32) if has_gate
+              else jnp.zeros((1, 1), jnp.float32))
     n_tiles = -(-rows // tm)
     row_spec = lambda w: pl.BlockSpec((tm, w), lambda i: (i, 0),
                                       memory_space=pltpu.VMEM)
+    dummy = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
     vec = lambda w: pl.BlockSpec((w,), lambda i: (0,),
                                  memory_space=pltpu.VMEM)
     mat = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
                                     memory_space=pltpu.VMEM)
 
-    carry = carry0
+    carry = jnp.zeros((1, 1), jnp.float32)
+    xn = dpre = a = None
     for s in range(n_splits):
+        first = s == 0
         last = s == n_splits - 1
-        kernel = functools.partial(_kernel_rows_bwd, last=last, inner=inner)
+        kernel = functools.partial(_kernel_rows_bwd, last=last, inner=inner,
+                                   first=first, has_gate=has_gate,
+                                   scale=float(scale))
         out_dtype = x.dtype if last else jnp.float32
-        carry = pl.pallas_call(
+        out_shape = [jax.ShapeDtypeStruct((rows, d), out_dtype)]
+        out_specs = [row_spec(d)]
+        if first:
+            out_shape += [jax.ShapeDtypeStruct((rows, d), x.dtype),
+                          jax.ShapeDtypeStruct((rows, dh), x.dtype),
+                          jax.ShapeDtypeStruct((rows, dh), x.dtype)]
+            out_specs += [row_spec(d), row_spec(dh), row_spec(dh)]
+        else:
+            out_shape += [jax.ShapeDtypeStruct((1, 1), x.dtype)] * 3
+            out_specs += [dummy] * 3
+        outs = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((rows, d), out_dtype),
+            out_shape=tuple(out_shape),
             grid=(n_tiles,),
             in_specs=[
-                row_spec(d), row_spec(d), row_spec(d),
+                row_spec(d), row_spec(d),
+                row_spec(d) if not first else dummy,
                 mat(d, hs), vec(hs), mat(hs, d),
                 vec(d), vec(d),
+                row_spec(1) if has_gate else dummy,
+                mat(d, dh), vec(dh), mat(dh, d),
             ],
-            out_specs=row_spec(d),
+            out_specs=tuple(out_specs),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel",),
             ),
@@ -405,10 +458,14 @@ def fused_joint_mlp_rows_bwd(x, g, carry0, ln_scale, ln_bias, w_fc, b_fc,
                 bytes_accessed=2 * rows * d * 10 + 2 * d * hs * 2,
                 transcendentals=rows * hs,
             ),
-        )(xr, gr, carry,
+        )(xr, gr, carry if not first else jnp.zeros((1, 1), jnp.float32),
           w_fc[:, s * hs:(s + 1) * hs], b_fc[s * hs:(s + 1) * hs],
-          w_proj[s * hs:(s + 1) * hs], ln_scale, ln_bias)
-    return carry.reshape(b, l, d)
+          w_proj[s * hs:(s + 1) * hs], ln_scale, ln_bias,
+          gate_r, w1, b1, w2)
+        carry = outs[0]
+        if first:
+            xn, dpre, a = outs[1], outs[2], outs[3]
+    return carry.reshape(b, l, d), xn, dpre, a
 
 
 def _ref_train_impl(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj,
@@ -461,36 +518,26 @@ def _train_bwd(scale, res, g):
     rows = b * l
     dt = x.dtype
     g32 = g.astype(jnp.float32)
-    gate3 = gate.reshape(b, l, 1).astype(jnp.float32)
 
-    # ---- adapter backward in XLA (exact; the adapters are THE trainable
-    # unit). Recompute xn (one LN) + the tiny bottleneck matmuls.
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-    rstd = jax.lax.rsqrt(var + 1e-5)
-    xn32 = ((x32 - mean) * rstd) * ln_scale.astype(jnp.float32) \
-        + ln_bias.astype(jnp.float32)
-    xn = xn32.astype(dt)
-    pre = xn32 @ w1.astype(jnp.float32) + b1.astype(jnp.float32)
-    a = jax.nn.gelu(pre, approximate=True)
-    dz = gate3 * scale * g32                                 # (B, L, D)
-    da = dz @ w2.astype(jnp.float32).T
-    from adapt_image_models_tpu.ops.fused_qkv_attention import _tanh_gelu_grad
-    dpre = da * _tanh_gelu_grad(pre)
-    dxn_ad = dpre @ w1.astype(jnp.float32).T                 # (B, L, D)
-    dw1 = jnp.einsum("bld,blh->dh", xn32, dpre).astype(w1.dtype)
-    db1 = jnp.sum(dpre, axis=(0, 1)).astype(b1.dtype)
-    dw2 = jnp.einsum("blh,bld->hd", a, dz).astype(w2.dtype)
+    # whole backward in the kernel: dX (MLP + adapter-dxn + LN + residual)
+    # with (xn, dpre, a) emitted so XLA's adapter dW is pure einsums
+    dx, xn, dpre, a = fused_joint_mlp_rows_bwd(
+        x, g, gate, ln_scale, ln_bias, w_fc, b_fc, w_proj,
+        w1, b1, w2, scale)
+    dz = (gate.reshape(b, l, 1).astype(jnp.float32) * scale * g32)
+    xn3 = xn.reshape(b, l, d)
+    dpre3 = dpre.reshape(b, l, -1)
+    a3 = a.reshape(b, l, -1)
+    dw1 = jnp.einsum("bld,blh->dh", xn3.astype(jnp.float32),
+                     dpre3.astype(jnp.float32)).astype(w1.dtype)
+    db1 = jnp.sum(dpre3.astype(jnp.float32), axis=(0, 1)).astype(b1.dtype)
+    dw2 = jnp.einsum("blh,bld->hd", a3.astype(jnp.float32),
+                     dz).astype(w2.dtype)
     db2 = jnp.sum(dz, axis=(0, 1)).astype(b2.dtype)
-    z = a @ w2.astype(jnp.float32) + b2.astype(jnp.float32)
+    z = (a3.astype(jnp.float32) @ w2.astype(jnp.float32)
+         + b2.astype(jnp.float32))
     dgate = (scale * jnp.sum(g32 * z, axis=-1)).reshape(rows)
     dgate = dgate.astype(gate.dtype)
-
-    # ---- hot path: MLP + LN backward in the Pallas kernel
-    dx = fused_joint_mlp_rows_bwd(
-        x, g, dxn_ad.reshape(rows, d), ln_scale, ln_bias, w_fc, b_fc,
-        w_proj)
 
     zeros = lambda t: jnp.zeros_like(t)
     return (dx, zeros(ln_scale), zeros(ln_bias), zeros(w_fc), zeros(b_fc),
