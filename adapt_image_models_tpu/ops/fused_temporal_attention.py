@@ -266,7 +266,10 @@ def _auto_tile(d: int, t: int, requested: Optional[int],
         tile = max(8, _round_up(128 // t, 8))
     else:
         tile = 128
-        while tile > 32 and (t * tile * d * 8 + 8 * d * d * 2) > 14 * 2 ** 20:
+        # segment-core cells also hold per-frame logits/prob transients and
+        # the fp32 epilogue; the old 14M/`tile > 32` bound left T=32 cells
+        # at a measured 29.2M -> compile-time VMEM OOM (r3 smoke)
+        while tile > 8 and (t * tile * d * 8 + 8 * d * d * 2) > 10 * 2 ** 20:
             tile //= 2
     if n is not None and n > 0:
         cells = -(-n // tile)
@@ -1400,11 +1403,13 @@ def _kernel_ln_adapter_res_gated(x_ref, gate_ref, lns_ref, lnb_ref,
     y = _adapter_epilogue(y, w1_ref, b1_ref, w2_ref, b2_ref, adapter_skip,
                           x_ref.dtype)
     i = pl.program_id(0)
-    x3 = x0.astype(jnp.float32).reshape(t, tile, d)
+    x3 = x0.reshape(t, tile, d)
     y3 = y.reshape(t, tile, d)
-    out = jnp.stack([x3[f] + y3[f] * gate_ref[i, f] for f in range(t)],
-                    axis=0)
-    o_ref[...] = out.astype(o_ref.dtype)
+    # per-frame stores: a stacked (t, tile, d) fp32 transient blows the
+    # 16M VMEM scope at T=32 (measured 29.2M)
+    for f in range(t):
+        o_ref[f] = (x3[f].astype(jnp.float32)
+                    + y3[f] * gate_ref[i, f]).astype(o_ref.dtype)
 
 
 def fused_ln_temporal_adapter_residual_gated(x, gate, ln_scale, ln_bias,
@@ -1417,6 +1422,10 @@ def fused_ln_temporal_adapter_residual_gated(x, gate, ln_scale, ln_bias,
     bt, n, d = x.shape
     tile = _auto_tile(d, num_frames, tile, n)
     t = num_frames
+    # the gated step kernel carries extra fp32 transients; shrink the tile
+    # beyond the eval budget (T=32 otherwise exceeds the VMEM scope)
+    while tile > 8 and (8 * t * tile * d * 2 + 4 * d * d * 2) > 12 * 2 ** 20:
+        tile = max(8, tile // 2)
     b = bt // t
     scale = 1.0 / ((d // num_heads) ** 0.5)
     seg = _segment_matrix(d, num_heads)
@@ -1487,6 +1496,45 @@ def _fwd_tstep(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out, w1, b1,
 def _bwd_tstep(num_frames, num_heads, skip, res, g):
     (x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
      w1, b1, w2, b2, gate) = res
+    if num_frames > 16:
+        # long clips (T=32): the whole-step backward cell exceeds VMEM even
+        # at the minimum token tile (measured 17.7M at T=32/tile=8) — use
+        # the two-kernel composition: recompute u with the fwd kernel,
+        # adapter backward in XLA (exact), dX via the segment-core backward
+        u = fused_ln_temporal_attention(x, ln_scale, ln_bias, w_qkv, b_qkv,
+                                        w_out, b_out, num_frames, num_heads)
+        g32_ = g.astype(jnp.float32)
+        gb = (gate.reshape(-1, 1, 1).astype(jnp.float32)
+              if gate is not None else None)
+        db_ = g32_ * gb if gb is not None else g32_
+        from adapt_image_models_tpu.ops.fused_qkv_attention import (
+            _tanh_gelu_grad,
+        )
+        u32 = u.astype(jnp.float32)
+        pre = u32 @ w1.astype(jnp.float32) + b1.astype(jnp.float32)
+        a_ = jax.nn.gelu(pre, approximate=True)
+        da = db_ @ w2.astype(jnp.float32).T
+        dpre_ = da * _tanh_gelu_grad(pre)
+        du = dpre_ @ w1.astype(jnp.float32).T
+        if skip:
+            du = du + db_
+        dx = _bwd_ln_pallas_segment(
+            num_frames, num_heads,
+            (x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out),
+            du.astype(x.dtype))[0] + g.astype(x.dtype)
+        dw1 = jnp.einsum("bld,blh->dh", u32, dpre_).astype(w1.dtype)
+        db1 = jnp.sum(dpre_, axis=(0, 1)).astype(b1.dtype)
+        dw2 = jnp.einsum("blh,bld->hd", a_, db_).astype(w2.dtype)
+        db2 = jnp.sum(db_, axis=(0, 1)).astype(b2.dtype)
+        if gate is not None:
+            z = a_ @ w2.astype(jnp.float32) + b2.astype(jnp.float32)
+            branch = z + u32 if skip else z
+            dgate = jnp.sum(g32_ * branch, axis=(1, 2)).astype(gate.dtype)
+        else:
+            dgate = None
+        z_ = jnp.zeros_like
+        return (dx, z_(ln_scale), z_(ln_bias), z_(w_qkv), z_(b_qkv),
+                z_(w_out), z_(b_out), dw1, db1, dw2, db2, dgate)
     dx, u, dpre, a = fused_temporal_step_bwd_dx(
         x, gate, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
         w1, b1, w2, b2, g.astype(x.dtype), num_frames, num_heads, skip)

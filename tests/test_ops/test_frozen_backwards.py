@@ -187,3 +187,41 @@ def test_fused_spatial_train_step_vitl_fallback_grads(weights, monkeypatch):
                             g_kernel, g_fallback):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a_),
                                    atol=5e-3, rtol=5e-3, err_msg=name)
+
+
+def test_fused_temporal_train_step_long_clip_fallback(weights):
+    """T > 16 takes the two-kernel composition backward (whole-step cell
+    exceeds VMEM at T=32); cotangents must match the oracle."""
+    from adapt_image_models_tpu.ops import fused_temporal_attention as fta
+    T32 = 18  # > 16 -> fallback; small enough for interpret mode
+    ks = jax.random.split(jax.random.PRNGKey(6), 4)
+    DH = 8
+    w1 = jax.random.normal(ks[0], (D, DH)) * 0.1
+    b1 = jax.random.normal(ks[1], (DH,)) * 0.1
+    w2 = jax.random.normal(ks[2], (DH, D)) * 0.1
+    b2 = jax.random.normal(ks[3], (D,)) * 0.1
+    x = jax.random.normal(jax.random.PRNGKey(14), (2 * T32, 9, D))
+    gate = jnp.asarray(
+        np.random.default_rng(1).choice([0.0, 1.0], 2 * T32), jnp.float32)
+
+    def oracle(x, w1, b1, w2, b2, gate):
+        y = fta._ref_ln_impl(x, *weights, T32, H)
+        pre = y @ w1 + b1
+        z = jax.nn.gelu(pre, approximate=True) @ w2 + b2
+        out = x + gate.reshape(-1, 1, 1) * z
+        return jnp.sum(jnp.sin(out))
+
+    def kernel_loss(x, w1, b1, w2, b2, gate):
+        out = fta.fused_temporal_train_step(x, *weights, w1, b1, w2, b2,
+                                            gate, T32, H, False)
+        return jnp.sum(jnp.sin(out))
+
+    argnums = (0, 1, 2, 3, 4, 5)
+    ref_grads = jax.grad(oracle, argnums=argnums)(x, w1, b1, w2, b2, gate)
+    with pltpu.force_tpu_interpret_mode():
+        ker_grads = jax.grad(kernel_loss, argnums=argnums)(
+            x, w1, b1, w2, b2, gate)
+    for name, r, k in zip(("dx", "dw1", "db1", "dw2", "db2", "dgate"),
+                          ref_grads, ker_grads):
+        np.testing.assert_allclose(np.asarray(k), np.asarray(r),
+                                   atol=1e-2, rtol=1e-2, err_msg=name)
