@@ -16,7 +16,12 @@ LOSSES = Registry("loss")
 
 
 def build_backbone(cfg):
-    return BACKBONES.build(cfg)
+    # 'torchvision.*' / 'timm.*' / 'mmcls.*' source prefixes resolve to the
+    # native equivalent (reference recognizers/base.py:42-75)
+    from adapt_image_models_tpu.models.backbone_sources import (
+        resolve_backbone_source,
+    )
+    return BACKBONES.build(resolve_backbone_source(dict(cfg)))
 
 
 def build_neck(cfg):

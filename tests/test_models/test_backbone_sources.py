@@ -1,0 +1,76 @@
+"""Source-prefixed backbone configs (torchvision./timm./mmcls.) resolve to
+native equivalents (reference recognizers/base.py:42-75)."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from adapt_image_models_tpu.models import build_model
+from adapt_image_models_tpu.models.backbone_sources import (
+    resolve_backbone_source,
+)
+
+
+def test_torchvision_resnet_resolves():
+    out = resolve_backbone_source(dict(type="torchvision.resnet50"))
+    assert out == dict(type="ResNet", depth=50)
+
+
+def test_timm_swin_resolves_with_arch_kwargs():
+    out = resolve_backbone_source(
+        dict(type="timm.swin_base_patch4_window7_224"))
+    assert out["type"] == "SwinTransformer2D"
+    assert out["embed_dim"] == 128 and out["depths"] == (2, 2, 18, 2)
+
+
+def test_explicit_keys_override_arch_table():
+    out = resolve_backbone_source(
+        dict(type="timm.swin_tiny_patch4_window7_224", window_size=8))
+    assert out["window_size"] == 8
+
+
+def test_mmcls_prefix_uses_registry():
+    assert resolve_backbone_source(
+        dict(type="mmcls.ResNet", depth=18)) == dict(type="ResNet", depth=18)
+    with pytest.raises(KeyError, match="mmcls.ResNeXt"):
+        resolve_backbone_source(dict(type="mmcls.ResNeXt"))
+
+
+def test_unknown_name_lists_supported():
+    with pytest.raises(KeyError, match="densenet161"):
+        resolve_backbone_source(dict(type="torchvision.densenet161"))
+
+
+def test_pretrained_true_rejected():
+    with pytest.raises(ValueError, match="local torch checkpoint"):
+        resolve_backbone_source(
+            dict(type="torchvision.resnet50", pretrained=True))
+
+
+def test_unprefixed_type_passes_through():
+    cfg = dict(type="ResNet", depth=50)
+    assert resolve_backbone_source(cfg) == cfg
+
+
+def test_prefixed_backbone_forward():
+    """A torchvision-sourced backbone builds and runs inside Recognizer2D."""
+    model = build_model(dict(
+        type="Recognizer2D",
+        backbone=dict(type="torchvision.mobilenet_v2"),
+        cls_head=dict(type="TSNHead", num_classes=5, in_channels=1280,
+                      dropout_ratio=0.0),
+        test_cfg=dict(average_clips="prob"),
+    ))
+    x = jnp.zeros((1, 2, 3, 64, 64))
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x, method=model.forward_test)
+    assert out.shape == (1, 5)
+
+
+def test_custom_backbone_config_builds():
+    from adapt_image_models_tpu.config import Config
+    cfg = Config.fromfile(
+        "configs/recognition/tsn/custom_backbones/"
+        "tsn_swin_transformer_video_320p_1x1x3_100e_kinetics400_rgb.py")
+    model = build_model(dict(cfg["model"]))
+    assert model.backbone["type"] == "timm.swin_base_patch4_window7_224"
