@@ -42,11 +42,19 @@ def _round_up(x: int, m: int) -> int:
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
+# Frame-axis cutover: the masked-full core (and the whole-step backward
+# cell, which exceeds VMEM beyond it) covers T <= LONG_CLIP_T; longer clips
+# take the segment core / two-kernel composition. Module-level so tests can
+# monkeypatch it and exercise the long-clip paths at small traced sizes
+# (interpret mode unrolls the grid into the jaxpr — T=32 traces for ~40 s).
+LONG_CLIP_T = 16
+
+
 def _use_full_core(t: int) -> bool:
     """Masked-full core beats the segment-sum core for short frame axes
     (measured v5e ViT-B b64: 6.97 vs 7.47 ms/layer); its waste factor grows
     with tile so the segment core stays the choice for long clips."""
-    return t <= 16
+    return t <= LONG_CLIP_T
 
 
 def _sanitize_tokens(x, tile: int, tok_limit):
@@ -1496,7 +1504,7 @@ def _fwd_tstep(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out, w1, b1,
 def _bwd_tstep(num_frames, num_heads, skip, res, g):
     (x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
      w1, b1, w2, b2, gate) = res
-    if num_frames > 16:
+    if num_frames > LONG_CLIP_T:
         # long clips (T=32): the whole-step backward cell exceeds VMEM even
         # at the minimum token tile (measured 17.7M at T=32/tile=8) — use
         # the two-kernel composition: recompute u with the fwd kernel,

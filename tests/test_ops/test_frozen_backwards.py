@@ -96,7 +96,9 @@ def test_fused_spatial_train_step_grads(weights):
     argnums = (0, 1, 2, 3, 4, 5)
     ref_grads = jax.grad(oracle, argnums=argnums)(x, w1, b1, w2, b2, gate)
     with pltpu.force_tpu_interpret_mode():
-        ker_grads = jax.grad(kernel_loss, argnums=argnums)(
+        # jit: eager interpret-mode grads re-dispatch the unrolled grid op
+        # by op on every call; one jitted compile is persistent-cacheable
+        ker_grads = jax.jit(jax.grad(kernel_loss, argnums=argnums))(
             x, w1, b1, w2, b2, gate)
     for name, r, k in zip(("dx", "dw1", "db1", "dw2", "db2", "dgate"),
                           ref_grads, ker_grads):
@@ -151,7 +153,9 @@ def test_fused_temporal_train_step_grads(weights):
     argnums = (0, 1, 2, 3, 4, 5)
     ref_grads = jax.grad(oracle, argnums=argnums)(x, w1, b1, w2, b2, gate)
     with pltpu.force_tpu_interpret_mode():
-        ker_grads = jax.grad(kernel_loss, argnums=argnums)(
+        # jit: eager interpret-mode grads re-dispatch the unrolled grid op
+        # by op on every call; one jitted compile is persistent-cacheable
+        ker_grads = jax.jit(jax.grad(kernel_loss, argnums=argnums))(
             x, w1, b1, w2, b2, gate)
     for name, r, k in zip(("dx", "dw1", "db1", "dw2", "db2", "dgate"),
                           ref_grads, ker_grads):
@@ -189,20 +193,19 @@ def test_fused_spatial_train_step_vitl_fallback_grads(weights, monkeypatch):
                                    atol=5e-3, rtol=5e-3, err_msg=name)
 
 
-def test_fused_temporal_train_step_long_clip_fallback(weights):
-    """T > 16 takes the two-kernel composition backward (whole-step cell
-    exceeds VMEM at T=32); cotangents must match the oracle."""
+def _long_clip_fallback_check(weights, T32):
+    """T > LONG_CLIP_T takes the two-kernel composition backward (whole-step
+    cell exceeds VMEM at T=32); cotangents must match the oracle."""
     from adapt_image_models_tpu.ops import fused_temporal_attention as fta
-    T32 = 18  # > 16 -> fallback; small enough for interpret mode
     ks = jax.random.split(jax.random.PRNGKey(6), 4)
     DH = 8
     w1 = jax.random.normal(ks[0], (D, DH)) * 0.1
     b1 = jax.random.normal(ks[1], (DH,)) * 0.1
     w2 = jax.random.normal(ks[2], (DH, D)) * 0.1
     b2 = jax.random.normal(ks[3], (D,)) * 0.1
-    x = jax.random.normal(jax.random.PRNGKey(14), (2 * T32, 9, D))
+    x = jax.random.normal(jax.random.PRNGKey(14), (T32, 5, D))
     gate = jnp.asarray(
-        np.random.default_rng(1).choice([0.0, 1.0], 2 * T32), jnp.float32)
+        np.random.default_rng(1).choice([0.0, 1.0], T32), jnp.float32)
 
     def oracle(x, w1, b1, w2, b2, gate):
         y = fta._ref_ln_impl(x, *weights, T32, H)
@@ -219,9 +222,24 @@ def test_fused_temporal_train_step_long_clip_fallback(weights):
     argnums = (0, 1, 2, 3, 4, 5)
     ref_grads = jax.grad(oracle, argnums=argnums)(x, w1, b1, w2, b2, gate)
     with pltpu.force_tpu_interpret_mode():
-        ker_grads = jax.grad(kernel_loss, argnums=argnums)(
+        # jit: eager interpret-mode grads re-dispatch the unrolled grid op
+        # by op on every call; one jitted compile is persistent-cacheable
+        ker_grads = jax.jit(jax.grad(kernel_loss, argnums=argnums))(
             x, w1, b1, w2, b2, gate)
     for name, r, k in zip(("dx", "dw1", "db1", "dw2", "db2", "dgate"),
                           ref_grads, ker_grads):
         np.testing.assert_allclose(np.asarray(k), np.asarray(r),
                                    atol=1e-2, rtol=1e-2, err_msg=name)
+
+
+def test_fused_temporal_train_step_long_clip_fallback(weights, monkeypatch):
+    """Same fallback code path at a lowered cutover — interpret mode unrolls
+    the grid into the traced jaxpr, so true T=18 traces for ~45 s."""
+    from adapt_image_models_tpu.ops import fused_temporal_attention as fta
+    monkeypatch.setattr(fta, "LONG_CLIP_T", 4)
+    _long_clip_fallback_check(weights, T32=6)
+
+
+@pytest.mark.slow
+def test_fused_temporal_train_step_long_clip_fallback_true_threshold(weights):
+    _long_clip_fallback_check(weights, T32=18)

@@ -410,11 +410,14 @@ def test_pallas_plain_temporal_backward_matches_xla_vjp():
             rtol=3e-4, atol=3e-4, err_msg=name)
 
 
-def test_pallas_temporal_segment_backward_matches_xla_vjp():
-    """Segment-core temporal backward (T > 16) vs XLA-remat cotangents."""
+def test_pallas_temporal_segment_backward_matches_xla_vjp(monkeypatch):
+    """Segment-core temporal backward (T > LONG_CLIP_T) vs XLA-remat
+    cotangents. Cutover lowered so the segment core runs at a small traced
+    size (interpret mode unrolls the grid; t=20 traces for ~55 s)."""
     from adapt_image_models_tpu.ops import fused_temporal_attention as fta
-    t, heads, n, d = 20, 2, 21, 64  # t > 16 forces the segment core
-    b = 2
+    monkeypatch.setattr(fta, "LONG_CLIP_T", 4)
+    t, heads, n, d = 6, 2, 9, 64  # t > LONG_CLIP_T forces the segment core
+    b = 1
     x = _rand((b * t, n, d), 0)
     lns = 1.0 + 0.1 * _rand((d,), 1)
     lnb = 0.1 * _rand((d,), 2)
