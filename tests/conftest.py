@@ -28,6 +28,49 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
+# --- jit-routed Module.init/apply -----------------------------------------
+# Eager flax calls pay per-primitive dispatch + lowering on this 1-core host
+# (~10-30 ms x hundreds of ops per model call -> the suite was eager-dispatch
+# dominated, 20 min warm). Routing every top-level init/apply through one
+# jax.jit turns a model call into a single persistent-cache hit. Array leaves
+# (incl. PRNG keys — tests use fixed seeds, so the HLO stays cache-stable)
+# become jit arguments; ints/bools/callables (method=, deterministic=,
+# mutable=) stay static in the closure. Calls already under a trace, or that
+# fail to jit (value-dependent Python control flow etc.), fall back to the
+# original eager path. Disable with AIM_TEST_EAGER=1.
+if not os.environ.get("AIM_TEST_EAGER"):
+    import numpy as _np
+    import flax.linen as _nn
+
+    def _jit_route(orig):
+        def wrapper(self, *args, **kwargs):
+            leaves, treedef = jax.tree_util.tree_flatten(
+                (args, kwargs),
+                is_leaf=lambda x: isinstance(x, jax.core.Tracer))
+            if any(isinstance(l, jax.core.Tracer) for l in leaves):
+                return orig(self, *args, **kwargs)
+            dyn_idx = [i for i, l in enumerate(leaves)
+                       if isinstance(l, (jax.Array, _np.ndarray))]
+            if not dyn_idx:
+                return orig(self, *args, **kwargs)
+
+            def call(dyn):
+                ls = list(leaves)
+                for i, v in zip(dyn_idx, dyn):
+                    ls[i] = v
+                a, kw = jax.tree_util.tree_unflatten(treedef, ls)
+                return orig(self, *a, **kw)
+
+            try:
+                return jax.jit(call)([leaves[i] for i in dyn_idx])
+            except Exception:
+                return orig(self, *args, **kwargs)
+        return wrapper
+
+    _nn.Module.init = _jit_route(_nn.Module.init)
+    _nn.Module.apply = _jit_route(_nn.Module.apply)
+
+
 def pytest_sessionstart(session):
     assert jax.default_backend() == "cpu", (
         f"tests must run on CPU, got {jax.default_backend()}")

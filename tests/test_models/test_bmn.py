@@ -49,7 +49,7 @@ def test_bmn_loss_and_gradients():
         out = model.apply({"params": params}, x)
         return loss_fn(out, labels, bm_mask)["loss"]
 
-    loss, grads = jax.value_and_grad(total)(variables["params"])
+    loss, grads = jax.jit(jax.value_and_grad(total))(variables["params"])
     assert np.isfinite(float(loss))
     gnorm = sum(float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads))
     assert gnorm > 0

@@ -45,7 +45,7 @@ def test_tem_forward_loss_grads():
         losses = model.loss(o, labels)
         return losses["loss_action"] + losses["loss_start"] + losses["loss_end"]
 
-    loss, grads = jax.value_and_grad(total)(variables["params"])
+    loss, grads = jax.jit(jax.value_and_grad(total))(variables["params"])
     assert np.isfinite(float(loss))
     assert sum(float(jnp.abs(g).sum())
                for g in jax.tree_util.tree_leaves(grads)) > 0
@@ -77,7 +77,7 @@ def test_pem_forward_and_loss():
         o = model.apply({"params": params}, x)
         return model.loss(o, ref_iou, jax.random.PRNGKey(2))["temporal_iou_loss"]
 
-    loss, grads = jax.value_and_grad(total)(variables["params"])
+    loss, grads = jax.jit(jax.value_and_grad(total))(variables["params"])
     assert np.isfinite(float(loss)) and float(loss) >= 0
     assert sum(float(jnp.abs(g).sum())
                for g in jax.tree_util.tree_leaves(grads)) > 0

@@ -76,6 +76,6 @@ def test_aim_flash_dual():
     # grad pass being finite
     def loss(p):
         return jnp.sum(model.apply(p, x) ** 2)
-    g = jax.grad(lambda p: loss(p))(params)
+    g = jax.jit(jax.grad(lambda p: loss(p)))(params)
     assert all(np.isfinite(np.asarray(v)).all()
                for v in jax.tree_util.tree_leaves(g))

@@ -62,7 +62,7 @@ def test_fbo_nonlocal_shapes_and_grads():
     def total(params):
         return jnp.sum(model.apply({"params": params}, st, lt) ** 2)
 
-    g = jax.grad(total)(variables["params"])
+    g = jax.jit(jax.grad(total))(variables["params"])
     assert sum(float(jnp.abs(x).sum())
                for x in jax.tree_util.tree_leaves(g)) > 0
 

@@ -42,8 +42,11 @@ def test_tam_module():
 def test_tanet():
     model = TANet(depth=50, num_segments=4)
     x = jnp.ones((4, 3, 32, 32))
-    variables = model.init(jax.random.PRNGKey(0), x)
-    out = model.apply(variables, x)
+    # jit: eager apply pays per-primitive dispatch/lowering on this 1-core
+    # host (~100 ops -> tens of seconds); one jitted graph is a single
+    # persistent-cache hit
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    out = jax.jit(model.apply)(variables, x)
     assert out.shape == (4, 2048)
 
 

@@ -57,7 +57,7 @@ def test_ohem_hinge_loss_selects_hard_examples():
     # hinges: 0.1, 0.9, 1.5, 0.6 -> top2 = 1.5 + 0.9
     assert float(loss) == pytest.approx(2.4, abs=1e-5)
     # gradient flows only through the selected examples
-    g = jax.grad(lambda p: ohem_hinge_loss(p, labels, 1, 0.5, 4))(pred)
+    g = jax.jit(jax.grad(lambda p: ohem_hinge_loss(p, labels, 1, 0.5, 4)))(pred)
     assert float(g[2, 0]) == pytest.approx(-1.0)
     assert float(g[1, 0]) == pytest.approx(-1.0)
     assert float(g[0, 0]) == 0.0 and float(g[3, 0]) == 0.0
@@ -268,7 +268,7 @@ def test_ssn_localizer_end_to_end_tiny(tmp_path):
             method=model.forward_train, deterministic=True)
         return sum(jnp.asarray(v) for v in losses.values())
 
-    loss, grads = jax.value_and_grad(total)(variables["params"])
+    loss, grads = jax.jit(jax.value_and_grad(total))(variables["params"])
     assert np.isfinite(float(loss))
     assert sum(float(jnp.abs(g).sum())
                for g in jax.tree_util.tree_leaves(grads)) > 0

@@ -35,9 +35,9 @@ def test_frozen_spatial_dx_matches_exact(weights):
         y = fused_ln_attention_block_frozen(x, *w, H)
         return jnp.sum(jnp.sin(y))
 
-    dref = jax.grad(loss_ref)(x)
+    dref = jax.jit(jax.grad(loss_ref))(x)
     with pltpu.force_tpu_interpret_mode():
-        grads = jax.grad(loss_frozen, argnums=tuple(range(7)))(x, *weights)
+        grads = jax.jit(jax.grad(loss_frozen, argnums=tuple(range(7))))(x, *weights)
     np.testing.assert_allclose(np.asarray(grads[0]), np.asarray(dref),
                                atol=5e-3, rtol=5e-3)
     for gw in grads[1:]:
@@ -55,9 +55,9 @@ def test_frozen_temporal_dx_matches_exact(weights):
         y = fta.fused_ln_temporal_block_frozen(x, *w, T, H)
         return jnp.sum(jnp.sin(y))
 
-    dref = jax.grad(loss_ref)(x)
+    dref = jax.jit(jax.grad(loss_ref))(x)
     with pltpu.force_tpu_interpret_mode():
-        grads = jax.grad(loss_frozen, argnums=tuple(range(7)))(x, *weights)
+        grads = jax.jit(jax.grad(loss_frozen, argnums=tuple(range(7))))(x, *weights)
     np.testing.assert_allclose(np.asarray(grads[0]), np.asarray(dref),
                                atol=5e-3, rtol=5e-3)
     for gw in grads[1:]:
@@ -94,7 +94,7 @@ def test_fused_spatial_train_step_grads(weights):
         return jnp.sum(jnp.sin(out))
 
     argnums = (0, 1, 2, 3, 4, 5)
-    ref_grads = jax.grad(oracle, argnums=argnums)(x, w1, b1, w2, b2, gate)
+    ref_grads = jax.jit(jax.grad(oracle, argnums=argnums))(x, w1, b1, w2, b2, gate)
     with pltpu.force_tpu_interpret_mode():
         # jit: eager interpret-mode grads re-dispatch the unrolled grid op
         # by op on every call; one jitted compile is persistent-cacheable
@@ -113,7 +113,7 @@ def test_fused_spatial_train_step_grads(weights):
         return jnp.sum(out ** 2)
 
     with pltpu.force_tpu_interpret_mode():
-        gl, gw = jax.grad(kernel_loss_nogate, argnums=(0, 1))(
+        gl, gw = jax.jit(jax.grad(kernel_loss_nogate, argnums=(0, 1)))(
             weights[0], weights[2])
     assert float(jnp.abs(gl).max()) == 0.0
     assert float(jnp.abs(gw).max()) == 0.0
@@ -151,7 +151,7 @@ def test_fused_temporal_train_step_grads(weights):
         return jnp.sum(jnp.sin(out))
 
     argnums = (0, 1, 2, 3, 4, 5)
-    ref_grads = jax.grad(oracle, argnums=argnums)(x, w1, b1, w2, b2, gate)
+    ref_grads = jax.jit(jax.grad(oracle, argnums=argnums))(x, w1, b1, w2, b2, gate)
     with pltpu.force_tpu_interpret_mode():
         # jit: eager interpret-mode grads re-dispatch the unrolled grid op
         # by op on every call; one jitted compile is persistent-cacheable
@@ -183,9 +183,9 @@ def test_fused_spatial_train_step_vitl_fallback_grads(weights, monkeypatch):
 
     argnums = (0, 1, 2, 3, 4, 5)
     with pltpu.force_tpu_interpret_mode():
-        g_kernel = jax.grad(loss, argnums=argnums)(x, w1, b1, w2, b2, gate)
+        g_kernel = jax.jit(jax.grad(loss, argnums=argnums))(x, w1, b1, w2, b2, gate)
         monkeypatch.setattr(fqa, "_step_vmem_fits", lambda *a: False)
-        g_fallback = jax.grad(loss, argnums=argnums)(x, w1, b1, w2, b2,
+        g_fallback = jax.jit(jax.grad(loss, argnums=argnums))(x, w1, b1, w2, b2,
                                                      gate)
     for name, a_, b_ in zip(("dx", "dw1", "db1", "dw2", "db2", "dgate"),
                             g_kernel, g_fallback):
@@ -220,7 +220,7 @@ def _long_clip_fallback_check(weights, T32):
         return jnp.sum(jnp.sin(out))
 
     argnums = (0, 1, 2, 3, 4, 5)
-    ref_grads = jax.grad(oracle, argnums=argnums)(x, w1, b1, w2, b2, gate)
+    ref_grads = jax.jit(jax.grad(oracle, argnums=argnums))(x, w1, b1, w2, b2, gate)
     with pltpu.force_tpu_interpret_mode():
         # jit: eager interpret-mode grads re-dispatch the unrolled grid op
         # by op on every call; one jitted compile is persistent-cacheable

@@ -74,9 +74,9 @@ def test_train_block_grads_match_xla(weights, x):
         return jnp.sum(y * jnp.cos(y))
 
     args = (x, weights[6], weights[7], weights[8], weights[9], gate)
-    ref_grads = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(*args)
+    ref_grads = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5)))(*args)
     with pltpu.force_tpu_interpret_mode():
-        ker_grads = jax.grad(loss_kernel, argnums=(0, 1, 2, 3, 4, 5))(*args)
+        ker_grads = jax.jit(jax.grad(loss_kernel, argnums=(0, 1, 2, 3, 4, 5)))(*args)
     names = ("dx", "dw1", "db1", "dw2", "db2", "dgate")
     for name, r, k in zip(names, ref_grads, ker_grads):
         np.testing.assert_allclose(
@@ -94,6 +94,6 @@ def test_train_block_frozen_cotangents_are_zero(weights, x):
         return jnp.sum(y ** 2)
 
     with pltpu.force_tpu_interpret_mode():
-        g_ln, g_fc = jax.grad(loss, argnums=(0, 1))(weights[0], weights[2])
+        g_ln, g_fc = jax.jit(jax.grad(loss, argnums=(0, 1)))(weights[0], weights[2])
     assert float(jnp.abs(g_ln).max()) == 0.0
     assert float(jnp.abs(g_fc).max()) == 0.0

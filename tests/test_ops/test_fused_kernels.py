@@ -151,8 +151,8 @@ def test_fused_ln_attention_block_grads():
     args = (x, lns, lnb, wqkv, bqkv, wout, bout)
     # interpret mode must cover the backward too (it is a Pallas kernel now)
     with pltpu.force_tpu_interpret_mode():
-        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(*args)
-    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(*args)
+        g_fused = jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2)))(*args)
+    g_ref = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(*args)
     for a, b in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=5e-3)
@@ -206,8 +206,8 @@ def test_fused_joint_block_grads():
     def loss_ref(*a):
         return jnp.sum(ref_joint(*a, 0.5) ** 2)
 
-    g_fused = jax.grad(loss_fused, argnums=(0, 7, 9))(*args)
-    g_ref = jax.grad(loss_ref, argnums=(0, 7, 9))(*args)
+    g_fused = jax.jit(jax.grad(loss_fused, argnums=(0, 7, 9)))(*args)
+    g_ref = jax.jit(jax.grad(loss_ref, argnums=(0, 7, 9)))(*args)
     for a, b in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=5e-3)
@@ -308,9 +308,9 @@ def test_pallas_ln_attention_backward_grad_check():
                                          bout, heads, l)
         return jnp.sum(y ** 2)
 
-    g_ref = jax.grad(loss_ref)(x)
+    g_ref = jax.jit(jax.grad(loss_ref))(x)
     with pltpu.force_tpu_interpret_mode():
-        g_kernel = jax.grad(loss_kernel)(x)
+        g_kernel = jax.jit(jax.grad(loss_kernel))(x)
     np.testing.assert_allclose(np.asarray(g_kernel), np.asarray(g_ref),
                                rtol=5e-4, atol=5e-4)
 
@@ -359,9 +359,9 @@ def test_pallas_temporal_ln_backward_grad_check():
         return jnp.sum(fta.fused_ln_temporal_block(
             x, lns, lnb, wqkv, bqkv, wout, bout, t, heads) ** 2)
 
-    g_ref = jax.grad(loss_ref)(x)
+    g_ref = jax.jit(jax.grad(loss_ref))(x)
     with pltpu.force_tpu_interpret_mode():
-        g_kernel = jax.grad(loss_kernel)(x)
+        g_kernel = jax.jit(jax.grad(loss_kernel))(x)
     np.testing.assert_allclose(np.asarray(g_kernel), np.asarray(g_ref),
                                rtol=5e-4, atol=5e-4)
 

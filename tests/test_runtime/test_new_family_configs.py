@@ -53,7 +53,7 @@ def test_bmn_config_train_step():
         out = model.apply({"params": params}, feats)
         return loss_fn(out, labels, bm_mask)["loss"]
 
-    loss, grads = jax.value_and_grad(total)(variables["params"])
+    loss, grads = jax.jit(jax.value_and_grad(total))(variables["params"])
     assert np.isfinite(float(loss))
     gn = sum(float(jnp.abs(g).sum())
              for g in jax.tree_util.tree_leaves(grads))
@@ -83,7 +83,7 @@ def test_bsn_tem_config_train_step():
         losses = model.loss(o, labels)
         return sum(losses.values())
 
-    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
     assert np.isfinite(float(loss))
 
 
