@@ -22,8 +22,52 @@ jax.config.update("jax_disable_most_optimizations", True)
 # persistent compile cache: on a 1-core host the suite is XLA-compile
 # dominated; unchanged tests hit the cache on re-runs (key = HLO, so any
 # model/shape change recompiles). Harmless cold, ~big win warm.
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+#
+# The cache is only valid for THIS machine type: XLA:CPU stores AOT code
+# keyed partly on host CPU features, and entries written on a different
+# machine make every lookup miss (so the suite silently recompiles
+# everything, ~2x wall time) while spamming "machine feature not
+# supported"/SIGILL-risk warnings from cpu_aot_loader. Fingerprint the host
+# and wipe a foreign cache.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
+
+
+def _machine_fingerprint() -> str:
+    import hashlib
+    import platform
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    raw = f"{platform.machine()}|{platform.processor()}|{flags}"
+    return hashlib.sha256(raw.encode()).hexdigest()[:16]
+
+
+def _ensure_cache_machine_match() -> None:
+    import shutil
+    marker = os.path.join(_CACHE_DIR, ".machine")
+    fp = _machine_fingerprint()
+    try:
+        with open(marker) as f:
+            if f.read().strip() == fp:
+                return
+        shutil.rmtree(_CACHE_DIR, ignore_errors=True)
+    except OSError:
+        pass  # no marker: first run (or pre-marker cache: wipe it too)
+    if os.path.isdir(_CACHE_DIR) and not os.path.exists(marker):
+        shutil.rmtree(_CACHE_DIR, ignore_errors=True)
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    with open(marker, "w") as f:
+        f.write(fp)
+
+
+_ensure_cache_machine_match()
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
