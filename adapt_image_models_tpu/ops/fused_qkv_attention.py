@@ -96,32 +96,108 @@ def _sanitize_rows(x, l_actual: int):
     return jnp.where(row < l_actual, x, jnp.zeros_like(x))
 
 
+def _is_pow2(x: float) -> bool:
+    from math import frexp
+    m, _ = frexp(x)
+    return m == 0.5
+
+
+# Stacked-head softmax transient cap: heads are processed in chunks whose
+# concatenated score matrix stays <= ~2496 rows (ViT-B: all 12 heads in one
+# chunk, 2.1 MB fp32; ViT-L lp=272 would stack 4.7 MB -> chunked). Measured
+# v5e (batch 512, full model): per-head softmax chains -> stacked = +7
+# clips/s combined with the temporal core's stacking (346.4 -> 353.3).
+_STACK_ROWS = 2496
+
+
 def _attention_body(x, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
-                    heads: int, l_actual: int, scale: float):
-    """Post-LN tokens (L_pad, D) -> attention block output (L_pad, D) fp32."""
+                    heads: int, l_actual: int, scale: float,
+                    stacked: bool = True):
+    """Post-LN tokens (L_pad, D) -> attention block output (L_pad, D) fp32.
+
+    When ``stacked`` (eval kernels), the per-head softmax runs STACKED:
+    all chunk heads' score matrices are concatenated so max/exp/sum execute
+    as few large VPU ops instead of ``heads`` small serial chains. Train
+    kernels pass ``stacked=False``: their cells carry adapter/gate
+    transients on top of the attention ones, and the stacked fp32 score
+    block measurably slows the step there (v5e ViT-B 8f b32: 98.5 -> 92.4
+    clips/s) — per-head chains keep the peak working set minimal. The
+    1/sqrt(hd) scale folds into q before the score matmul when it is a
+    power of two (hd=64 everywhere in CLIP: exact in bf16, 2x fewer scaled
+    elements); otherwise it scales scores.
+    """
     lp, d = x.shape
     hd = d // heads
     x = _sanitize_rows(x, l_actual)
     qkv = _project_qkv(x, wqkv_ref, bqkv_ref)  # (L_pad, 3D) bf16
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 1)
-    keymask = jnp.where(col < l_actual, jnp.float32(0.0),
-                        jnp.float32(MASK_VALUE))
+    if not stacked:
+        # train cells: EXACT original per-head chain (scale+mask fused into
+        # one multiply-add per head, no prescaled q copy). The stacked
+        # restructure measurably slows the whole-step train kernels
+        # (v5e ViT-B 8f b32: 98.5 -> ~92 clips/s) — their cells are
+        # VMEM-pressure-bound, not VPU-serialization-bound.
+        col = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 1)
+        keymask = jnp.where(col < l_actual, jnp.float32(0.0),
+                            jnp.float32(MASK_VALUE))
+        outs = []
+        for h in range(heads):
+            q = qkv[:, h * hd:(h + 1) * hd]
+            k = qkv[:, d + h * hd:d + (h + 1) * hd]
+            v = qkv[:, 2 * d + h * hd:2 * d + (h + 1) * hd]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s * scale + keymask
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s - m)
+            denom = jnp.sum(p, axis=1, keepdims=True)
+            o_h = jax.lax.dot(p.astype(v.dtype), v,
+                              preferred_element_type=jnp.float32) / denom
+            outs.append(o_h.astype(x.dtype))
+        out = jnp.concatenate(outs, axis=1)
+        y = jnp.dot(out, wout_ref[...], preferred_element_type=jnp.float32)
+        return y + bout_ref[...].astype(jnp.float32)
 
+    prescale = _is_pow2(scale)
+    q_all = qkv[:, :d]
+    if prescale:
+        q_all = (q_all.astype(jnp.float32) * scale).astype(qkv.dtype)
+
+    # key-padding mask depends only on the column -> one (8, lp) strip
+    # broadcast-adds over any chunk's stacked rows (computed once, outside
+    # the head loop; 8 sublanes is the fp32 tile minimum)
+    keymask = None
+    if l_actual < lp:
+        col = jax.lax.broadcasted_iota(jnp.int32, (8, lp), 1)
+        keymask = jnp.where(col < l_actual, jnp.float32(0.0),
+                            jnp.float32(MASK_VALUE))[:1]
+
+    chunk = max(1, min(heads, _STACK_ROWS // lp))
     outs = []
-    for h in range(heads):
-        q = qkv[:, h * hd:(h + 1) * hd]
-        k = qkv[:, d + h * hd:d + (h + 1) * hd]
-        v = qkv[:, 2 * d + h * hd:2 * d + (h + 1) * hd]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        s = s * scale + keymask
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
+    for h0 in range(0, heads, chunk):
+        hc = min(chunk, heads - h0)
+        ss = []
+        for h in range(h0, h0 + hc):
+            q = q_all[:, h * hd:(h + 1) * hd]
+            k = qkv[:, d + h * hd:d + (h + 1) * hd]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            ss.append(s)
+        S = ss[0] if hc == 1 else jnp.concatenate(ss, axis=0)
+        if not prescale:
+            S = S * scale
+        if keymask is not None:
+            S = S + keymask
+        m = jnp.max(S, axis=1, keepdims=True)
+        p = jnp.exp(S - m)
         denom = jnp.sum(p, axis=1, keepdims=True)
-        o_h = jax.lax.dot(p.astype(v.dtype), v,
-                          preferred_element_type=jnp.float32) / denom
-        outs.append(o_h.astype(x.dtype))
+        pb = p.astype(qkv.dtype)
+        for i, h in enumerate(range(h0, h0 + hc)):
+            v = qkv[:, 2 * d + h * hd:2 * d + (h + 1) * hd]
+            o_h = jax.lax.dot(pb[i * lp:(i + 1) * lp], v,
+                              preferred_element_type=jnp.float32) \
+                / denom[i * lp:(i + 1) * lp]
+            outs.append(o_h.astype(x.dtype))
     out = jnp.concatenate(outs, axis=1)  # (L_pad, D), static head offsets
 
     y = jnp.dot(out, wout_ref[...], preferred_element_type=jnp.float32)
@@ -1293,7 +1369,7 @@ def _kernel_ln_adapter_res_gated(x_ref, gate_ref, lns_ref, lnb_ref,
     x0 = _sanitize_rows(x_ref[0], l_actual)
     xn = _kernel_layernorm(x0, lns_ref, lnb_ref, x_ref.dtype)
     y = _attention_body(xn, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
-                        heads, l_actual, scale)
+                        heads, l_actual, scale, stacked=False)
     y = _adapter_epilogue(y, w1_ref, b1_ref, w2_ref, b2_ref, skip,
                           x_ref.dtype)
     gate = gate_ref[pl.program_id(0), 0].astype(jnp.float32)

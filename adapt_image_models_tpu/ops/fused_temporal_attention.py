@@ -77,34 +77,83 @@ def _core_group(t: int) -> int:
 
 
 def _masked_full_core(q, k, v, t: int, gw: int, heads: int, scale: float,
-                      dtype):
+                      dtype, stacked: bool = True):
     """One group's attention: q/k/v (t*gw, D), row = frame*gw + token;
-    token attends its own slot across frames. Returns (t*gw, D) in dtype."""
+    token attends its own slot across frames. Returns (t*gw, D) in dtype.
+
+    When ``stacked`` (eval kernels), the per-head softmax runs STACKED
+    (all heads' (grows, grows) score matrices concatenated into one fp32
+    array) so mask/max/exp/sum execute as few large VPU ops instead of
+    ``heads`` small serial chains; measured v5e batch-512 full model:
+    +3.7 clips/s over the per-head chains (see docs/benchmark.md r3).
+    Train kernels pass ``stacked=False``: their cells carry adapter/gate
+    transients and the stacked score block slows the step (see
+    fused_qkv_attention._attention_body). The 1/sqrt(hd) scale folds into
+    q when it is a power of two (hd=64 for all CLIP widths — exact in
+    bf16)."""
+    from adapt_image_models_tpu.ops.fused_qkv_attention import _is_pow2
+
     grows, d = q.shape
     hd = d // heads
-    ri = jax.lax.broadcasted_iota(jnp.int32, (grows, grows), 0)
-    ci = jax.lax.broadcasted_iota(jnp.int32, (grows, grows), 1)
-    maskadd = jnp.where((ri % gw) == (ci % gw), jnp.float32(0.0),
-                        jnp.float32(MASK_VALUE))
-    outs = []
+    if not stacked:
+        # train cells: EXACT original per-head chain (scale+mask fused into
+        # one multiply-add, no prescaled q copy) — the restructure slows
+        # the VMEM-pressure-bound whole-step train kernels (see
+        # fused_qkv_attention._attention_body).
+        ri = jax.lax.broadcasted_iota(jnp.int32, (grows, grows), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (grows, grows), 1)
+        maskadd = jnp.where((ri % gw) == (ci % gw), jnp.float32(0.0),
+                            jnp.float32(MASK_VALUE))
+        outs = []
+        for h in range(heads):
+            qh = q[:, h * hd:(h + 1) * hd]
+            kh = k[:, h * hd:(h + 1) * hd]
+            vh = v[:, h * hd:(h + 1) * hd]
+            s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s * scale + maskadd
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s - m)
+            denom = jnp.sum(p, axis=1, keepdims=True)
+            oh = jax.lax.dot(p.astype(vh.dtype), vh,
+                             preferred_element_type=jnp.float32) / denom
+            outs.append(oh.astype(dtype))
+        return jnp.concatenate(outs, axis=1)
+    prescale = _is_pow2(scale)
+    if prescale:
+        q = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    ss = []
     for h in range(heads):
         qh = q[:, h * hd:(h + 1) * hd]
         kh = k[:, h * hd:(h + 1) * hd]
-        vh = v[:, h * hd:(h + 1) * hd]
         s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        s = s * scale + maskadd
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        denom = jnp.sum(p, axis=1, keepdims=True)
-        oh = jax.lax.dot(p.astype(vh.dtype), vh,
-                         preferred_element_type=jnp.float32) / denom
+        ss.append(s)
+    S = ss[0] if heads == 1 else jnp.concatenate(ss, axis=0)
+    if not prescale:
+        S = S * scale
+    # stacked-row mask: within-group row rr = r % grows, and since gw
+    # divides grows (grows = t*gw), rr % gw == r % gw — build directly
+    ri = jax.lax.broadcasted_iota(jnp.int32, S.shape, 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, S.shape, 1)
+    S = jnp.where((ri % gw) == (ci % gw), S, S + jnp.float32(MASK_VALUE))
+    m = jnp.max(S, axis=1, keepdims=True)
+    p = jnp.exp(S - m)
+    denom = jnp.sum(p, axis=1, keepdims=True)
+    pb = p.astype(v.dtype)
+    outs = []
+    for h in range(heads):
+        vh = v[:, h * hd:(h + 1) * hd]
+        oh = jax.lax.dot(pb[h * grows:(h + 1) * grows], vh,
+                         preferred_element_type=jnp.float32) \
+            / denom[h * grows:(h + 1) * grows]
         outs.append(oh.astype(dtype))
     return jnp.concatenate(outs, axis=1)
 
 
 def _temporal_body_full(x, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
-                        t: int, heads: int, scale: float):
+                        t: int, heads: int, scale: float,
+                        stacked: bool = True):
     """Full-core variant: masked (rows x rows) attention per token GROUP —
     row r = frame*group + token attends where the token slot matches. The
     projections run on the whole block (big MXU matmuls); the cores run on
@@ -121,7 +170,8 @@ def _temporal_body_full(x, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
          + b[2 * d:].astype(jnp.float32)).astype(x.dtype)
     group = _core_group(t)
     if group >= tile:
-        out = _masked_full_core(q, k, v, t, tile, heads, scale, x.dtype)
+        out = _masked_full_core(q, k, v, t, tile, heads, scale, x.dtype,
+                                stacked)
     else:
         q3 = q.reshape(t, tile, d)
         k3 = k.reshape(t, tile, d)
@@ -134,7 +184,7 @@ def _temporal_body_full(x, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
                 q3[:, g0:ge, :].reshape(t * gw, d),
                 k3[:, g0:ge, :].reshape(t * gw, d),
                 v3[:, g0:ge, :].reshape(t * gw, d),
-                t, gw, heads, scale, x.dtype)
+                t, gw, heads, scale, x.dtype, stacked)
             o_groups.append(og.reshape(t, gw, d))
         out = jnp.concatenate(o_groups, axis=1).reshape(rows, d)
     y = jnp.dot(out, wout_ref[...], preferred_element_type=jnp.float32)
@@ -142,13 +192,13 @@ def _temporal_body_full(x, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
 
 
 def _temporal_body(x, wqkv_ref, bqkv_ref, wout_ref, bout_ref, seg_ref,
-                   t: int, heads: int, scale: float):
+                   t: int, heads: int, scale: float, stacked: bool = True):
     """(T*tile, D) post-LN tokens -> temporal-attention output, fp32."""
     d = x.shape[-1]
     tile = x.shape[0] // t
     if _use_full_core(t):
         return _temporal_body_full(x, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
-                                   t, heads, scale)
+                                   t, heads, scale, stacked)
 
     from adapt_image_models_tpu.ops.fused_qkv_attention import _project_qkv
     qkv = _project_qkv(x, wqkv_ref, bqkv_ref)
@@ -258,7 +308,7 @@ def _kernel_with_adapter(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
 
 
 def _auto_tile(d: int, t: int, requested: Optional[int],
-               n: Optional[int] = None) -> int:
+               n: Optional[int] = None, wide: bool = False) -> int:
     """Token-tile size keeping the per-cell VMEM (x + qkv + weights) under
     the 16MB scoped limit: ~ (t*tile*d*8B activations + 8*d*d*2B weights).
 
@@ -269,9 +319,21 @@ def _auto_tile(d: int, t: int, requested: Optional[int],
     if requested is not None:
         return requested
     if _use_full_core(t):
-        # full core: ~128 rows per block maximizes MXU occupancy while the
-        # (T*tile)^2 mask waste stays bounded (measured best at tile=16, T=8)
-        tile = max(8, _round_up(128 // t, 8))
+        if wide and d <= 768:
+            # EVAL-path tile: one kernel invocation covers as many tokens
+            # as the verified VMEM point allows (t*tile <= 832 rows — the
+            # (8, 104, 768) ViT-B cell measured on-chip). Fewer grid cells
+            # amortize per-cell pipeline overhead: model-level sweep at
+            # batch 512 gave tile 104 -> 345.0 clips/s vs the 128-row
+            # default's 341 (tile 32: 337.9, tile 64: 326.4 — those cover
+            # more padded rows). d > 768 keeps the narrow default until a
+            # wide cell is VMEM-verified on-chip at that width.
+            tile = max(8, (832 // t) // 8 * 8)
+        else:
+            # backward/train cells hold more transients: ~128 rows per
+            # block maximizes MXU occupancy while the (T*tile)^2 mask
+            # waste stays bounded
+            tile = max(8, _round_up(128 // t, 8))
     else:
         tile = 128
         # segment-core cells also hold per-frame logits/prob transients and
@@ -337,7 +399,7 @@ def fused_temporal_attention(x: jax.Array, w_qkv: jax.Array, b_qkv: jax.Array,
     """x: (B*T, N, D) post-LN tokens -> (B*T, N, D) temporal-attention
     branch output (qkv -> frame-axis attention per token -> out proj)."""
     bt, n, d = x.shape
-    tile = _auto_tile(d, num_frames, tile, n)
+    tile = _auto_tile(d, num_frames, tile, n, wide=True)
     t = num_frames
     b = bt // t
     hd = d // num_heads
@@ -355,7 +417,7 @@ def fused_ln_temporal_attention(x, ln_scale, ln_bias, w_qkv, b_qkv,
                                 tile: Optional[int] = None) -> jax.Array:
     """Raw residual stream in; the fp32 LN runs inside the kernel."""
     bt, n, d = x.shape
-    tile = _auto_tile(d, num_frames, tile, n)
+    tile = _auto_tile(d, num_frames, tile, n, wide=True)
     t = num_frames
     b = bt // t
     scale = 1.0 / ((d // num_heads) ** 0.5)
@@ -377,7 +439,7 @@ def fused_temporal_attention_adapter(x, w_qkv, b_qkv, w_out, b_out,
                                      tile: Optional[int] = None) -> jax.Array:
     """Temporal branch + fused T_Adapter epilogue."""
     bt, n, d = x.shape
-    tile = _auto_tile(d, num_frames, tile, n)
+    tile = _auto_tile(d, num_frames, tile, n, wide=True)
     t = num_frames
     b = bt // t
     hd = d // num_heads
@@ -543,7 +605,7 @@ def fused_ln_temporal_adapter_residual(x, ln_scale, ln_bias, w_qkv, b_qkv,
     """Raw residual stream -> ``x + T_Adapter(attn_T(LN(x)))`` in one
     kernel (the whole temporal-adaptation step of an AIM block, eval)."""
     bt, n, d = x.shape
-    tile = _auto_tile(d, num_frames, tile, n)
+    tile = _auto_tile(d, num_frames, tile, n, wide=True)
     t = num_frames
     b = bt // t
     scale = 1.0 / ((d // num_heads) ** 0.5)
@@ -639,12 +701,13 @@ fused_temporal_step_block.defvjp(_fwd_step, _bwd_step)
 # it covers T <= 16; longer clips fall back to the XLA-remat backward.
 
 
-def _grouped_core_fwd_dispatch(q, k, v, t, tile, heads, scale, dt):
+def _grouped_core_fwd_dispatch(q, k, v, t, tile, heads, scale, dt,
+                               stacked: bool = True):
     """Grouped temporal-core forward over the whole (t*tile, D) block."""
     rows, d = q.shape
     group = _core_group(t)
     if group >= tile:
-        return _masked_full_core(q, k, v, t, tile, heads, scale, dt)
+        return _masked_full_core(q, k, v, t, tile, heads, scale, dt, stacked)
     q3 = q.reshape(t, tile, d)
     k3 = k.reshape(t, tile, d)
     v3 = v.reshape(t, tile, d)
@@ -655,7 +718,8 @@ def _grouped_core_fwd_dispatch(q, k, v, t, tile, heads, scale, dt):
         og = _masked_full_core(
             q3[:, g0:ge, :].reshape(t * gw, d),
             k3[:, g0:ge, :].reshape(t * gw, d),
-            v3[:, g0:ge, :].reshape(t * gw, d), t, gw, heads, scale, dt)
+            v3[:, g0:ge, :].reshape(t * gw, d), t, gw, heads, scale, dt,
+            stacked)
         o_gs.append(og.reshape(t, gw, d))
     return jnp.concatenate(o_gs, axis=1).reshape(rows, d)
 
@@ -1152,6 +1216,74 @@ def _bwd_ln_pallas_segment(num_frames, num_heads, res, g):
             cast(dbout, b_out))
 
 
+def _kernel_ln_bwd_dx_segment(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
+                              wout_ref, seg_ref, g_ref, dx_ref, *, t: int,
+                              heads: int, scale: float, n: int):
+    tt, tile, d = x_ref.shape
+    x0 = _sanitize_block(x_ref[...].reshape(t * tile, d), tile, n or tile)
+    g = _sanitize_block(g_ref[...].reshape(t * tile, d), tile, n or tile)
+    dx, _, _, _, _ = _bwd_temporal_body_segment(
+        x0, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wout_ref, seg_ref, g,
+        t, heads, scale)
+    dx_ref[...] = dx.astype(dx_ref.dtype).reshape(t, tile, d)
+
+
+def fused_ln_temporal_attention_bwd_dx_segment(x, ln_scale, ln_bias, w_qkv,
+                                               b_qkv, w_out, g,
+                                               num_frames: int,
+                                               num_heads: int,
+                                               tile: Optional[int] = None):
+    """dX-only segment-core backward (T > 16, frozen attention weights).
+
+    The 5-output variant's dqkv/dy/y/o blocks exist solely for weight
+    cotangents that the AIM freeze regime always DCEs — but a kernel output
+    cannot be DCE'd, so at T=32 their double-buffered blocks pushed the
+    cell to a measured 19.12M > 16M scoped VMEM on the real chip (the
+    flagship 32-frame K400 recipe could not train). Emitting dx alone
+    drops ~4.7M and Mosaic dead-code-eliminates the o/y computations."""
+    bt, n, d = x.shape
+    t = num_frames
+    tile = _auto_tile(d, t, tile, n)
+    while tile > 8 and (18 * t * tile * d * 2 + 4 * d * d * 2) > 14 * 2 ** 20:
+        tile = max(8, tile // 2)
+    b = bt // t
+    scale = 1.0 / ((d // num_heads) ** 0.5)
+    seg = _segment_matrix(d, num_heads)
+    n_cells = pl.cdiv(n, tile)
+    kernel = functools.partial(_kernel_ln_bwd_dx_segment, t=t,
+                               heads=num_heads, scale=scale, n=n)
+    blk = lambda w: pl.BlockSpec((t, tile, w), lambda i, j: (i, j, 0),
+                                 memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bt, n, d), x.dtype),
+        grid=(b, n_cells),
+        in_specs=[
+            blk(d), vec, vec,
+            pl.BlockSpec((d, 3 * d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * d,), lambda i, j: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, num_heads), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            blk(d),
+        ],
+        out_specs=blk(d),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bt * n_cells * tile * d * 8 * d
+                  + 2 * b * n_cells * tile * t * t * d * 6,
+            bytes_accessed=2 * (3 * bt * n * d * 2 + 4 * d * d),
+            transcendentals=b * n * num_heads * t * t,
+        ),
+    )(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, seg, g)
+
+
 # ---------------------------------------------------------------------------
 # FROZEN-backward variant (round 3; mirror of
 # fused_qkv_attention.fused_ln_attention_block_frozen): dX only — the
@@ -1240,8 +1372,10 @@ def _bwd_ln_frozen(num_frames, num_heads, res, g):
         dx = fused_ln_temporal_attention_bwd_dx(
             x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, g.astype(x.dtype),
             num_frames, num_heads)
-    else:  # 32-frame clips: exact dx via the segment-core backward
-        dx = _bwd_ln_pallas_segment(num_frames, num_heads, res, g)[0]
+    else:  # 32-frame clips: exact dx via the dX-only segment-core backward
+        dx = fused_ln_temporal_attention_bwd_dx_segment(
+            x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, g.astype(x.dtype),
+            num_frames, num_heads)
     z = jnp.zeros_like
     return (dx, z(ln_scale), z(ln_bias), z(w_qkv), z(b_qkv), z(w_out),
             z(b_out))
@@ -1294,7 +1428,8 @@ def _kernel_temporal_step_bwd_dx(x_ref, gate_ref, lns_ref, lnb_ref,
     # du depends on u = o Wout + bout, and the core backward needs
     # do = du Wout^T — so the cores run twice: forward-only for o, then
     # the real backward with the adapter-derived cotangent.
-    o_fwd = _grouped_core_fwd_dispatch(q, k, v, t, tile, heads, scale, dt)
+    o_fwd = _grouped_core_fwd_dispatch(q, k, v, t, tile, heads, scale, dt,
+                                       stacked=False)
     u = (jnp.dot(o_fwd, wout_ref[...], preferred_element_type=jnp.float32)
          + bout_ref[...].astype(jnp.float32))
 
@@ -1407,17 +1542,26 @@ def _kernel_ln_adapter_res_gated(x_ref, gate_ref, lns_ref, lnb_ref,
     x0 = _sanitize_block(x_ref[...].reshape(t * tile, d), tile, n or tile)
     xn = _kernel_layernorm(x0, lns_ref, lnb_ref, x_ref.dtype)
     y = _temporal_body(xn, wqkv_ref, bqkv_ref, wout_ref, bout_ref, seg_ref,
-                       t, heads, scale)
+                       t, heads, scale, stacked=False)
     y = _adapter_epilogue(y, w1_ref, b1_ref, w2_ref, b2_ref, adapter_skip,
                           x_ref.dtype)
     i = pl.program_id(0)
-    x3 = x0.reshape(t, tile, d)
     y3 = y.reshape(t, tile, d)
-    # per-frame stores: a stacked (t, tile, d) fp32 transient blows the
-    # 16M VMEM scope at T=32 (measured 29.2M)
-    for f in range(t):
-        o_ref[f] = (x3[f].astype(jnp.float32)
-                    + y3[f] * gate_ref[i, f]).astype(o_ref.dtype)
+    if t * tile * d * 4 <= 2 * 2 ** 20:
+        # single stacked store (the T<=16 cells): small fp32 transient;
+        # keeps the measured-fast short-clip cell byte-identical to its
+        # pre-T=32 form (the per-frame loop exists only for T=32 VMEM)
+        x3 = x0.astype(jnp.float32).reshape(t, tile, d)
+        out = jnp.stack([x3[f] + y3[f] * gate_ref[i, f] for f in range(t)],
+                        axis=0)
+        o_ref[...] = out.astype(o_ref.dtype)
+    else:
+        # per-frame stores: a stacked (t, tile, d) fp32 transient blows the
+        # 16M VMEM scope at T=32 (measured 29.2M)
+        x3 = x0.reshape(t, tile, d)
+        for f in range(t):
+            o_ref[f] = (x3[f].astype(jnp.float32)
+                        + y3[f] * gate_ref[i, f]).astype(o_ref.dtype)
 
 
 def fused_ln_temporal_adapter_residual_gated(x, gate, ln_scale, ln_bias,
@@ -1526,10 +1670,9 @@ def _bwd_tstep(num_frames, num_heads, skip, res, g):
         du = dpre_ @ w1.astype(jnp.float32).T
         if skip:
             du = du + db_
-        dx = _bwd_ln_pallas_segment(
-            num_frames, num_heads,
-            (x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out),
-            du.astype(x.dtype))[0] + g.astype(x.dtype)
+        dx = fused_ln_temporal_attention_bwd_dx_segment(
+            x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, du.astype(x.dtype),
+            num_frames, num_heads) + g.astype(x.dtype)
         dw1 = jnp.einsum("bld,blh->dh", u32, dpre_).astype(w1.dtype)
         db1 = jnp.sum(dpre_, axis=(0, 1)).astype(b1.dtype)
         dw2 = jnp.einsum("blh,bld->hd", a_, db_).astype(w2.dtype)

@@ -247,9 +247,12 @@ def test_ssn_localizer_end_to_end_tiny(tmp_path):
         loss_cls=dict(type="SSNLoss"),
         train_cfg=TRAIN_CFG,
     ))
+    # 16x16 inputs: the SSN machinery under test (STPP, OHEM layout, reg
+    # loss) is resolution-independent; the ResNet fwd+bwd execution
+    # dominated this test's wall time at 32x32 (~11 s)
     segs, npv = 9, 8
     imgs = jnp.asarray(np.random.default_rng(0).normal(
-        size=(npv * segs, 32, 32, 3)), jnp.float32)
+        size=(npv * segs, 16, 16, 3)), jnp.float32)
     sf = jnp.ones((npv, 2), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), imgs, sf)
     act, comp, reg = model.apply(variables, imgs, sf)

@@ -200,7 +200,10 @@ def test_dp_train_step_with_fused_kernels_shard_map_interpret():
     kernel-model train step runs inside ``shard_map`` over the data axis —
     ``make_train_step(shard_mesh=...)``. Covers VERDICT r2 weak #6."""
     from jax.experimental.pallas import tpu as pltpu
-    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    # data=2 keeps the coverage (shard_map partitioning of a kernel-path
+    # step) at half the interpret-mode cost — each device's cell chain runs
+    # as pure Python
+    mesh = make_mesh(data=2, model=1, devices=jax.devices()[:2])
     model = build_model(dict(
         type="Recognizer3D",
         backbone=dict(type="AIM", input_resolution=RES, patch_size=PATCH,
@@ -225,9 +228,9 @@ def test_dp_train_step_with_fused_kernels_shard_map_interpret():
         train_step = jax.jit(make_train_step(model, tx, prepare_fn=prepare,
                                              shard_mesh=mesh))
         rng = np.random.default_rng(0)
-        imgs = rng.integers(0, 255, (4, 1, FRAMES, RES, RES, 3),
+        imgs = rng.integers(0, 255, (2, 1, FRAMES, RES, RES, 3),
                             dtype=np.uint8)
-        labels = np.arange(4) % NUM_CLASSES
+        labels = np.arange(2) % NUM_CLASSES
         with mesh:
             batch = {
                 "imgs": jax.device_put(imgs, NamedSharding(
