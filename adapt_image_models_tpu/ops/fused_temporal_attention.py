@@ -338,8 +338,11 @@ def _auto_tile(d: int, t: int, requested: Optional[int],
         tile = 128
         # segment-core cells also hold per-frame logits/prob transients and
         # the fp32 epilogue; the old 14M/`tile > 32` bound left T=32 cells
-        # at a measured 29.2M -> compile-time VMEM OOM (r3 smoke)
-        while tile > 8 and (t * tile * d * 8 + 8 * d * d * 2) > 10 * 2 ** 20:
+        # at a measured 29.2M -> compile-time VMEM OOM. 13M calibrated
+        # on-chip at T=32/d=768: estimate 12.5M (tile 16) fits and runs
+        # +39% over tile 8 (35.4 -> 49.3 clips/s), estimate 15.7M (tile 32)
+        # is a real 29.2M OOM
+        while tile > 8 and (t * tile * d * 8 + 8 * d * d * 2) > 13 * 2 ** 20:
             tile //= 2
     if n is not None and n > 0:
         cells = -(-n // tile)

@@ -29,11 +29,14 @@ def test_temporal_interlace():
 
 
 def test_resnet_tin():
-    model = ResNetTIN(depth=50, num_segments=4)
+    # depth 18: the TIN-specific machinery (TemporalInterlace + per-block
+    # wrapping) is depth-independent and Bottleneck is covered by the plain
+    # ResNet tests; depth 50 compiled ~8 s longer on the 1-core host
+    model = ResNetTIN(depth=18, num_segments=4)
     x = jnp.ones((4, 3, 32, 32))
     variables = model.init(jax.random.PRNGKey(0), x)
     out = model.apply(variables, x)
-    assert out.shape == (4, 2048)
+    assert out.shape == (4, 512)
 
 
 def test_relation_subsets():
