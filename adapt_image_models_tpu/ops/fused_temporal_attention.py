@@ -49,6 +49,14 @@ MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 # (interpret mode unrolls the grid into the jaxpr — T=32 traces for ~40 s).
 LONG_CLIP_T = 16
 
+# Separate gate for the whole-step TRAIN backward cell
+# (fused_temporal_step_bwd_dx): that cell carries adapter/gate transients on
+# top of the core backward and measured 17.7M VMEM at T=32/tile=8 — beyond
+# it the backward takes the two-kernel composition regardless of which CORE
+# the forward kernels use. Independent of LONG_CLIP_T so the core choice
+# and the cell-fits question can be measured/flipped separately.
+STEP_BWD_MAX_T = 16
+
 
 def _use_full_core(t: int) -> bool:
     """Masked-full core beats the segment-sum core for short frame axes
@@ -1246,8 +1254,10 @@ def fused_ln_temporal_attention_bwd_dx_segment(x, ln_scale, ln_bias, w_qkv,
     drops ~4.7M and Mosaic dead-code-eliminates the o/y computations."""
     bt, n, d = x.shape
     t = num_frames
+    requested = tile is not None
     tile = _auto_tile(d, t, tile, n)
-    while tile > 8 and (18 * t * tile * d * 2 + 4 * d * d * 2) > 14 * 2 ** 20:
+    while (not requested and tile > 8
+           and (18 * t * tile * d * 2 + 4 * d * d * 2) > 14 * 2 ** 20):
         tile = max(8, tile // 2)
     b = bt // t
     scale = 1.0 / ((d // num_heads) ** 0.5)
@@ -1651,11 +1661,12 @@ def _fwd_tstep(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out, w1, b1,
 def _bwd_tstep(num_frames, num_heads, skip, res, g):
     (x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
      w1, b1, w2, b2, gate) = res
-    if num_frames > LONG_CLIP_T:
+    if num_frames > STEP_BWD_MAX_T:
         # long clips (T=32): the whole-step backward cell exceeds VMEM even
         # at the minimum token tile (measured 17.7M at T=32/tile=8) — use
         # the two-kernel composition: recompute u with the fwd kernel,
-        # adapter backward in XLA (exact), dX via the segment-core backward
+        # adapter backward in XLA (exact), dX via the dX-only backward
+        # kernel (core dispatched like the forward)
         u = fused_ln_temporal_attention(x, ln_scale, ln_bias, w_qkv, b_qkv,
                                         w_out, b_out, num_frames, num_heads)
         g32_ = g.astype(jnp.float32)
@@ -1673,7 +1684,10 @@ def _bwd_tstep(num_frames, num_heads, skip, res, g):
         du = dpre_ @ w1.astype(jnp.float32).T
         if skip:
             du = du + db_
-        dx = fused_ln_temporal_attention_bwd_dx_segment(
+        dx_kernel = (fused_ln_temporal_attention_bwd_dx
+                     if _use_full_core(num_frames)
+                     else fused_ln_temporal_attention_bwd_dx_segment)
+        dx = dx_kernel(
             x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, du.astype(x.dtype),
             num_frames, num_heads) + g.astype(x.dtype)
         dw1 = jnp.einsum("bld,blh->dh", u32, dpre_).astype(w1.dtype)

@@ -237,6 +237,17 @@ def test_fused_temporal_train_step_long_clip_fallback(weights, monkeypatch):
     the grid into the traced jaxpr, so true T=18 traces for ~45 s."""
     from adapt_image_models_tpu.ops import fused_temporal_attention as fta
     monkeypatch.setattr(fta, "LONG_CLIP_T", 4)
+    monkeypatch.setattr(fta, "STEP_BWD_MAX_T", 4)
+    _long_clip_fallback_check(weights, T32=6)
+
+
+def test_fused_temporal_train_step_composition_full_core(weights,
+                                                         monkeypatch):
+    """Composition backward with the FULL core (whole-step cell gated out
+    but LONG_CLIP_T still above T): the dX dispatch must pick the
+    full-core dX-only kernel and still match the oracle."""
+    from adapt_image_models_tpu.ops import fused_temporal_attention as fta
+    monkeypatch.setattr(fta, "STEP_BWD_MAX_T", 4)
     _long_clip_fallback_check(weights, T32=6)
 
 
