@@ -1546,8 +1546,9 @@ def fused_temporal_step_bwd_dx(x, gate, ln_scale, ln_bias, w_qkv, b_qkv,
 def _kernel_ln_adapter_res_gated(x_ref, gate_ref, lns_ref, lnb_ref,
                                  wqkv_ref, bqkv_ref, wout_ref, bout_ref,
                                  seg_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                                 o_ref, *, t: int, heads: int, scale: float,
-                                 adapter_skip: bool, n: int = 0):
+                                 o_ref, u_ref=None, *, t: int, heads: int,
+                                 scale: float, adapter_skip: bool,
+                                 n: int = 0):
     from adapt_image_models_tpu.ops.fused_qkv_attention import (
         _kernel_layernorm, _adapter_epilogue,
     )
@@ -1556,6 +1557,11 @@ def _kernel_ln_adapter_res_gated(x_ref, gate_ref, lns_ref, lnb_ref,
     xn = _kernel_layernorm(x0, lns_ref, lnb_ref, x_ref.dtype)
     y = _temporal_body(xn, wqkv_ref, bqkv_ref, wout_ref, bout_ref, seg_ref,
                        t, heads, scale, stacked=False)
+    if u_ref is not None:
+        # emit the pre-adapter attention output u: the long-clip (T >
+        # STEP_BWD_MAX_T) composition backward consumes it from the VJP
+        # residuals instead of re-running a full forward kernel per layer
+        u_ref[...] = y.astype(u_ref.dtype).reshape(t, tile, d)
     y = _adapter_epilogue(y, w1_ref, b1_ref, w2_ref, b2_ref, adapter_skip,
                           x_ref.dtype)
     i = pl.program_id(0)
@@ -1583,13 +1589,16 @@ def fused_ln_temporal_adapter_residual_gated(x, gate, ln_scale, ln_bias,
                                              num_frames: int,
                                              num_heads: int,
                                              adapter_skip: bool,
-                                             tile: Optional[int] = None):
+                                             tile: Optional[int] = None,
+                                             emit_u: bool = False):
     bt, n, d = x.shape
     tile = _auto_tile(d, num_frames, tile, n)
     t = num_frames
     # the gated step kernel carries extra fp32 transients; shrink the tile
-    # beyond the eval budget (T=32 otherwise exceeds the VMEM scope)
-    while tile > 8 and (8 * t * tile * d * 2 + 4 * d * d * 2) > 12 * 2 ** 20:
+    # beyond the eval budget (T=32 otherwise exceeds the VMEM scope); the
+    # emit_u variant adds one more double-buffered (t, tile, d) output row
+    while tile > 8 and ((9 if emit_u else 8) * t * tile * d * 2
+                        + 4 * d * d * 2) > 12 * 2 ** 20:
         tile = max(8, tile // 2)
     b = bt // t
     scale = 1.0 / ((d // num_heads) ** 0.5)
@@ -1602,9 +1611,10 @@ def fused_ln_temporal_adapter_residual_gated(x, gate, ln_scale, ln_bias,
     blk = pl.BlockSpec((t, tile, d), lambda i, j: (i, j, 0),
                        memory_space=pltpu.VMEM)
     vec = pl.BlockSpec((d,), lambda i, j: (0,), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((bt, n, d), x.dtype)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((bt, n, d), x.dtype),
+        out_shape=(out_shape, out_shape) if emit_u else out_shape,
         grid=(b, n_cells),
         in_specs=[blk,
                   pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1625,7 +1635,7 @@ def fused_ln_temporal_adapter_residual_gated(x, gate, ln_scale, ln_bias,
                   pl.BlockSpec((dh, d), lambda i, j: (0, 0),
                                memory_space=pltpu.VMEM),
                   vec],
-        out_specs=blk,
+        out_specs=(blk, blk) if emit_u else blk,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
@@ -1651,24 +1661,36 @@ def fused_temporal_train_step(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
 
 def _fwd_tstep(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out, w1, b1,
                w2, b2, gate, num_frames, num_heads, skip):
+    if num_frames > STEP_BWD_MAX_T:
+        # long clips: emit the pre-adapter u alongside the output and stash
+        # it — the composition backward then skips a full per-layer forward
+        # kernel (u recompute), cutting the temporal kernel passes per
+        # train step from 3 to 2. gate=None rides as an all-ones gate
+        # (exact: the gated store multiplies by 1.0).
+        gate_eff = (gate if gate is not None
+                    else jnp.ones((x.shape[0],), jnp.float32))
+        y, u = fused_ln_temporal_adapter_residual_gated(
+            x, gate_eff, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
+            w1, b1, w2, b2, num_frames, num_heads, skip, emit_u=True)
+        return y, (x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
+                   w1, b1, w2, b2, gate, u)
     y = fused_temporal_train_step(x, ln_scale, ln_bias, w_qkv, b_qkv,
                                   w_out, b_out, w1, b1, w2, b2, gate,
                                   num_frames, num_heads, skip)
     return y, (x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
-               w1, b1, w2, b2, gate)
+               w1, b1, w2, b2, gate, None)
 
 
 def _bwd_tstep(num_frames, num_heads, skip, res, g):
     (x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
-     w1, b1, w2, b2, gate) = res
+     w1, b1, w2, b2, gate, u) = res
     if num_frames > STEP_BWD_MAX_T:
         # long clips (T=32): the whole-step backward cell exceeds VMEM even
         # at the minimum token tile (measured 17.7M at T=32/tile=8) — use
-        # the two-kernel composition: recompute u with the fwd kernel,
-        # adapter backward in XLA (exact), dX via the dX-only backward
-        # kernel (core dispatched like the forward)
-        u = fused_ln_temporal_attention(x, ln_scale, ln_bias, w_qkv, b_qkv,
-                                        w_out, b_out, num_frames, num_heads)
+        # the two-kernel composition: u comes from the forward's emit_u
+        # stash (no recompute pass), adapter backward in XLA (exact), dX
+        # via the dX-only backward kernel (core dispatched like the
+        # forward)
         g32_ = g.astype(jnp.float32)
         gb = (gate.reshape(-1, 1, 1).astype(jnp.float32)
               if gate is not None else None)
