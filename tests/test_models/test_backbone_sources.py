@@ -62,7 +62,8 @@ def test_prefixed_backbone_forward():
         test_cfg=dict(average_clips="prob"),
     ))
     x = jnp.zeros((1, 2, 3, 64, 64))
-    params = model.init(jax.random.PRNGKey(0), x)
+    from tests.util import zeros_init
+    params = zeros_init(model, x)
     out = model.apply(params, x, method=model.forward_test)
     assert out.shape == (1, 5)
 

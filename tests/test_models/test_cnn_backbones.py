@@ -133,7 +133,8 @@ def test_csn():
     from adapt_image_models_tpu.models.backbones.resnet3d import ResNet3dCSN
     model = ResNet3dCSN(stage_blocks=(1, 1, 1, 1))
     x = jnp.ones((1, 3, 4, 32, 32))
-    variables = model.init(jax.random.PRNGKey(0), x)
+    from tests.util import zeros_init
+    variables = zeros_init(model, x)
     out = model.apply(variables, x)
     assert out.shape[-1] == 2048
     # depthwise conv2: kernel last-but-one dim is 1 (feature groups)
@@ -145,7 +146,8 @@ def test_resnet_audio():
     from adapt_image_models_tpu.models.backbones.resnet3d import ResNetAudio
     model = ResNetAudio(depth=50)
     x = jnp.ones((2, 1, 96, 80))
-    variables = model.init(jax.random.PRNGKey(0), x)
+    from tests.util import zeros_init
+    variables = zeros_init(model, x)
     out = model.apply(variables, x)
     assert out.shape == (2, 1024)  # 32 * 2**3 * 4
 

@@ -40,12 +40,12 @@ def test_tam_module():
 
 
 def test_tanet():
+    from tests.util import zeros_init
     model = TANet(depth=50, num_segments=4)
     x = jnp.ones((4, 3, 32, 32))
-    # jit: eager apply pays per-primitive dispatch/lowering on this 1-core
-    # host (~100 ops -> tens of seconds); one jitted graph is a single
-    # persistent-cache hit
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    # shape-only test: zeros_init skips the init compile (depth-50 trace
+    # + lowering is the cost on this 1-core host, not execution)
+    variables = zeros_init(model, x)
     out = jax.jit(model.apply)(variables, x)
     assert out.shape == (4, 2048)
 
@@ -63,8 +63,9 @@ def test_conv2plus1d_param_budget():
 
 
 def test_resnet2plus1d():
+    from tests.util import zeros_init
     model = ResNet2Plus1d(stage_blocks=(1, 1, 1, 1))
     x = jnp.ones((1, 3, 4, 32, 32))
-    variables = model.init(jax.random.PRNGKey(0), x)
+    variables = zeros_init(model, x)
     out = model.apply(variables, x)
     assert out.shape[1] == 4 and out.shape[-1] == 512

@@ -15,7 +15,8 @@ from adapt_image_models_tpu.models import build_model
 def test_slowfast_forward():
     model = ResNet3dSlowFast(stage_blocks=(1, 1, 1, 1), alpha=4, beta_inv=8)
     x = jnp.ones((1, 3, 8, 32, 32))
-    variables = model.init(jax.random.PRNGKey(0), x)
+    from tests.util import zeros_init
+    variables = zeros_init(model, x)
     slow, fast = model.apply(variables, x)
     assert slow.shape[1] == 2  # T/alpha
     assert fast.shape[1] == 8
@@ -45,7 +46,8 @@ def test_slowfast_recognizer():
 def test_x3d_forward():
     model = X3D(stage_blocks=(1, 1, 1, 1), gamma_d=1.0)
     x = jnp.ones((1, 3, 4, 64, 64))
-    variables = model.init(jax.random.PRNGKey(0), x)
+    from tests.util import zeros_init
+    variables = zeros_init(model, x)
     out = model.apply(variables, x)
     assert out.ndim == 5 and out.shape[1] == 4  # no temporal downsample
     assert bool(jnp.isfinite(out).all())

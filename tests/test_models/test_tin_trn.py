@@ -34,7 +34,8 @@ def test_resnet_tin():
     # ResNet tests; depth 50 compiled ~8 s longer on the 1-core host
     model = ResNetTIN(depth=18, num_segments=4)
     x = jnp.ones((4, 3, 32, 32))
-    variables = model.init(jax.random.PRNGKey(0), x)
+    from tests.util import zeros_init
+    variables = zeros_init(model, x)
     out = model.apply(variables, x)
     assert out.shape == (4, 512)
 
