@@ -254,3 +254,40 @@ def test_fused_temporal_train_step_composition_full_core(weights,
 @pytest.mark.slow
 def test_fused_temporal_train_step_long_clip_fallback_true_threshold(weights):
     _long_clip_fallback_check(weights, T32=18)
+
+
+def test_fused_temporal_train_step_long_clip_no_gate(weights, monkeypatch):
+    """gate=None (drop_path 0) on the long-clip path: the emit_u forward
+    rides an all-ones gate and the backward must still match the oracle
+    (no dgate output)."""
+    from adapt_image_models_tpu.ops import fused_temporal_attention as fta
+    monkeypatch.setattr(fta, "LONG_CLIP_T", 4)
+    monkeypatch.setattr(fta, "STEP_BWD_MAX_T", 4)
+    T6 = 6
+    ks = jax.random.split(jax.random.PRNGKey(8), 4)
+    DH = 8
+    w1 = jax.random.normal(ks[0], (D, DH)) * 0.1
+    b1 = jax.random.normal(ks[1], (DH,)) * 0.1
+    w2 = jax.random.normal(ks[2], (DH, D)) * 0.1
+    b2 = jax.random.normal(ks[3], (D,)) * 0.1
+    x = jax.random.normal(jax.random.PRNGKey(15), (T6, 5, D))
+
+    def oracle(x, w1, b1, w2, b2):
+        y = fta._ref_ln_impl(x, *weights, T6, H)
+        pre = y @ w1 + b1
+        z = jax.nn.gelu(pre, approximate=True) @ w2 + b2
+        return jnp.sum(jnp.sin(x + z))
+
+    def kernel_loss(x, w1, b1, w2, b2):
+        out = fta.fused_temporal_train_step(x, *weights, w1, b1, w2, b2,
+                                            None, T6, H, False)
+        return jnp.sum(jnp.sin(out))
+
+    argnums = (0, 1, 2, 3, 4)
+    ref = jax.jit(jax.grad(oracle, argnums=argnums))(x, w1, b1, w2, b2)
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.jit(jax.grad(kernel_loss, argnums=argnums))(
+            x, w1, b1, w2, b2)
+    for name, r, k in zip(("dx", "dw1", "db1", "dw2", "db2"), ref, got):
+        np.testing.assert_allclose(np.asarray(k), np.asarray(r), atol=1e-2,
+                                   rtol=1e-2, err_msg=name)
