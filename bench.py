@@ -23,15 +23,49 @@ by dryrun_multichip / tests/test_runtime/test_multichip_dryrun.py).
 """
 
 import json
+import os
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
 
 A100_BASELINE_CLIPS_PER_S = 309.0
 
 
+def run_with_watchdog() -> int:
+    """Run the measurement in a timed child process, retrying on relay
+    outages. The axon relay sporadically hangs at backend init (observed
+    r3: >1 h blocked inside the first dispatch with no error) — an
+    in-process retry cannot recover from that, so the parent re-invokes
+    itself with AIM_BENCH_CHILD=1 under a hard timeout and retries."""
+    import subprocess
+
+    deadline = time.time() + int(os.environ.get("AIM_BENCH_DEADLINE_S",
+                                                40 * 60))
+    attempt = 0
+    while True:
+        attempt += 1
+        budget = max(60, min(15 * 60, int(deadline - time.time())))
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env={**os.environ, "AIM_BENCH_CHILD": "1"},
+                capture_output=True, text=True, timeout=budget)
+            out = proc.stdout.strip().splitlines()
+            if proc.returncode == 0 and out:
+                print(out[-1])
+                return 0
+            err = (proc.stderr or "")[-2000:]
+        except subprocess.TimeoutExpired:
+            err = f"attempt {attempt}: timed out after {budget}s (relay hang)"
+        print(f"bench attempt {attempt} failed: {err}", file=sys.stderr)
+        if time.time() + 120 > deadline:
+            return 1
+        time.sleep(60)
+
+
 def main():
+    import jax
+    import jax.numpy as jnp
+
     from adapt_image_models_tpu.models import build_model
 
     model = build_model(dict(
@@ -88,4 +122,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("AIM_BENCH_CHILD"):
+        main()
+    else:
+        sys.exit(run_with_watchdog())
