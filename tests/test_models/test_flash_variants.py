@@ -15,7 +15,8 @@ def test_aim_flash_forward():
     model = AIM_FLASH(input_resolution=32, patch_size=16, width=64, layers=2,
                       heads=4, num_frames=4, drop_path_rate=0.0)
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 4, 32, 32))
-    params = model.init(jax.random.PRNGKey(1), x)
+    from tests.util import zeros_init
+    params = zeros_init(model, x)
     out = model.apply(params, x)
     assert out.shape == (2, 4, 64)
     assert bool(jnp.isfinite(out).all())
@@ -36,7 +37,8 @@ def test_aim_flash_win(win_prompt):
                           drop_path_rate=0.0, window_size=(4, 2, 2),
                           not_shift=False, win_prompt=win_prompt)
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 3, 4, 32, 32))
-    params = model.init(jax.random.PRNGKey(1), x)
+    from tests.util import zeros_init
+    params = zeros_init(model, x)
     out = model.apply(params, x)
     assert out.shape == (1, 4, 64)
     assert bool(jnp.isfinite(out).all())
@@ -52,7 +54,8 @@ def test_clip_converter_fits_flash():
     model = AIM_FLASH(input_resolution=32, patch_size=16, width=64, layers=2,
                       heads=4, num_frames=4)
     x = jnp.zeros((1, 3, 4, 32, 32))
-    variables = model.init(jax.random.PRNGKey(0), x)
+    from tests.util import zeros_init
+    variables = zeros_init(model, x)
     merged = load_clip_into_params(variables["params"], clip_sd, layers=2,
                                    backbone_path=())
     out = model.apply({"params": merged}, x)

@@ -13,17 +13,19 @@ from adapt_image_models_tpu.models.common import TAM, Conv2plus1d
 
 
 def test_mobilenetv2():
+    from tests.util import zeros_init
     model = MobileNetV2()
     x = jnp.ones((2, 3, 64, 64))
-    variables = model.init(jax.random.PRNGKey(0), x)
+    variables = zeros_init(model, x)
     out = model.apply(variables, x)
     assert out.shape == (2, 1280)
 
 
 def test_mobilenetv2_tsm():
+    from tests.util import zeros_init
     model = MobileNetV2TSM(num_frames=4)
     x = jnp.ones((4, 3, 64, 64))  # B=1, T=4
-    variables = model.init(jax.random.PRNGKey(0), x)
+    variables = zeros_init(model, x)
     out = model.apply(variables, x)
     assert out.shape == (4, 1280)
     with pytest.raises(ValueError):

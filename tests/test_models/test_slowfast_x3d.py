@@ -37,7 +37,8 @@ def test_slowfast_recognizer():
     )
     model = build_model(cfg)
     x = jnp.ones((1, 3, 8, 32, 32))
-    variables = model.init(jax.random.PRNGKey(0), x)
+    from tests.util import zeros_init
+    variables = zeros_init(model, x)
     logits = model.apply(variables, x)
     assert logits.shape == (1, 5)
     assert bool(jnp.isfinite(logits).all())
