@@ -60,6 +60,36 @@ def _attention_body_variant(x, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
         col = jax.lax.broadcasted_iota(jnp.int32, (8, lp), 1)
         keymask = jnp.where(col < l_actual, jnp.float32(0.0),
                             jnp.float32(fqa.MASK_VALUE))[:1]
+    if mode == "softmax_t":
+        # TRANSPOSED scores: S_T (keys, queries) = K @ Q^T so the softmax
+        # max/sum reduce over SUBLANES (fast VPU direction) instead of
+        # lanes; AV contracts the sublane dim of P_T directly.
+        keymask_t = None
+        if l_actual < lp:
+            row = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 0)
+            keymask_t = jnp.where(row < l_actual, jnp.float32(0.0),
+                                  jnp.float32(fqa.MASK_VALUE))
+        outs = []
+        for h in range(heads):
+            q = q_all[:, h * hd:(h + 1) * hd]
+            k = qkv[:, d + h * hd:d + (h + 1) * hd]
+            v = qkv[:, 2 * d + h * hd:2 * d + (h + 1) * hd]
+            st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            if keymask_t is not None:
+                st = st + keymask_t
+            m = jnp.max(st, axis=0, keepdims=True)
+            p = jnp.exp(st - m)
+            denom = jnp.sum(p, axis=0, keepdims=True)
+            o_h = jax.lax.dot_general(p.astype(v.dtype), v,
+                                      (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32) \
+                / denom.reshape(-1, 1)
+            outs.append(o_h.astype(x.dtype))
+        out = jnp.concatenate(outs, axis=1)
+        y = jnp.dot(out, wout_ref[...], preferred_element_type=jnp.float32)
+        return y + bout_ref[...].astype(jnp.float32)
+
     chunk = max(1, min(heads, fqa._STACK_ROWS // lp))
     outs = []
     for h0 in range(0, heads, chunk):
@@ -77,6 +107,15 @@ def _attention_body_variant(x, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
         if mode == "nosoftmax":
             pb = (S * 0.001).astype(qkv.dtype)
             denom = None
+        elif mode == "softmax_fast":
+            # no max-subtraction (valid when logits are bounded; measurement
+            # mode) + the lane-direction sum via a ones-matmul on the MXU
+            # instead of a VPU cross-lane reduction
+            p = jnp.exp(S)
+            ones = jnp.ones((S.shape[1], 8), jnp.bfloat16)
+            denom = jnp.dot(p.astype(jnp.bfloat16), ones,
+                            preferred_element_type=jnp.float32)[:, :1]
+            pb = p.astype(qkv.dtype)
         else:
             m = jnp.max(S, axis=1, keepdims=True)
             p = jnp.exp(S - m)
