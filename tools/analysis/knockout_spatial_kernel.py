@@ -133,6 +133,23 @@ def _attention_body_variant(x, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
     return y + bout_ref[...].astype(jnp.float32)
 
 
+def _fast_layernorm(x, scale_ref, bias_ref, dtype, eps: float = 1e-5):
+    """LN with the cross-lane moment reductions done as ones-matmuls on the
+    MXU (lane-direction VPU reductions are the slow direction); same math,
+    different reduction order."""
+    d = x.shape[-1]
+    x32 = x.astype(jnp.float32)
+    ones = jnp.full((d, 8), 1.0 / d, jnp.float32)
+    mean = jnp.dot(x32, ones, preferred_element_type=jnp.float32)[:, :1]
+    meansq = jnp.dot(jnp.square(x32), ones,
+                     preferred_element_type=jnp.float32)[:, :1]
+    var = meansq - jnp.square(mean)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = (y * scale_ref[...].astype(jnp.float32)
+         + bias_ref[...].astype(jnp.float32))
+    return y.astype(dtype)
+
+
 def _kernel_variant(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wout_ref,
                     bout_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
                     heads, l_actual, scale, mode):
@@ -140,8 +157,12 @@ def _kernel_variant(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wout_ref,
         o_ref[0] = x_ref[0]
         return
     x0 = fqa._sanitize_rows(x_ref[0], l_actual)
-    xn = (x0 if mode == "noln"
-          else fqa._kernel_layernorm(x0, lns_ref, lnb_ref, x_ref.dtype))
+    if mode == "noln":
+        xn = x0
+    elif mode == "fastln":
+        xn = _fast_layernorm(x0, lns_ref, lnb_ref, x_ref.dtype)
+    else:
+        xn = fqa._kernel_layernorm(x0, lns_ref, lnb_ref, x_ref.dtype)
     y = _attention_body_variant(xn, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
                                 heads, l_actual, scale, mode)
     if mode != "noadapter":
