@@ -248,8 +248,12 @@ def _kernel_temporal_variant(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
         return
     tt, tile, d = x_ref.shape
     x0 = fta._sanitize_block(x_ref[...].reshape(t * tile, d), tile, n or tile)
-    xn = (x0 if mode == "noln"
-          else fqa._kernel_layernorm(x0, lns_ref, lnb_ref, x_ref.dtype))
+    if mode == "noln":
+        xn = x0
+    elif mode == "fastln":
+        xn = _fast_layernorm(x0, lns_ref, lnb_ref, x_ref.dtype)
+    else:
+        xn = fqa._kernel_layernorm(x0, lns_ref, lnb_ref, x_ref.dtype)
     y = _temporal_body_variant(xn, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
                                t, heads, scale, mode)
     if mode != "noadapter":
