@@ -302,6 +302,75 @@ def step_fn_temporal(mode, weights, bt):
     return apply
 
 
+D4 = 4 * D
+MLP_SCALE = 0.5
+
+
+def _kernel_mlp_variant(x_ref, lns_ref, lnb_ref, wfc_ref, bfc_ref,
+                        wproj_ref, bproj_ref, w1_ref, b1_ref, w2_ref,
+                        b2_ref, o_ref, *, mode):
+    if mode == "identity":
+        o_ref[0] = x_ref[0]
+        return
+    x = x_ref[0]
+    if mode == "noln":
+        xn = x
+    elif mode == "fastln":
+        xn = _fast_layernorm(x, lns_ref, lnb_ref, x.dtype)
+    else:
+        xn = fqa._kernel_layernorm(x, lns_ref, lnb_ref, x.dtype)
+    acc = x.astype(jnp.float32) + bproj_ref[...].astype(jnp.float32)
+    if mode != "noadapter":
+        a = jnp.dot(xn, w1_ref[...], preferred_element_type=jnp.float32)
+        a = jax.nn.gelu(a + b1_ref[...].astype(jnp.float32),
+                        approximate=True)
+        z = jnp.dot(a.astype(x.dtype), w2_ref[...],
+                    preferred_element_type=jnp.float32)
+        acc = acc + MLP_SCALE * (z + b2_ref[...].astype(jnp.float32))
+    if mode != "nohidden":
+        h = jnp.dot(xn, wfc_ref[...], preferred_element_type=jnp.float32)
+        h = h + bfc_ref[...].astype(jnp.float32)
+        if mode != "nogelu":
+            h = h * jax.nn.sigmoid(1.702 * h)  # QuickGELU, fp32
+        acc = acc + jnp.dot(h.astype(x.dtype), wproj_ref[...],
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def step_fn_mlp(mode, weights, bt):
+    kernel = functools.partial(_kernel_mlp_variant, mode=mode)
+    vec = pl.BlockSpec((D,), lambda i: (0,), memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec((1, L, D), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+
+    def apply(x):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((bt, L, D), x.dtype),
+            grid=(bt,),
+            in_specs=[
+                x_spec, vec, vec,
+                pl.BlockSpec((D, D4), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((D4,), lambda i: (0,), memory_space=pltpu.VMEM),
+                pl.BlockSpec((D4, D), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                vec,
+                pl.BlockSpec((D, DH), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((DH,), lambda i: (0,), memory_space=pltpu.VMEM),
+                pl.BlockSpec((DH, D), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                vec,
+            ],
+            out_specs=x_spec,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+        )(x, *weights)
+
+    return apply
+
+
 def step_fn(mode, weights, bt):
     lp = fqa._round_up(L, 16)
     scale = 1.0 / ((D // HEADS) ** 0.5)
@@ -333,7 +402,7 @@ def step_fn(mode, weights, bt):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--step", choices=["spatial", "temporal"],
+    ap.add_argument("--step", choices=["spatial", "temporal", "mlp"],
                     default="spatial")
     ap.add_argument("--bt", type=int, default=512)
     ap.add_argument("--apps", type=int, default=24)
@@ -346,11 +415,19 @@ def main():
     ks = jax.random.split(jax.random.PRNGKey(0), 12)
     mk = lambda i, shape, s=0.03: (jax.random.normal(ks[i], shape, jnp.float32)
                                    * s).astype(jnp.bfloat16)
-    weights = (mk(0, (D,), 1.0) + 1, mk(1, (D,)), mk(2, (D, 3 * D)),
-               mk(3, (3 * D,)), mk(4, (D, D)), mk(5, (D,)),
-               mk(6, (D, DH)), mk(7, (DH,)), mk(8, (DH, D)), mk(9, (D,)))
+    if args.step == "mlp":
+        weights = (mk(0, (D,), 1.0) + 1, mk(1, (D,)), mk(2, (D, D4)),
+                   mk(3, (D4,)), mk(4, (D4, D)), mk(5, (D,)),
+                   mk(6, (D, DH)), mk(7, (DH,)), mk(8, (DH, D)),
+                   mk(9, (D,)))
+    else:
+        weights = (mk(0, (D,), 1.0) + 1, mk(1, (D,)), mk(2, (D, 3 * D)),
+                   mk(3, (3 * D,)), mk(4, (D, D)), mk(5, (D,)),
+                   mk(6, (D, DH)), mk(7, (DH,)), mk(8, (DH, D)),
+                   mk(9, (D,)))
 
-    mk_step = step_fn if args.step == "spatial" else step_fn_temporal
+    mk_step = {"spatial": step_fn, "temporal": step_fn_temporal,
+               "mlp": step_fn_mlp}[args.step]
     results = {}
     for mode in args.modes:
         apply = mk_step(mode, weights, args.bt)
