@@ -296,3 +296,40 @@ def test_reference_aim_full_vitb16_geometry_parity(ref_aim_module):
     x = torch.randn(1, 3, t, res, res,
                     generator=torch.Generator().manual_seed(11))
     _compare(ref, model, params, x)
+
+
+@pytest.mark.slow
+def test_reference_zeroi2v_full_vitb16_geometry_parity():
+    """ZeroI2V at true ViT-B/16 dims (12 layers / width 768 / 224^2 / T=8,
+    STDHA head-shift schedule at 12 real heads): forward parity vs
+    /root/reference/.../vit_clip_zeroI2V.py — the toy-width runs above use
+    4 heads, so the width-768 shift schedule and qkv packing are otherwise
+    untested at real geometry."""
+    res, patch, d, heads, layers, t = 224, 16, 768, 12, 12, 8
+    mod = load_reference_backbone_module("vit_clip_zeroI2V.py")
+    ref = _randomize(mod.ViT_CLIP_ZEROI2V(
+        input_resolution=res, num_frames=t, patch_size=patch, width=d,
+        layers=layers, heads=heads, drop_path_rate=0.0, bottleneck=192,
+        linear_adapter=True, share_adapter=False, pretrained=None))
+    ref.eval()
+    model = build_model(dict(
+        type="Recognizer3D",
+        backbone=dict(type="ViT_CLIP_ZEROI2V", input_resolution=res,
+                      patch_size=patch, width=d, layers=layers, heads=heads,
+                      num_frames=t, drop_path_rate=0.0, bottleneck=192,
+                      linear_adapter=True, share_adapter=False,
+                      shift_type="ths", reference_compat=True),
+        cls_head=dict(type="I3DHead", num_classes=400, in_channels=d,
+                      dropout_ratio=0.0),
+        test_cfg=dict(average_clips="prob")))
+    params = _ref_state_into_flax(ref, model, (1, 3, t, res, res))
+
+    import jax.tree_util as jtu
+    ref_total = sum(p.numel() for p in ref.parameters())
+    ours_bb = sum(int(np.prod(x.shape))
+                  for x in jtu.tree_leaves(params["backbone_module"]))
+    assert ours_bb == ref_total, (ours_bb, ref_total)
+
+    x = torch.randn(1, 3, t, res, res,
+                    generator=torch.Generator().manual_seed(12))
+    _compare(ref, model, params, x)
