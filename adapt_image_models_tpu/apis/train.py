@@ -98,9 +98,9 @@ def train_model(cfg: Dict[str, Any], work_dir: Optional[str] = None,
     if micro_batch % num_hosts:
         raise ValueError(f"global micro-batch {micro_batch} not divisible by "
                          f"{num_hosts} hosts")
-    def _make_loader(ds, pipeline):
+    def _make_loader(ds, pipeline, batch_size=None):
         return VideoLoader(
-            ds, pipeline, batch_size=micro_batch // num_hosts,
+            ds, pipeline, batch_size=batch_size or micro_batch // num_hosts,
             shuffle=True, seed=seed,
             num_workers=int(data_cfg.get("workers_per_gpu", 4)),
             drop_last=True, num_shards=num_hosts, shard_index=host_id)
@@ -108,13 +108,22 @@ def train_model(cfg: Dict[str, Any], work_dir: Optional[str] = None,
     loader = _make_loader(train_ds, train_pipeline)
     if omni_cfgs:
         from adapt_image_models_tpu.data.loader import RoundRobinLoader
+        # per-source batch sizes (reference ``data.omni_videos_per_gpu``,
+        # e.g. [12, 64, 12, 12] — web images batch larger than clips)
+        omni_vpg = data_cfg.get("omni_videos_per_gpu")
         aux_loaders = []
-        for aux_cfg in omni_cfgs[1:]:
+        for i, aux_cfg in enumerate(omni_cfgs[1:], start=1):
             aux_cfg = dict(aux_cfg)
             aux_pipe = aux_cfg.pop("pipeline")
             aux_ds = build_dataset({**aux_cfg, "pipeline": aux_pipe})
-            aux_loaders.append(_make_loader(aux_ds, aux_pipe))
-        loader = RoundRobinLoader([loader] + aux_loaders)
+            aux_bs = None
+            if omni_vpg:
+                aux_bs = ((int(omni_vpg[i]) // update_interval) * n_data
+                          // num_hosts)
+            aux_loaders.append(_make_loader(aux_ds, aux_pipe,
+                                            batch_size=aux_bs))
+        loader = RoundRobinLoader([loader] + aux_loaders,
+                                  ratios=data_cfg.get("train_ratio"))
 
     mean, std = _norm_cfg_from_pipeline(train_pipeline)
     compute_dtype = model_cfg.get("backbone", {}).get("compute_dtype", jnp.float32)

@@ -101,6 +101,17 @@ def make_train_step(model, tx: optax.GradientTransformation,
     replicated under this mode (the frozen TP layout needs the GSPMD path,
     i.e. ``attention_core='xla'``).
     """
+    # TPN-style neck aux head: its CE term (weighted, reference
+    # ``necks/tpn.py`` AuxHead.loss / ``_parse_losses`` summing loss_aux)
+    # is read back from the sown 'intermediates' collection
+    aux_weight = 0.0
+    neck_cfg = getattr(model, "neck", None)
+    if isinstance(neck_cfg, dict) and (neck_cfg.get("aux_head_cfg")
+                                       or neck_cfg.get("aux_head_classes")):
+        aux_cfg = neck_cfg.get("aux_head_cfg") or {}
+        aux_weight = float(aux_cfg.get(
+            "loss_weight", neck_cfg.get("aux_loss_weight", 0.5)))
+
     custom_loss = None
     custom_loss_mask_keys = ()
     head_cfg = getattr(model, "cls_head", None)
@@ -150,11 +161,20 @@ def make_train_step(model, tx: optax.GradientTransformation,
                                                 frozen_in)
                 params = merge_params(trainable, frozen)
                 variables = {"params": params, **model_state}
-                if has_model_state:
-                    logits, new_mstate = model.apply(
+                mutable = list(model_state.keys())
+                if aux_weight:
+                    mutable = mutable + ["intermediates"]
+                aux_logits = None
+                if mutable:
+                    logits, mutated = model.apply(
                         variables, imgs, deterministic=False,
                         rngs={"dropout": rng_drop},
-                        mutable=list(model_state.keys()))
+                        mutable=mutable)
+                    mutated = dict(mutated)
+                    inter = dict(mutated.pop("intermediates", {}))
+                    if inter.get("aux_logits") is not None:
+                        aux_logits = inter["aux_logits"][0]  # sow stores a tuple
+                    new_mstate = mutated if has_model_state else model_state
                 else:
                     logits = model.apply(variables, imgs,
                                          deterministic=False,
@@ -172,6 +192,11 @@ def make_train_step(model, tx: optax.GradientTransformation,
                     loss = soft_cross_entropy(logits, targets)
                 else:
                     loss = cross_entropy(logits, targets)
+                if aux_logits is not None:
+                    loss_aux = (soft_cross_entropy(aux_logits, targets)
+                                if targets.ndim == aux_logits.ndim
+                                else cross_entropy(aux_logits, targets))
+                    loss = loss + aux_weight * loss_aux
                 return loss, (logits, new_mstate)
 
             (loss, (logits, new_mstate)), grads = jax.value_and_grad(

@@ -35,7 +35,8 @@ class BaseVideoDataset:
 
     def __init__(self, ann_file: str, pipeline=None, data_prefix: str = "",
                  test_mode: bool = False, multi_class: bool = False,
-                 num_classes: Optional[int] = None, start_index: int = 0):
+                 num_classes: Optional[int] = None, start_index: int = 0,
+                 sample_by_class: bool = False, power: float = 1.0):
         self.ann_file = ann_file
         self.pipeline = pipeline  # config list; compiled by the loader
         self.data_prefix = data_prefix or ""
@@ -43,6 +44,10 @@ class BaseVideoDataset:
         self.multi_class = multi_class
         self.num_classes = num_classes
         self.start_index = start_index
+        # class-balanced sampling (reference base.py:89-100 — the OmniSource
+        # web/instagram sources use power=0.5); consumed by VideoLoader
+        self.sample_by_class = sample_by_class
+        self.power = power
         self.video_infos = self.load_annotations()
 
     def load_annotations(self) -> List[Dict[str, Any]]:

@@ -29,28 +29,43 @@ from adapt_image_models_tpu.data.pipeline import SampleProcessor, build_sample_p
 class RoundRobinLoader:
     """OmniSource-style alternation over multiple loaders (reference
     ``mmaction/core/runner/omnisource_runner.py``: the main loader drives the
-    epoch; auxiliary loaders cycle)."""
+    epoch; auxiliary loaders cycle). ``ratios`` mirrors the recipes'
+    ``data.train_ratio`` — batches drawn per source per cycle (e.g.
+    ``[2, 1, 1, 1]``, tsn omnisource recipe)."""
 
-    def __init__(self, loaders):
+    def __init__(self, loaders, ratios=None):
         if not loaders:
             raise ValueError("need at least one loader")
         self.loaders = list(loaders)
+        self.ratios = [int(r) for r in ratios] if ratios else [1] * len(loaders)
+        if len(self.ratios) != len(self.loaders) or min(self.ratios) < 1:
+            raise ValueError(f"train_ratio {ratios} does not match "
+                             f"{len(self.loaders)} sources")
 
     def set_epoch(self, epoch: int):
         for l in self.loaders:
             l.set_epoch(epoch)
 
     def __len__(self):
-        return len(self.loaders[0]) * len(self.loaders)
+        # main-loader batches drive the epoch; each main batch group of
+        # ratios[0] is followed by ratios[1:] aux batches
+        n_main = len(self.loaders[0])
+        cycles = n_main // self.ratios[0]
+        return n_main + cycles * sum(self.ratios[1:])
 
     def __iter__(self):
         import itertools
         main = iter(self.loaders[0])
         aux = [itertools.cycle(l) for l in self.loaders[1:]]
-        for batch in main:
-            yield batch
-            for a in aux:
-                yield next(a)
+        while True:
+            for _ in range(self.ratios[0]):
+                try:
+                    yield next(main)
+                except StopIteration:
+                    return
+            for a, r in zip(aux, self.ratios[1:]):
+                for _ in range(r):
+                    yield next(a)
 
 
 class VideoLoader:
@@ -85,7 +100,14 @@ class VideoLoader:
 
     def _epoch_indices(self) -> np.ndarray:
         n = len(self.dataset)
-        if self.shuffle:
+        if self.shuffle and getattr(self.dataset, "sample_by_class", False):
+            # class-balanced draw (reference base.py:89-100): per-epoch
+            # resample with per-sample weights w_class^power
+            rng = np.random.default_rng((self.seed, self.epoch))
+            p = self.dataset.class_weights(
+                power=getattr(self.dataset, "power", 1.0)).astype(np.float64)
+            order = rng.choice(n, size=n, replace=True, p=p / p.sum())
+        elif self.shuffle:
             rng = np.random.default_rng((self.seed, self.epoch))
             order = rng.permutation(n)
         else:

@@ -94,9 +94,24 @@ class SampleProcessor:
         t = self.sampler.clip_len
         clips = frames.reshape(-1, t, *frames.shape[1:])  # (Vt, T, H, W, C)
 
+        # Flip steps with a flip_label_map (direction-sensitive classes,
+        # reference augmentations.py Flip.flip_label_map) decide ONCE per
+        # sample — every clip flips together and the label remaps with them
+        flip_override = None
+        for i, (name, kw) in enumerate(self.steps):
+            if (name == "Flip" and kw.get("flip_label_map")
+                    and not self.test_mode):
+                ratio = kw.get("flip_ratio", 0.5)
+                do = bool(ratio) and rng.random() < ratio
+                flip_override = flip_override or {}
+                flip_override[i] = do
+                if do:
+                    label = kw["flip_label_map"].get(label, label)
+
         out_clips = []
         for clip in clips:
-            out_clips.extend(self._apply_spatial(clip, rng))
+            out_clips.extend(self._apply_spatial(clip, rng,
+                                                 flip_override=flip_override))
         out = np.stack(out_clips, axis=0)
         if self.to_bgr:
             out = out[..., ::-1]
@@ -104,10 +119,11 @@ class SampleProcessor:
 
     # ------------------------------------------------------------------
     def _apply_spatial(self, clip: np.ndarray,
-                       rng: np.random.Generator) -> List[np.ndarray]:
+                       rng: np.random.Generator,
+                       flip_override=None) -> List[np.ndarray]:
         """One temporal clip (T, H, W, C) -> list of spatial-view clips."""
         views = [clip]
-        for name, kw in self.steps:
+        for step_i, (name, kw) in enumerate(self.steps):
             new_views = []
             for v in views:
                 hw = v.shape[1:3]
@@ -180,11 +196,13 @@ class SampleProcessor:
                         v, (max(1, int(w0 * f + 0.5)),
                             max(1, int(h0 * f + 0.5)))))
                 elif name == "Flip":
-                    ratio = kw.get("flip_ratio", 0.5)
-                    if not self.test_mode and ratio and rng.random() < ratio:
-                        new_views.append(TH.flip_clip(v))
+                    if flip_override and step_i in flip_override:
+                        do = flip_override[step_i]
                     else:
-                        new_views.append(v)
+                        ratio = kw.get("flip_ratio", 0.5)
+                        do = (not self.test_mode and ratio
+                              and rng.random() < ratio)
+                    new_views.append(TH.flip_clip(v) if do else v)
                 elif name == "RandAugment":
                     from adapt_image_models_tpu.data.randaugment import rand_augment
                     new_views.append(rand_augment(rng, v, n=kw.get("n", 4),
@@ -301,7 +319,8 @@ def build_sample_processor(pipeline_cfg: Sequence[Dict[str, Any]],
                 random_crop=item.get("random_crop", False))))
             continue
         if t == "Flip":
-            steps.append((t, dict(flip_ratio=item.get("flip_ratio", 0.5))))
+            steps.append((t, dict(flip_ratio=item.get("flip_ratio", 0.5),
+                                  flip_label_map=item.get("flip_label_map"))))
             continue
         if t == "Imgaug":
             # the reference wraps imgaug; we support its RandAugment use

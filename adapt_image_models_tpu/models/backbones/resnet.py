@@ -125,6 +125,9 @@ class ResNet(nn.Module):
     depth: int = 50
     num_frames: Optional[int] = None  # set -> TSM shifts in every block
     spatial_pool: bool = True
+    # multi-entry -> tuple of those stage feature maps (NHWC), the reference
+    # TPN-TSM recipe's out_indices=(2, 3) (resnet.py forward/out_indices)
+    out_indices: Sequence[int] = ()
     compute_dtype: Dtype = jnp.float32
     pretrained: Optional[str] = None
 
@@ -144,6 +147,7 @@ class ResNet(nn.Module):
         h = nn.max_pool(h, (3, 3), (2, 2), padding="SAME")
 
         planes = 64
+        stage_outs = []
         for i, n_blocks in enumerate(stage_blocks):
             for j in range(n_blocks):
                 stride = 2 if (i > 0 and j == 0) else 1
@@ -152,7 +156,11 @@ class ResNet(nn.Module):
                               compute_dtype=cdt,
                               name=f"layer{i + 1}_{j}")(
                                   h, deterministic=deterministic)
+            stage_outs.append(h)
             planes *= 2
+        if len(self.out_indices) > 1:
+            return tuple(stage_outs[i].astype(jnp.float32)
+                         for i in self.out_indices)
         if self.spatial_pool:
             return jnp.mean(h, axis=(1, 2)).astype(jnp.float32)
         return h

@@ -172,7 +172,10 @@ class ResNet3dCore(nn.Module):
     pool1_stride_s: int = 2
     with_pool2: bool = False
     in_channels: int = 3  # stem infers from input; kept for config parity
-    out_indices: Sequence[int] = ()  # accepted; the last stage is returned
+    # multi-entry -> a tuple of those stage maps is returned (the reference
+    # TPN recipes set out_indices=(2, 3), resnet3d.py forward); empty or
+    # single-entry keeps the plain last-stage contract
+    out_indices: Sequence[int] = ()
     inflate: Sequence[int] = (0, 0, 1, 1)
     inflate_style: str = "3x1x1"
     non_local: Sequence[int] = (0, 0, 0, 0)
@@ -216,6 +219,7 @@ class ResNet3dCore(nn.Module):
             h = jax.lax.stop_gradient(h)
 
         planes = self.base_channels
+        stage_outs = []
         for i, n_blocks in enumerate(stage_blocks):
             frozen = self.frozen_stages >= i + 1
             det = deterministic or frozen
@@ -248,7 +252,11 @@ class ResNet3dCore(nn.Module):
                 h = nn.max_pool(h, (2, 1, 1), (2, 1, 1), padding="SAME")
             if frozen:
                 h = jax.lax.stop_gradient(h)
+            stage_outs.append(h)
             planes *= 2
+        if len(self.out_indices) > 1:
+            return tuple(stage_outs[i].astype(jnp.float32)
+                         for i in self.out_indices)
         return h.astype(jnp.float32)
 
 

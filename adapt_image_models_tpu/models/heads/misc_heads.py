@@ -1,10 +1,10 @@
 """Additional classification heads (reference ``mmaction/models/heads/``):
-TSMHead (111 LoC), SlowFastHead, X3DHead, TimeSformerHead.
+TSMHead (111 LoC), SlowFastHead, X3DHead, TimeSformerHead, TPNHead.
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -97,6 +97,37 @@ class TimeSformerHead(nn.Module):
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         if x.ndim == 3:
             x = x[:, 0]
+        return nn.Dense(self.num_classes,
+                        kernel_init=nn.initializers.normal(self.init_std),
+                        dtype=jnp.float32, name="fc_cls")(x.astype(jnp.float32))
+
+
+@HEADS.register_module()
+class TPNHead(nn.Module):
+    """Head for TPN-fused pyramid features (reference ``tpn_head.py``:
+    a TSNHead applied after 3D spatial+temporal avg pooling, with avg
+    consensus over the pooled clip axis).
+
+    Accepts the neck's fused ``(B, T', H', W', C)`` map — spatial_type
+    'avg'/'max' pooling over (T', H', W'), dropout, fp32 fc.
+    """
+
+    num_classes: int
+    in_channels: int
+    spatial_type: str = "avg"
+    consensus: Optional[Dict[str, Any]] = None  # avg consensus (implicit)
+    dropout_ratio: float = 0.5
+    init_std: float = 0.01
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        reduce_axes = tuple(range(1, x.ndim - 1))
+        if self.spatial_type == "max":
+            x = jnp.max(x, axis=reduce_axes)
+        else:
+            x = jnp.mean(x, axis=reduce_axes)
+        if self.dropout_ratio > 0:
+            x = nn.Dropout(self.dropout_ratio)(x, deterministic=deterministic)
         return nn.Dense(self.num_classes,
                         kernel_init=nn.initializers.normal(self.init_std),
                         dtype=jnp.float32, name="fc_cls")(x.astype(jnp.float32))

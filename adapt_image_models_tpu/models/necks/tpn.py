@@ -11,7 +11,7 @@ An auxiliary head on the second-to-last stage provides the aux CE loss
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -60,8 +60,36 @@ class TPN(nn.Module):
     mid_channels: int = 1024
     fusion_channels: int = 2048
     aux_head_classes: Optional[int] = None
+    aux_loss_weight: float = 0.5
     flow_type: str = "cascade"
     compute_dtype: Dtype = jnp.float32
+    # reference-shaped nested sub-configs (``_base_/models/tpn_slowonly_r50.py``)
+    # are accepted and override the flattened fields above; upsample/downsample
+    # cfgs are validated for presence only (this implementation derives the
+    # inter-level scale factors from the actual level shapes)
+    spatial_modulation_cfg: Optional[Dict[str, Any]] = None
+    temporal_modulation_cfg: Optional[Dict[str, Any]] = None
+    upsample_cfg: Optional[Dict[str, Any]] = None
+    downsample_cfg: Optional[Dict[str, Any]] = None
+    level_fusion_cfg: Optional[Dict[str, Any]] = None
+    aux_head_cfg: Optional[Dict[str, Any]] = None
+
+    def _resolved(self):
+        """Effective (downsample_scales, mid, fusion, aux_classes, aux_w)."""
+        scales = tuple(self.temporal_modulation_cfg["downsample_scales"]) \
+            if self.temporal_modulation_cfg else tuple(self.downsample_scales)
+        mid = self.mid_channels
+        fusion = self.fusion_channels
+        if self.level_fusion_cfg:
+            lf_mid = self.level_fusion_cfg.get("mid_channels")
+            if lf_mid:
+                mid = lf_mid[0] if isinstance(lf_mid, (tuple, list)) else lf_mid
+            fusion = self.level_fusion_cfg.get("out_channels", fusion)
+        aux_classes = self.aux_head_cfg["out_channels"] \
+            if self.aux_head_cfg else self.aux_head_classes
+        aux_w = self.aux_head_cfg.get("loss_weight", self.aux_loss_weight) \
+            if self.aux_head_cfg else self.aux_loss_weight
+        return scales, mid, fusion, aux_classes, aux_w
 
     @nn.compact
     def __call__(self, xs, deterministic: bool = True):
@@ -73,15 +101,17 @@ class TPN(nn.Module):
         n = len(xs)
         if n != len(self.in_channels):
             raise ValueError(f"got {n} stages for {len(self.in_channels)} in_channels")
+        (downsample_scales, mid_channels, fusion_channels,
+         aux_head_classes, _) = self._resolved()
 
         # aux head on the second-to-last stage (reference :197-256)
         aux_logits = None
-        if self.aux_head_classes:
+        if aux_head_classes:
             a = _conv_bn_relu(xs[-2], self.in_channels[-1], (1, 3, 3),
                               (1, 2, 2), "aux", deterministic, cdt)
             a = jnp.mean(a, axis=(1, 2, 3))
             a = nn.Dropout(0.5)(a, deterministic=deterministic)
-            aux_logits = nn.Dense(self.aux_head_classes, dtype=jnp.float32,
+            aux_logits = nn.Dense(aux_head_classes, dtype=jnp.float32,
                                   name="aux_fc")(a.astype(jnp.float32))
 
         # spatial modulation: downsample earlier stages to the last one's
@@ -103,7 +133,7 @@ class TPN(nn.Module):
             h = nn.Conv(self.out_channels, (3, 1, 1), use_bias=False,
                         feature_group_count=32 if target_c % 32 == 0 else 1,
                         dtype=cdt, name=f"temporal{i}_conv")(x)
-            scale = self.downsample_scales[i]
+            scale = downsample_scales[i]
             if scale > 1:
                 t = h.shape[1]
                 pad = (-t) % scale
@@ -122,7 +152,7 @@ class TPN(nn.Module):
             if ratio > 1:
                 up = jnp.repeat(up, ratio, axis=1)
             outs[i - 1] = outs[i - 1] + up[:, :outs[i - 1].shape[1]]
-        top_down = LevelFusion(self.mid_channels, self.fusion_channels // 2,
+        top_down = LevelFusion(mid_channels, fusion_channels // 2,
                                compute_dtype=cdt, name="level_fusion_1")(
             [jnp.max(o.reshape(o.shape[0], levels[-1].shape[1], -1,
                                *o.shape[2:]), axis=2) if
@@ -139,7 +169,7 @@ class TPN(nn.Module):
                                     down.shape[1] // ratio, ratio,
                                     *down.shape[2:]).max(axis=2)
             outs[i + 1] = outs[i + 1] + down[:, :outs[i + 1].shape[1]]
-        bottom_up = LevelFusion(self.mid_channels, self.fusion_channels // 2,
+        bottom_up = LevelFusion(mid_channels, fusion_channels // 2,
                                 compute_dtype=cdt, name="level_fusion_2")(
             [jnp.max(o.reshape(o.shape[0], levels[-1].shape[1], -1,
                                *o.shape[2:]), axis=2) if
@@ -147,6 +177,6 @@ class TPN(nn.Module):
             deterministic=deterministic)
 
         fused = jnp.concatenate([top_down, bottom_up], axis=-1)
-        fused = _conv_bn_relu(fused, self.fusion_channels, (1, 1, 1),
+        fused = _conv_bn_relu(fused, fusion_channels, (1, 1, 1),
                               (1, 1, 1), "pyramid_fusion", deterministic, cdt)
         return fused, aux_logits

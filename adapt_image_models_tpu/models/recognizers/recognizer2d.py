@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from adapt_image_models_tpu.models.builder import (
-    RECOGNIZERS, build_backbone, build_head,
+    RECOGNIZERS, build_backbone, build_head, build_neck,
 )
 from adapt_image_models_tpu.models.recognizers.recognizer3d import average_clip
 
@@ -28,6 +28,7 @@ class Recognizer2D(nn.Module):
 
     def setup(self):
         self.backbone_module = build_backbone(dict(self.backbone))
+        self.neck_module = build_neck(dict(self.neck)) if self.neck else None
         self.head_module = build_head(dict(self.cls_head))
 
     def __call__(self, imgs: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -35,6 +36,20 @@ class Recognizer2D(nn.Module):
         b, s = imgs.shape[:2]
         x = imgs.reshape((b * s,) + imgs.shape[2:])
         feat = self.backbone_module(x, deterministic=deterministic)
+        if self.neck_module is not None:
+            # TPN-TSM path (reference ``recognizer2d.py:49-57``): the
+            # backbone's per-segment stage maps (B*S, H, W, C) unfold to
+            # (B, S, H, W, C) — segments become the pyramid's temporal axis
+            feats = feat if isinstance(feat, tuple) else (feat,)
+            feats = tuple(f.reshape((b, s) + f.shape[1:]) for f in feats)
+            out = self.neck_module(feats, deterministic=deterministic)
+            if isinstance(out, tuple):
+                feat, aux_logits = out
+                if aux_logits is not None:
+                    self.sow("intermediates", "aux_logits", aux_logits)
+            else:
+                feat = out
+            return self.head_module(feat, deterministic=deterministic)
         feat = feat.reshape(b, s, -1)
         return self.head_module(feat, deterministic=deterministic)
 

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from adapt_image_models_tpu.models.builder import (
-    RECOGNIZERS, build_backbone, build_head,
+    RECOGNIZERS, build_backbone, build_head, build_neck,
 )
 
 
@@ -61,7 +61,22 @@ class Recognizer3D(nn.Module):
 
     def setup(self):
         self.backbone_module = build_backbone(dict(self.backbone))
+        self.neck_module = build_neck(dict(self.neck)) if self.neck else None
         self.head_module = build_head(dict(self.cls_head))
+
+    def _apply_neck(self, feat, deterministic: bool):
+        """Run the neck; sow TPN-style aux logits for the train step's
+        aux CE term (reference TPN aux head, ``necks/tpn.py:197-256`` —
+        the ``loss_aux`` entry of ``_parse_losses``)."""
+        if self.neck_module is None:
+            return feat
+        out = self.neck_module(feat, deterministic=deterministic)
+        if isinstance(out, tuple):
+            feat, aux_logits = out
+            if aux_logits is not None:
+                self.sow("intermediates", "aux_logits", aux_logits)
+            return feat
+        return out
 
     def __call__(self, imgs: jax.Array, deterministic: bool = True) -> jax.Array:
         """imgs: (B*, C, T, H, W) with any view multiplicity folded into B*."""
@@ -69,13 +84,15 @@ class Recognizer3D(nn.Module):
             b, v = imgs.shape[:2]
             imgs = imgs.reshape((b * v,) + imgs.shape[2:])
         feat = self.backbone_module(imgs, deterministic=deterministic)
+        feat = self._apply_neck(feat, deterministic)
         return self.head_module(feat, deterministic=deterministic)
 
     def extract_feat(self, imgs: jax.Array, deterministic: bool = True) -> jax.Array:
         if imgs.ndim == 6:
             b, v = imgs.shape[:2]
             imgs = imgs.reshape((b * v,) + imgs.shape[2:])
-        return self.backbone_module(imgs, deterministic=deterministic)
+        feat = self.backbone_module(imgs, deterministic=deterministic)
+        return self._apply_neck(feat, deterministic)
 
     def forward_test(self, imgs: jax.Array) -> jax.Array:
         """(B, V, C, T, H, W) -> (B, num_classes) aggregated scores."""

@@ -124,3 +124,49 @@ def test_confusion_matrix():
     real = [0, 1, 1, 2]
     cm = confusion_matrix(pred, real)
     np.testing.assert_array_equal(cm, [[1, 0, 0], [0, 1, 1], [0, 0, 1]])
+
+
+def test_roundrobin_ratios(ann_file):
+    """train_ratio interleaving (reference omnisource_runner: 2 main
+    batches, then 1 from each aux source per cycle)."""
+    from adapt_image_models_tpu.data.loader import RoundRobinLoader
+
+    ds = VideoDataset(ann_file, PIPE)
+    main = VideoLoader(ds, PIPE, batch_size=2, shuffle=True, seed=1,
+                       num_workers=1, drop_last=True)          # 5 batches
+    aux = VideoLoader(ds, PIPE, batch_size=3, shuffle=True, seed=2,
+                      num_workers=1, drop_last=True)
+    rr = RoundRobinLoader([main, aux], ratios=[2, 1])
+    sizes = [b["imgs"].shape[0] for b in rr]
+    # groups of (2 main batches, 1 aux batch); main has 5 -> last group
+    # truncates after its final main batch
+    assert sizes == [2, 2, 3, 2, 2, 3, 2]
+    assert len(rr) == 7
+    with pytest.raises(ValueError):
+        RoundRobinLoader([main, aux], ratios=[2])
+
+
+def test_sample_by_class_loader(tmp_path):
+    """sample_by_class draws with w_class^power weights
+    (reference base.py:89-100; OmniSource web sources use power=0.5)."""
+    p = tmp_path / "ann_imb.txt"
+    # 8 samples of class 0, 2 of class 1
+    p.write_text("\n".join(
+        [f"synthetic://{i} 0" for i in range(8)]
+        + [f"synthetic://{8 + i} 1" for i in range(2)]))
+    ds = VideoDataset(str(p), PIPE, sample_by_class=True, power=1.0)
+    loader = VideoLoader(ds, PIPE, batch_size=5, shuffle=True, seed=0,
+                         num_workers=1, drop_last=True)
+    draws = []
+    for epoch in range(12):
+        loader.set_epoch(epoch)
+        draws.append(np.concatenate([b["label"] for b in loader]))
+    labels = np.concatenate(draws)
+    loader.set_epoch(0)
+    frac1 = (labels == 1).mean()
+    # power=1 weights classes equally: class-1 share ~0.5, not its 0.2 base
+    assert 0.3 < frac1 < 0.7
+    # deterministic per (seed, epoch)
+    first = np.concatenate([b["label"] for b in loader])
+    again = np.concatenate([b["label"] for b in loader])
+    np.testing.assert_array_equal(first, again)

@@ -171,3 +171,40 @@ def test_randomscale_value_mode():
     reader = SyntheticVideoReader(num_frames=4, height=48, width=64)
     clips, _ = proc(reader, 0, rng=np.random.default_rng(3), total_frames=4)
     assert clips.shape == (1, 1, 32, 32, 3)
+
+
+def test_flip_label_map():
+    """Direction-sensitive classes swap on flip, once per sample
+    (reference augmentations.py Flip.flip_label_map, trn sthv1 recipes)."""
+    import numpy as np
+    from adapt_image_models_tpu.data.pipeline import build_sample_processor
+
+    pipe = [
+        dict(type="SampleFrames", clip_len=2, frame_interval=1, num_clips=1),
+        dict(type="Resize", scale=(32, 32), keep_ratio=False),
+        dict(type="Flip", flip_ratio=1.0, flip_label_map={2: 4, 4: 2}),
+        dict(type="Normalize", mean=[0, 0, 0], std=[1, 1, 1]),
+        dict(type="FormatShape", input_format="NCHW"),
+    ]
+    proc = build_sample_processor(pipe)
+    rng = np.random.default_rng(0)
+    _, label = proc("synthetic://0", 2, rng=rng)
+    assert label == 4  # flip_ratio=1 -> always flipped -> 2 -> 4
+    _, label = proc("synthetic://0", 7, rng=rng)
+    assert label == 7  # unmapped labels pass through
+    # flip_ratio=0 never remaps
+    pipe[2] = dict(type="Flip", flip_ratio=0.0, flip_label_map={2: 4})
+    proc0 = build_sample_processor(pipe)
+    _, label = proc0("synthetic://0", 2, rng=np.random.default_rng(0))
+    assert label == 2
+    # test_mode pipelines never flip (reference Flip only randomizes in train)
+    proc_t = build_sample_processor([
+        dict(type="SampleFrames", clip_len=2, frame_interval=1, num_clips=1,
+             test_mode=True),
+        dict(type="Resize", scale=(32, 32), keep_ratio=False),
+        dict(type="Flip", flip_ratio=1.0, flip_label_map={2: 4}),
+        dict(type="Normalize", mean=[0, 0, 0], std=[1, 1, 1]),
+        dict(type="FormatShape", input_format="NCHW"),
+    ])
+    _, label = proc_t("synthetic://0", 2, rng=np.random.default_rng(0))
+    assert label == 2

@@ -58,7 +58,17 @@ def test_reference_vit_config_manifest():
 def test_family_coverage():
     """One config per claimed family beyond the vit tree."""
     for needle in ("swin2d_adapter", "slowonly_kinetics_pretrained",
-                   "posec3d"):
+                   "posec3d",
+                   # reference config families (one recipe each):
+                   # recognition/{tsn,tsm,i3d,slowfast,slowonly,x3d,csn,
+                   # r2plus1d,c3d,tanet,tin,tpn,trn,omnisource},
+                   # recognition_audio, localization/{bmn,bsn,ssn},
+                   # detection/{ava,lfb,acrn}
+                   "tsn_r50", "tsm_r50", "i3d_r50", "slowfast_r50",
+                   "slowonly_r50", "x3d_m", "ircsn", "r2plus1d", "c3d",
+                   "tanet", "tin_r50", "tpn_slowonly", "tpn_tsm",
+                   "trn_r50", "omnisource", "audio", "bmn", "bsn", "ssn",
+                   "lfb", "acrn"):
         hits = glob.glob(osp.join(REPO, "configs", "**", f"*{needle}*"),
                          recursive=True) + glob.glob(
             osp.join(REPO, "configs", "**", needle, "*"), recursive=True)

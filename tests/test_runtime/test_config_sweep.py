@@ -35,43 +35,51 @@ def test_config_loads_and_builds(path):
     for split in ("train", "val", "test"):
         if split not in cfg["data"]:
             continue
-        pipeline = cfg["data"][split]["pipeline"]
-        if cfg["data"][split].get("type") == "AVADataset":
-            # detection datasets own their (box-aware) pipeline; validate
-            # the sampling step is present instead
-            assert any(s["type"] == "SampleAVAFrames" for s in pipeline)
-            continue
-        if cfg["data"][split].get("type") == "PoseDataset":
-            # pose datasets compile their own coordinate/heatmap processor
-            from adapt_image_models_tpu.data.pose import PoseSampleProcessor
-            proc = PoseSampleProcessor(pipeline)
-            h, w = proc.output_size()
-            assert h > 0 and w > 0 and proc.num_views >= 1
-            continue
-        if cfg["data"][split].get("type") == "ActivityNetDataset":
-            # feature-based localization: no spatial pipeline; validate the
-            # load step is present instead
-            assert any(s["type"] in ("LoadLocalizationFeature",
-                                     "LoadProposals") for s in pipeline)
-            continue
-        if cfg["data"][split].get("type") == "SSNDataset":
-            assert any(s["type"] == "SampleProposalFrames"
-                       for s in pipeline)
-            continue
-        if cfg["data"][split].get("type") in ("AudioDataset",
-                                              "AudioFeatureDataset"):
-            from adapt_image_models_tpu.data.audio import AudioSampleProcessor
-            proc = AudioSampleProcessor(pipeline)
-            assert proc.sampler is not None
-            continue
-        proc = build_sample_processor(pipeline)
-        h, w = proc.output_size()
-        assert h > 0 and w > 0
-        assert proc.num_views >= 1
+        split_cfgs = cfg["data"][split]
+        # OmniSource recipes train over a list of sources
+        if not isinstance(split_cfgs, (list, tuple)):
+            split_cfgs = [split_cfgs]
+        for ds_cfg in split_cfgs:
+            _check_split(ds_cfg)
 
     # recipe fields used by the trainer must be present and well-formed
     assert "optimizer" in cfg and "lr" in cfg["optimizer"]
     assert cfg.get("total_epochs", 1) >= 1
+
+
+def _check_split(ds_cfg):
+    pipeline = ds_cfg["pipeline"]
+    ds_type = ds_cfg.get("type")
+    if ds_type == "AVADataset":
+        # detection datasets own their (box-aware) pipeline; validate
+        # the sampling step is present instead
+        assert any(s["type"] == "SampleAVAFrames" for s in pipeline)
+        return
+    if ds_type == "PoseDataset":
+        # pose datasets compile their own coordinate/heatmap processor
+        from adapt_image_models_tpu.data.pose import PoseSampleProcessor
+        proc = PoseSampleProcessor(pipeline)
+        h, w = proc.output_size()
+        assert h > 0 and w > 0 and proc.num_views >= 1
+        return
+    if ds_type == "ActivityNetDataset":
+        # feature-based localization: no spatial pipeline; validate the
+        # load step is present instead
+        assert any(s["type"] in ("LoadLocalizationFeature",
+                                 "LoadProposals") for s in pipeline)
+        return
+    if ds_type == "SSNDataset":
+        assert any(s["type"] == "SampleProposalFrames" for s in pipeline)
+        return
+    if ds_type in ("AudioDataset", "AudioFeatureDataset"):
+        from adapt_image_models_tpu.data.audio import AudioSampleProcessor
+        proc = AudioSampleProcessor(pipeline)
+        assert proc.sampler is not None
+        return
+    proc = build_sample_processor(pipeline)
+    h, w = proc.output_size()
+    assert h > 0 and w > 0
+    assert proc.num_views >= 1
 
 
 @pytest.mark.parametrize("path", [p for p in CONFIGS if "debug_tiny" in p])
