@@ -30,7 +30,11 @@ from adapt_image_models_tpu.data.video_reader import open_video
 _DECODE_INITS = ("DecordInit", "OpenCVInit", "PyAVInit", "FusedDecordInit")
 _DECODE_OPS = ("DecordDecode", "OpenCVDecode", "PyAVDecode", "RawFrameDecode",
                "ImageDecode")
-_NOOPS = ("Collect", "ToTensor", "FormatShape")
+# 'Fuse' is the reference's lazy-op materializer (augmentations.py:466):
+# its lazy crop/flip bookkeeping is consciously superseded by this module's
+# two-stage design (host bbox math compiled separately from the pixel ops),
+# so the step is accepted as a no-op for config parity
+_NOOPS = ("Collect", "ToTensor", "FormatShape", "Fuse")
 
 
 @dataclasses.dataclass
@@ -318,6 +322,18 @@ def build_sample_processor(pipeline_cfg: Sequence[Dict[str, Any]],
                 max_wh_scale_gap=item.get("max_wh_scale_gap", 1),
                 random_crop=item.get("random_crop", False))))
             continue
+        if t == "PytorchVideoWrapper":
+            # reference augmentations.py:2086 wraps pytorchvideo transforms;
+            # its RandAugment use maps onto the native implementation
+            op = item.get("op")
+            if op == "RandAugment":
+                steps.append(("RandAugment",
+                              dict(n=int(item.get("num_layers", 4)),
+                                   m=int(item.get("magnitude", 7)))))
+                continue
+            raise ValueError(
+                f"unsupported PytorchVideoWrapper op {op!r} (RandAugment "
+                "is supported natively; AugMix has no equivalent here)")
         if t == "Flip":
             steps.append((t, dict(flip_ratio=item.get("flip_ratio", 0.5),
                                   flip_label_map=item.get("flip_label_map"))))

@@ -87,7 +87,7 @@ def test_threecrop_pipeline():
 
 
 def test_unsupported_transform_raises():
-    bad = TRAIN_PIPELINE[:3] + [dict(type="PytorchVideoWrapper", op="AugMix")]
+    bad = TRAIN_PIPELINE[:3] + [dict(type="NoSuchTransform")]
     with pytest.raises(ValueError, match="unsupported pipeline transform"):
         build_sample_processor(bad)
 
@@ -208,3 +208,33 @@ def test_flip_label_map():
     ])
     _, label = proc_t("synthetic://0", 2, rng=np.random.default_rng(0))
     assert label == 2
+
+
+def test_pytorchvideo_wrapper_and_fuse():
+    """PytorchVideoWrapper(op='RandAugment') maps to the native RandAugment
+    (reference augmentations.py:2086); 'Fuse' (lazy-op materializer,
+    augmentations.py:466) is a documented no-op under the two-stage design."""
+    import numpy as np
+    import pytest as _pytest
+    from adapt_image_models_tpu.data.pipeline import build_sample_processor
+
+    proc = build_sample_processor([
+        dict(type="SampleFrames", clip_len=2, frame_interval=1, num_clips=1),
+        dict(type="Resize", scale=(32, 32), keep_ratio=False),
+        dict(type="Fuse"),
+        dict(type="PytorchVideoWrapper", op="RandAugment", num_layers=2,
+             magnitude=5),
+        dict(type="Normalize", mean=[0, 0, 0], std=[1, 1, 1]),
+        dict(type="FormatShape", input_format="NCHW"),
+    ])
+    clips, label = proc("synthetic://0", 1, rng=np.random.default_rng(0))
+    assert clips.shape == (1, 2, 32, 32, 3) and label == 1
+    with _pytest.raises(ValueError, match="AugMix"):
+        build_sample_processor([
+            dict(type="SampleFrames", clip_len=2, frame_interval=1,
+                 num_clips=1),
+            dict(type="Resize", scale=(32, 32), keep_ratio=False),
+            dict(type="PytorchVideoWrapper", op="AugMix"),
+            dict(type="Normalize", mean=[0, 0, 0], std=[1, 1, 1]),
+            dict(type="FormatShape", input_format="NCHW"),
+        ])
