@@ -50,6 +50,12 @@ def _load_lib():
     lib.aim_get_frames.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_long), ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8)]
+    lib.aim_get_frames_crop.restype = ctypes.c_int
+    lib.aim_get_frames_crop.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_long), ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8)]
     lib.aim_close.restype = None
     lib.aim_close.argtypes = [ctypes.c_void_p]
     _LIB = lib
@@ -91,6 +97,34 @@ class CppVideoReader(VideoReader):
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
         if rc != 0:
             raise IOError(f"C++ decode failed (rc={rc}) for {self.path}")
+        return out[inverse]
+
+    def get_frames_crop(self, indices: Sequence[int],
+                        bbox: Sequence[int], out_size: Sequence[int],
+                        hflip: bool = False) -> Optional[np.ndarray]:
+        """Fused decode+crop+scale(+hflip): the FusedDecordInit
+        fast_rrc/fast_rcc path (reference ``loading.py:1678-1753``).
+
+        ``bbox`` = (x0, y0, x1, y1) in native coordinates (requires the
+        reader to be opened with ``short_side=None``); ``out_size`` =
+        (out_h, out_w). Returns None when the stream's pixel format cannot
+        be plane-cropped (caller falls back to get_frames + host ops).
+        """
+        x0, y0, x1, y1 = (int(v) for v in bbox)
+        oh, ow = (int(v) for v in out_size)
+        uniq, inverse = _dedup_gather(indices)
+        n = len(uniq)
+        out = np.empty((n, oh, ow, 3), np.uint8)
+        idx_arr = np.ascontiguousarray(uniq, dtype=np.int64)
+        rc = self._lib.aim_get_frames_crop(
+            self._handle,
+            idx_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_long)), n,
+            x0, y0, x1, y1, ow, oh, int(bool(hflip)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        if rc == -6:
+            return None
+        if rc != 0:
+            raise IOError(f"C++ fused decode failed (rc={rc}) for {self.path}")
         return out[inverse]
 
     def close(self):

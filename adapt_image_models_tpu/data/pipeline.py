@@ -49,6 +49,11 @@ class SampleProcessor:
     test_mode: bool
     io_backend: str = "auto"
     decode_short_side: Optional[int] = None
+    # FusedDecordInit fast_rrc/fast_msc/fast_rcc (loading.py:1678-1753):
+    # dict(mode='rrc'|'msc'|'rcc', size=int, scale=(lo, hi), hflip=float).
+    # Crop geometry is drawn per clip on the host; pixels go through the
+    # C++ decoder's fused crop+scale(+flip), with a host cv2 fallback.
+    fused_crop: Optional[Dict[str, Any]] = None
 
     @property
     def num_views(self) -> int:
@@ -75,6 +80,8 @@ class SampleProcessor:
             elif name in ("RandomResizedCrop", "MultiScaleCrop",
                           "RandomRescale", "RandomScale"):
                 size = None  # followed by a fixed resize/crop in valid configs
+        if size is None and self.fused_crop is not None:
+            size = (self.fused_crop["size"], self.fused_crop["size"])
         if size is None:
             raise ValueError("pipeline does not end at a fixed spatial size")
         return size
@@ -90,13 +97,15 @@ class SampleProcessor:
         try:
             nf = total_frames or reader.num_frames
             inds = self.sampler(nf, start_index=start_index, rng=rng)
-            frames = reader.get_frames(inds)  # (V*T, H, W, C)
+            t = self.sampler.clip_len
+            if self.fused_crop is not None:
+                clips = self._fused_decode(reader, inds, rng)
+            else:
+                frames = reader.get_frames(inds)  # (V*T, H, W, C)
+                clips = frames.reshape(-1, t, *frames.shape[1:])
         finally:
             if reader is not source:
                 reader.close()
-
-        t = self.sampler.clip_len
-        clips = frames.reshape(-1, t, *frames.shape[1:])  # (Vt, T, H, W, C)
 
         # Flip steps with a flip_label_map (direction-sensitive classes,
         # reference augmentations.py Flip.flip_label_map) decide ONCE per
@@ -120,6 +129,61 @@ class SampleProcessor:
         if self.to_bgr:
             out = out[..., ::-1]
         return np.ascontiguousarray(out), label
+
+    # ------------------------------------------------------------------
+    def _fused_bbox(self, hw: Tuple[int, int],
+                    rng: np.random.Generator) -> Tuple[int, int, int, int]:
+        f = self.fused_crop
+        if f["mode"] == "rrc":
+            return TH.random_resized_crop_bbox(rng, hw,
+                                               area_range=f["scale"])
+        if f["mode"] == "msc":
+            return TH.multi_scale_crop_bbox(
+                rng, hw, input_size=(f["size"], f["size"]))
+        # rcc: short-side resize to `size` + center crop `size` == center
+        # square of side min(H, W) scaled to (size, size), in one resample
+        h, w = hw
+        m = min(h, w)
+        x, y = (w - m) // 2, (h - m) // 2
+        return x, y, x + m, y + m
+
+    def _fused_decode(self, reader, inds: np.ndarray,
+                      rng: np.random.Generator) -> np.ndarray:
+        """FusedDecordInit fast path -> (V, T, size, size, C) uint8."""
+        f = self.fused_crop
+        t = self.sampler.clip_len
+        size = (f["size"], f["size"])
+        views = len(inds) // t
+        hflip = f.get("hflip", 0.0) if not self.test_mode else 0.0
+
+        fast = getattr(reader, "get_frames_crop", None)
+        if fast is not None and self.decode_short_side is None:
+            hw = (reader.height, reader.width)
+            clips = []
+            for v in range(views):
+                bbox = self._fused_bbox(hw, rng)
+                do_flip = bool(hflip) and rng.random() < hflip
+                got = fast(inds[v * t:(v + 1) * t], bbox, size, do_flip)
+                if got is None:  # exotic pixel format: host fallback
+                    break
+                clips.append(got)
+            else:
+                return np.stack(clips, axis=0)
+
+        # host fallback (OpenCV/synthetic readers or unsupported pix_fmt):
+        # native decode, then identical crop geometry + cv2 resize + flip
+        frames = reader.get_frames(inds)
+        hw = frames.shape[1:3]
+        clips = []
+        for v in range(views):
+            bbox = self._fused_bbox(hw, rng)
+            x0, y0, x1, y1 = bbox
+            clip = frames[v * t:(v + 1) * t, y0:y1, x0:x1]
+            clip = TH.resize_clip(clip, size[::-1])
+            if bool(hflip) and rng.random() < hflip:
+                clip = TH.flip_clip(clip)
+            clips.append(clip)
+        return np.stack(clips, axis=0)
 
     # ------------------------------------------------------------------
     def _apply_spatial(self, clip: np.ndarray,
@@ -241,16 +305,35 @@ def build_sample_processor(pipeline_cfg: Sequence[Dict[str, Any]],
     steps: List[Tuple[str, Dict[str, Any]]] = []
     mean, std, to_bgr = (122.769, 116.74, 104.04), (68.493, 66.63, 70.321), False
     fused_short_side = None
+    fused_crop = None
 
     for item in pipeline_cfg:
         item = dict(item)
         t = item.pop("type")
         if t in _DECODE_INITS:
             if t == "FusedDecordInit":
-                # fused decode+resize: honor the short-side hint
-                scale = item.get("scale") or item.get("short_side")
-                if scale:
-                    fused_short_side = int(scale if np.isscalar(scale) else max(scale))
+                # the fork's patched-decord fused decode (loading.py:1678-
+                # 1753): in-decoder crop+scale(+hflip) for rrc/msc/rcc
+                if float(item.get("vflip_prob", 0.0)):
+                    raise ValueError("FusedDecordInit vflip_prob is not "
+                                     "supported (no reference config uses it)")
+                hflip = float(item.get("hflip_prob", 0.0))
+                if item.get("fast_rrc"):
+                    s, scale = item.get("rrc_params", (224, (0.5, 1.0)))
+                    fused_crop = dict(mode="rrc", size=int(s),
+                                      scale=tuple(scale), hflip=hflip)
+                elif item.get("fast_msc"):
+                    s = item.get("msc_params", (224,))[0]
+                    fused_crop = dict(mode="msc", size=int(s), hflip=hflip)
+                elif item.get("fast_rcc"):
+                    s = item.get("cc_params", (224,))[0]
+                    fused_crop = dict(mode="rcc", size=int(s), hflip=hflip)
+                else:
+                    # fused decode+resize: honor the short-side hint
+                    sc = item.get("scale") or item.get("short_side")
+                    if sc:
+                        fused_short_side = int(
+                            sc if np.isscalar(sc) else max(sc))
             continue
         if t in _DECODE_OPS or t in _NOOPS:
             continue
@@ -365,4 +448,5 @@ def build_sample_processor(pipeline_cfg: Sequence[Dict[str, Any]],
     return SampleProcessor(sampler=sampler, steps=steps, mean=mean, std=std,
                            to_bgr=to_bgr, test_mode=bool(test_mode),
                            io_backend=io_backend,
-                           decode_short_side=fused_short_side)
+                           decode_short_side=fused_short_side,
+                           fused_crop=fused_crop)

@@ -37,7 +37,10 @@ def resize_clip(clip: np.ndarray, size_wh: Tuple[int, int],
     w, h = size_wh
     if clip.shape[1] == h and clip.shape[2] == w:
         return clip
-    return np.stack([cv2.resize(f, (w, h), interpolation=interp) for f in clip])
+    out = np.empty((clip.shape[0], h, w) + clip.shape[3:], dtype=clip.dtype)
+    for i in range(clip.shape[0]):
+        cv2.resize(clip[i], (w, h), dst=out[i], interpolation=interp)
+    return out
 
 
 def rescale_short_side(clip: np.ndarray, short_side: int) -> np.ndarray:

@@ -160,6 +160,8 @@ class RawFrameReader(VideoReader):
 class SyntheticVideoReader(VideoReader):
     """Deterministic procedural frames — tests and input-pipeline benchmarks."""
 
+    _base_cache: dict = {}
+
     def __init__(self, num_frames: int = 300, height: int = 256,
                  width: int = 340, seed: int = 0):
         self.num_frames = num_frames
@@ -170,11 +172,18 @@ class SyntheticVideoReader(VideoReader):
     def get_frames(self, indices: Sequence[int]) -> np.ndarray:
         idx = np.asarray(indices, dtype=np.int64)
         h, w = self.height, self.width
-        yy = np.arange(h)[None, :, None, None]
-        xx = np.arange(w)[None, None, :, None]
-        tt = idx[:, None, None, None]
-        base = (yy * 3 + xx * 7 + tt * 11 + self.seed) % 256
-        return np.broadcast_to(base, (len(idx), h, w, 3)).astype(np.uint8)
+        # (yy*3 + xx*7 + tt*11 + seed) % 256, exploiting uint8 wraparound:
+        # the spatial pattern is cached and each frame is one uint8 add
+        base = self._base_cache.get((h, w))
+        if base is None:
+            yy = np.arange(h)[:, None]
+            xx = np.arange(w)[None, :]
+            base2d = ((yy * 3 + xx * 7) % 256).astype(np.uint8)
+            base = np.repeat(base2d[:, :, None], 3, axis=2)  # (H, W, 3)
+            self._base_cache[(h, w)] = base
+        offs = ((idx * 11 + self.seed) % 256).astype(np.uint8)
+        # single contiguous uint8 add; wraparound == % 256
+        return base[None] + offs[:, None, None, None]
 
 
 def open_video(source, short_side: Optional[int] = None,

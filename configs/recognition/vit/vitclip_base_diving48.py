@@ -15,25 +15,22 @@ ann_file_val = "data/diving48/diving48_val_list_videos.txt"
 img_norm_cfg = dict(
     mean=[122.769, 116.74, 104.04], std=[68.493, 66.63, 70.321], to_bgr=False)
 
+# reference vitclip_base_diving48.py:32-53: fused-decord in-decoder
+# RandomResizedCrop+flip (train) / center crop (eval), 32x16x1 uniform
 train_pipeline = [
-    dict(type="DecordInit"),
-    dict(type="SampleFrames", clip_len=32, frame_interval=2, num_clips=1,
+    dict(type="FusedDecordInit", fast_rrc=True, rrc_params=(224, (0.5, 1.0)),
+         hflip_prob=0.5),
+    dict(type="SampleFrames", clip_len=32, frame_interval=16, num_clips=1,
          frame_uniform=True),
     dict(type="DecordDecode"),
-    dict(type="Resize", scale=(-1, 256)),
-    dict(type="RandomResizedCrop"),
-    dict(type="Resize", scale=(224, 224), keep_ratio=False),
-    dict(type="Flip", flip_ratio=0.5),
     dict(type="Normalize", **img_norm_cfg),
     dict(type="FormatShape", input_format="NCTHW"),
 ]
 test_pipeline = [
-    dict(type="DecordInit"),
-    dict(type="SampleFrames", clip_len=32, frame_interval=2, num_clips=1,
+    dict(type="FusedDecordInit", fast_rcc=True, cc_params=(224,)),
+    dict(type="SampleFrames", clip_len=32, frame_interval=16, num_clips=1,
          frame_uniform=True, test_mode=True),
     dict(type="DecordDecode"),
-    dict(type="Resize", scale=(-1, 224)),
-    dict(type="CenterCrop", crop_size=224),
     dict(type="Normalize", **img_norm_cfg),
     dict(type="FormatShape", input_format="NCTHW"),
 ]

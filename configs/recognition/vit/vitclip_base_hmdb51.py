@@ -1,8 +1,10 @@
-# AIM ViT-B/16, HMDB51 split 1 (reference vitclip_base_hmdb51.py)
+# AIM ViT-B/16, HMDB51 split 1 (reference vitclip_base_hmdb51.py:33-70:
+# fused-decord decode with in-decoder RandomResizedCrop+flip for train and
+# center-crop for eval, 32x16x1 uniform sampling)
 _base_ = ["./vitclip_base_k400.py"]
 
 model = dict(
-    backbone=dict(num_frames=16),
+    backbone=dict(num_frames=32),
     cls_head=dict(num_classes=51),
     test_cfg=dict(max_testing_views=None),
 )
@@ -15,23 +17,19 @@ img_norm_cfg = dict(
     mean=[122.769, 116.74, 104.04], std=[68.493, 66.63, 70.321], to_bgr=False)
 
 train_pipeline = [
-    dict(type="DecordInit"),
-    dict(type="SampleFrames", clip_len=16, frame_interval=4, num_clips=1),
+    dict(type="FusedDecordInit", fast_rrc=True, rrc_params=(224, (0.5, 1.0)),
+         hflip_prob=0.5),
+    dict(type="SampleFrames", clip_len=32, frame_interval=16, num_clips=1,
+         frame_uniform=True),
     dict(type="DecordDecode"),
-    dict(type="Resize", scale=(-1, 256)),
-    dict(type="RandomResizedCrop"),
-    dict(type="Resize", scale=(224, 224), keep_ratio=False),
-    dict(type="Flip", flip_ratio=0.5),
     dict(type="Normalize", **img_norm_cfg),
     dict(type="FormatShape", input_format="NCTHW"),
 ]
 test_pipeline = [
-    dict(type="DecordInit"),
-    dict(type="SampleFrames", clip_len=16, frame_interval=4, num_clips=3,
-         test_mode=True),
+    dict(type="FusedDecordInit", fast_rcc=True, cc_params=(224,)),
+    dict(type="SampleFrames", clip_len=32, frame_interval=16, num_clips=1,
+         frame_uniform=True, test_mode=True),
     dict(type="DecordDecode"),
-    dict(type="Resize", scale=(-1, 224)),
-    dict(type="CenterCrop", crop_size=224),
     dict(type="Normalize", **img_norm_cfg),
     dict(type="FormatShape", input_format="NCTHW"),
 ]
