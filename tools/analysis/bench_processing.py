@@ -25,7 +25,10 @@ def main():
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--synthetic", action="store_true",
                    help="benchmark over synthetic videos instead of the "
-                        "config's dataset")
+                        "config's dataset (procedural frames, no codec)")
+    p.add_argument("--encode", action="store_true",
+                   help="encode real mp4v 240p clips to a temp dir and "
+                        "benchmark the full decode path over them")
     args = p.parse_args()
 
     from adapt_image_models_tpu.config import Config
@@ -35,7 +38,28 @@ def main():
     cfg = Config.fromfile(args.config)
     ds_cfg = dict(cfg["data"]["train"])
     pipeline = ds_cfg.pop("pipeline")
-    if args.synthetic:
+    if args.encode:
+        import cv2
+        import numpy as np
+        d = tempfile.mkdtemp()
+        rng = np.random.default_rng(0)
+        base = cv2.GaussianBlur(
+            rng.integers(0, 255, (240, 320, 3)).astype(np.uint8), (11, 11), 5)
+        paths = []
+        for v in range(8):
+            path = os.path.join(d, f"v{v}.mp4")
+            w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30,
+                                (320, 240))
+            for i in range(300):
+                w.write(np.roll(base, i * 2 + v, axis=1))
+            w.release()
+            paths.append(path)
+        ann = os.path.join(d, "ann.txt")
+        with open(ann, "w") as f:
+            f.write("\n".join(f"{paths[i % len(paths)]} 0"
+                              for i in range(256)))
+        dataset = VideoDataset(ann, pipeline)
+    elif args.synthetic:
         ann = os.path.join(tempfile.mkdtemp(), "ann.txt")
         with open(ann, "w") as f:
             f.write("\n".join(f"synthetic://{i} 0" for i in range(256)))
