@@ -29,12 +29,17 @@ from adapt_image_models_tpu.data.video_reader import open_video
 
 _DECODE_INITS = ("DecordInit", "OpenCVInit", "PyAVInit", "FusedDecordInit")
 _DECODE_OPS = ("DecordDecode", "OpenCVDecode", "PyAVDecode", "RawFrameDecode",
-               "ImageDecode")
+               "ImageDecode", "FrameSelector")  # FrameSelector: legacy alias
+                                                # of RawFrameDecode
+                                                # (loading.py:1451)
 # 'Fuse' is the reference's lazy-op materializer (augmentations.py:466):
 # its lazy crop/flip bookkeeping is consciously superseded by this module's
 # two-stage design (host bbox math compiled separately from the pixel ops),
-# so the step is accepted as a no-op for config parity
-_NOOPS = ("Collect", "ToTensor", "FormatShape", "Fuse")
+# so the step is accepted as a no-op for config parity. 'Rename' /
+# 'ToDataContainer' / 'ImageToTensor' only shuffle the torch runner's
+# results-dict plumbing (formatting.py) — nothing to do here.
+_NOOPS = ("Collect", "ToTensor", "FormatShape", "Fuse", "Rename",
+          "ToDataContainer", "ImageToTensor")
 
 
 @dataclasses.dataclass
@@ -271,6 +276,13 @@ class SampleProcessor:
                         do = (not self.test_mode and ratio
                               and rng.random() < ratio)
                     new_views.append(TH.flip_clip(v) if do else v)
+                elif name == "BuildPseudoClip":
+                    # single image -> clip_len repeats (loading.py:1422;
+                    # OmniSource web-image sources feeding 3D recognizers)
+                    if v.shape[0] != 1:
+                        raise ValueError("BuildPseudoClip expects single-"
+                                         f"frame clips, got T={v.shape[0]}")
+                    new_views.append(np.repeat(v, kw["clip_len"], axis=0))
                 elif name == "RandAugment":
                     from adapt_image_models_tpu.data.randaugment import rand_augment
                     new_views.append(rand_augment(rng, v, n=kw.get("n", 4),
@@ -417,6 +429,9 @@ def build_sample_processor(pipeline_cfg: Sequence[Dict[str, Any]],
             raise ValueError(
                 f"unsupported PytorchVideoWrapper op {op!r} (RandAugment "
                 "is supported natively; AugMix has no equivalent here)")
+        if t == "BuildPseudoClip":
+            steps.append((t, dict(clip_len=int(item["clip_len"]))))
+            continue
         if t == "Flip":
             steps.append((t, dict(flip_ratio=item.get("flip_ratio", 0.5),
                                   flip_label_map=item.get("flip_label_map"))))

@@ -3,7 +3,7 @@ from adapt_image_models_tpu.models.losses.cross_entropy import (
     binary_cross_entropy_with_logits,
 )
 from adapt_image_models_tpu.models.losses.bmn_loss import (
-    BMNLoss, binary_logistic_loss,
+    BMNLoss, BinaryLogisticRegressionLoss, binary_logistic_loss,
 )
 from adapt_image_models_tpu.models.losses.ssn_loss import (
     SSNLoss, ohem_hinge_loss, sampler_layout,

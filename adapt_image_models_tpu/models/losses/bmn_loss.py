@@ -76,6 +76,17 @@ def pem_cls_loss(pred_cls: jax.Array, gt_iou: jax.Array, bm_mask: jax.Array,
 
 
 @LOSSES.register_module()
+class BinaryLogisticRegressionLoss:
+    """Registry wrapper over :func:`binary_logistic_loss` (reference
+    ``binary_logistic_regression_loss.py:32`` — used standalone by TEM
+    configs and internally by BMN)."""
+
+    def __call__(self, reg_score: jax.Array, label: jax.Array,
+                 threshold: float = 0.5) -> jax.Array:
+        return binary_logistic_loss(reg_score, label, threshold)
+
+
+@LOSSES.register_module()
 class BMNLoss:
     """loss = tem + 10 * pem_reg + pem_cls (reference weighting)."""
 

@@ -238,3 +238,26 @@ def test_pytorchvideo_wrapper_and_fuse():
             dict(type="Normalize", mean=[0, 0, 0], std=[1, 1, 1]),
             dict(type="FormatShape", input_format="NCHW"),
         ])
+
+
+def test_build_pseudo_clip_and_aliases():
+    """BuildPseudoClip repeats a 1-frame image into a clip (reference
+    loading.py:1422, OmniSource web-image -> 3D recognizer); FrameSelector /
+    Rename / ToDataContainer are accepted aliases/no-ops."""
+    from adapt_image_models_tpu.data.pipeline import build_sample_processor
+
+    proc = build_sample_processor([
+        dict(type="FrameSelector"),
+        dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=1),
+        dict(type="Resize", scale=(32, 32), keep_ratio=False),
+        dict(type="BuildPseudoClip", clip_len=8),
+        dict(type="Rename", mapping=dict(imgs="imgs")),
+        dict(type="ToDataContainer", fields=[]),
+        dict(type="Normalize", mean=[0, 0, 0], std=[1, 1, 1]),
+        dict(type="FormatShape", input_format="NCTHW"),
+    ])
+    clips, label = proc("synthetic://0", 3, rng=np.random.default_rng(0))
+    assert clips.shape == (1, 8, 32, 32, 3) and label == 3
+    # every pseudo frame is the same image
+    for t in range(1, 8):
+        np.testing.assert_array_equal(clips[0, t], clips[0, 0])
