@@ -42,6 +42,8 @@ def _load_lib():
     lib.aim_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
     lib.aim_num_frames.restype = ctypes.c_long
     lib.aim_num_frames.argtypes = [ctypes.c_void_p]
+    lib.aim_avg_fps.restype = ctypes.c_double
+    lib.aim_avg_fps.argtypes = [ctypes.c_void_p]
     lib.aim_frame_size.restype = ctypes.c_int
     lib.aim_frame_size.argtypes = [ctypes.c_void_p,
                                    ctypes.POINTER(ctypes.c_int),
@@ -81,6 +83,7 @@ class CppVideoReader(VideoReader):
             raise IOError(f"cannot open video {path}")
         self.path = path
         self.num_frames = int(lib.aim_num_frames(self._handle))
+        self.avg_fps = float(lib.aim_avg_fps(self._handle)) or 30.0
         h = ctypes.c_int()
         w = ctypes.c_int()
         lib.aim_frame_size(self._handle, ctypes.byref(h), ctypes.byref(w))
