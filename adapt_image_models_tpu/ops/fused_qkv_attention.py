@@ -31,6 +31,7 @@ VMEM budget per cell (ViT-B: N_pad=208, D=768, bf16):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -45,11 +46,29 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# LN moment-reduction strategy inside the kernels. 'vpu' (default) reduces
+# across lanes on the VPU; 'mxu' computes mean/E[x^2] via (D, 8) ones-
+# matmuls on the MXU — same math, different reduction order (uncentered
+# variance, fp32 throughout; diffs are ~1 ulp at activation scales). The
+# in-kernel knockout sweep (tools/analysis/knockout_spatial_kernel.py,
+# 'fastln') stages the on-chip A/B; flip AIM_KERNEL_LN=mxu to productionize
+# if it measures a win. Read once at import: kernels are traced under jit.
+_LN_MODE = os.environ.get("AIM_KERNEL_LN", "vpu")
+
+
 def _kernel_layernorm(x, scale_ref, bias_ref, dtype, eps: float = 1e-5):
     """fp32 LayerNorm in VMEM (matches models.layers.LayerNormFP32)."""
     x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    if _LN_MODE == "mxu":
+        d = x.shape[-1]
+        ones = jnp.full((d, 8), 1.0 / d, jnp.float32)
+        mean = jnp.dot(x32, ones, preferred_element_type=jnp.float32)[:, :1]
+        meansq = jnp.dot(jnp.square(x32), ones,
+                         preferred_element_type=jnp.float32)[:, :1]
+        var = meansq - jnp.square(mean)
+    else:
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
     y = (x32 - mean) * jax.lax.rsqrt(var + eps)
     y = y * scale_ref[...].astype(jnp.float32) + bias_ref[...].astype(jnp.float32)
     return y.astype(dtype)

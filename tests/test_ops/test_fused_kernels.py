@@ -448,3 +448,33 @@ def test_bwd_dispatch_selects_pallas_at_flagship_widths():
     assert _bwd_vmem_fits(197, 768)     # ViT-B spatial
     assert _bwd_vmem_fits(208, 768)     # padded-through variant
     assert not _bwd_vmem_fits(257, 1024)  # ViT-L -> XLA-remat fallback
+
+
+def test_kernel_layernorm_mxu_mode_matches_vpu():
+    """AIM_KERNEL_LN=mxu (ones-matmul moment reductions, the knockout
+    sweep's 'fastln' candidate) computes the same LN as the default VPU
+    reduction to fp32 roundoff."""
+    import numpy as np
+    from adapt_image_models_tpu.ops import fused_qkv_attention as fqa
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(64, 768)), jnp.bfloat16)
+    scale = jnp.asarray(rng.normal(size=(768,)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(768,)), jnp.float32)
+
+    class _Ref:
+        def __init__(self, v):
+            self.v = v
+        def __getitem__(self, _):
+            return self.v
+
+    old = fqa._LN_MODE
+    try:
+        fqa._LN_MODE = "vpu"
+        ref = fqa._kernel_layernorm(x, _Ref(scale), _Ref(bias), jnp.float32)
+        fqa._LN_MODE = "mxu"
+        got = fqa._kernel_layernorm(x, _Ref(scale), _Ref(bias), jnp.float32)
+    finally:
+        fqa._LN_MODE = old
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
