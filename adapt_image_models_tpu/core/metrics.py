@@ -35,6 +35,13 @@ def confusion_matrix(y_pred: np.ndarray, y_real: np.ndarray,
     return mat
 
 
+def get_weighted_score(score_list, coeff_list):
+    """Late-fusion weighted sum of per-model score arrays (reference
+    ``accuracy.py:389-409``): sum_i coeff_i * score_i."""
+    assert len(score_list) == len(coeff_list)
+    return sum(np.asarray(s) * c for s, c in zip(score_list, coeff_list))
+
+
 def top_k_accuracy(scores: np.ndarray, labels: np.ndarray,
                    topk: Sequence[int] = (1,)) -> list:
     """(reference ``accuracy.py:90-110``)."""

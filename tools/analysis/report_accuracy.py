@@ -27,12 +27,13 @@ def main():
     args = p.parse_args()
 
     from adapt_image_models_tpu.core.metrics import (
-        top_k_accuracy, mean_class_accuracy,
+        top_k_accuracy, mean_class_accuracy, get_weighted_score,
     )
 
     loaded = [np.load(s) for s in args.scores]
     weights = args.weights or [1.0] * len(loaded)
-    fused = sum(w * d["scores"] for w, d in zip(weights, loaded)) / sum(weights)
+    fused = get_weighted_score([d["scores"] for d in loaded],
+                               weights) / sum(weights)
 
     labels = None
     for d in loaded:
