@@ -55,6 +55,13 @@ def _round_up(x: int, m: int) -> int:
 # if it measures a win. Read once at import: kernels are traced under jit.
 _LN_MODE = os.environ.get("AIM_KERNEL_LN", "vpu")
 
+# Eval-cell softmax layout: 'stacked' (default, heads concatenated so
+# mask/max/exp/sum run as few large VPU ops) or 't' (transposed scores,
+# sublane-direction reductions — the knockout 'softmax_t' candidate).
+# Read once at import; eval cells only (train cells keep exact per-head
+# chains, see _attention_body).
+_SOFTMAX_MODE = os.environ.get("AIM_EVAL_SOFTMAX", "stacked")
+
 
 def _kernel_layernorm(x, scale_ref, bias_ref, dtype, eps: float = 1e-5):
     """fp32 LayerNorm in VMEM (matches models.layers.LayerNormFP32)."""
@@ -181,6 +188,40 @@ def _attention_body(x, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
     q_all = qkv[:, :d]
     if prescale:
         q_all = (q_all.astype(jnp.float32) * scale).astype(qkv.dtype)
+
+    if _SOFTMAX_MODE == "t":
+        # TRANSPOSED scores (knockout 'softmax_t' candidate): S_T
+        # (keys, queries) = K @ Q^T so the softmax max/sum reduce over
+        # SUBLANES (the fast VPU direction) instead of lanes, and AV
+        # contracts P_T's sublane dim directly. Flip AIM_EVAL_SOFTMAX=t to
+        # productionize if the on-chip A/B measures a win.
+        keymask_t = None
+        if l_actual < lp:
+            row = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 0)
+            keymask_t = jnp.where(row < l_actual, jnp.float32(0.0),
+                                  jnp.float32(MASK_VALUE))
+        outs = []
+        for h in range(heads):
+            q = q_all[:, h * hd:(h + 1) * hd]
+            k = qkv[:, d + h * hd:d + (h + 1) * hd]
+            v = qkv[:, 2 * d + h * hd:2 * d + (h + 1) * hd]
+            st = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            if not prescale:
+                st = st * scale
+            if keymask_t is not None:
+                st = st + keymask_t
+            m = jnp.max(st, axis=0, keepdims=True)
+            p = jnp.exp(st - m)
+            denom = jnp.sum(p, axis=0, keepdims=True)
+            o_h = jax.lax.dot_general(p.astype(v.dtype), v,
+                                      (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32) \
+                / denom.reshape(-1, 1)
+            outs.append(o_h.astype(x.dtype))
+        out = jnp.concatenate(outs, axis=1)
+        y = jnp.dot(out, wout_ref[...], preferred_element_type=jnp.float32)
+        return y + bout_ref[...].astype(jnp.float32)
 
     # key-padding mask depends only on the column -> one (8, lp) strip
     # broadcast-adds over any chunk's stacked rows (computed once, outside

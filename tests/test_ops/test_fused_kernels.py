@@ -478,3 +478,30 @@ def test_kernel_layernorm_mxu_mode_matches_vpu():
         fqa._LN_MODE = old
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_eval_softmax_t_mode_matches_stacked():
+    """AIM_EVAL_SOFTMAX=t (transposed scores, sublane reductions — the
+    knockout 'softmax_t' candidate) matches the stacked default through
+    the public fused op, including padded-token masking (L=197 pads to
+    a lane multiple inside the kernel)."""
+    import numpy as np
+    from adapt_image_models_tpu.ops import fused_qkv_attention as fqa
+
+    x = _rand((2, 197, D), 10)
+    wqkv = _rand((D, 3 * D), 11) * 0.05
+    bqkv = _rand((3 * D,), 12) * 0.05
+    wout = _rand((D, D), 13) * 0.05
+    bout = _rand((D,), 14) * 0.05
+    old = fqa._SOFTMAX_MODE
+    try:
+        fqa._SOFTMAX_MODE = "stacked"
+        with pltpu.force_tpu_interpret_mode():
+            ref = fused_qkv_attention(x, wqkv, bqkv, wout, bout, H)
+        fqa._SOFTMAX_MODE = "t"
+        with pltpu.force_tpu_interpret_mode():
+            got = fused_qkv_attention(x, wqkv, bqkv, wout, bout, H)
+    finally:
+        fqa._SOFTMAX_MODE = old
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
