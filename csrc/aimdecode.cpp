@@ -47,9 +47,9 @@ struct Reader {
   AVFormatContext* fmt = nullptr;
   AVCodecContext* codec = nullptr;
   SwsContext* sws = nullptr;
-  // crop-path scaler, cached on (crop_w, crop_h, out_w, out_h)
+  // crop-path scaler, cached on (crop_w, crop_h, out_w, out_h, pix_fmt)
   SwsContext* crop_sws = nullptr;
-  int crop_key[4] = {0, 0, 0, 0};
+  int crop_key[5] = {0, 0, 0, 0, -1};
   AVFrame* frame = nullptr;
   AVPacket* pkt = nullptr;
   int stream_index = -1;
@@ -207,7 +207,8 @@ int convert_out_crop(Reader* r, const CropSpec& s, uint8_t* dst) {
   if (!crop_supported(fmt)) return -1;
   const AVPixFmtDescriptor* d = av_pix_fmt_desc_get(fmt);
   if (!r->crop_sws || r->crop_key[0] != s.cw || r->crop_key[1] != s.ch ||
-      r->crop_key[2] != s.ow || r->crop_key[3] != s.oh) {
+      r->crop_key[2] != s.ow || r->crop_key[3] != s.oh ||
+      r->crop_key[4] != (int)fmt) {
     if (r->crop_sws) sws_freeContext(r->crop_sws);
     r->crop_sws = sws_getContext(s.cw, s.ch, fmt, s.ow, s.oh,
                                  AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr,
@@ -215,6 +216,7 @@ int convert_out_crop(Reader* r, const CropSpec& s, uint8_t* dst) {
     if (!r->crop_sws) return -1;
     r->crop_key[0] = s.cw; r->crop_key[1] = s.ch;
     r->crop_key[2] = s.ow; r->crop_key[3] = s.oh;
+    r->crop_key[4] = (int)fmt;
   }
   const uint8_t* src_data[4] = {nullptr, nullptr, nullptr, nullptr};
   for (int p = 0; p < 4 && r->frame->data[p]; ++p) {
