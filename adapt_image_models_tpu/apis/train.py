@@ -17,6 +17,8 @@ TPU mapping of the reference stack:
 
 from __future__ import annotations
 
+import signal
+import threading
 import time
 from typing import Any, Dict, Optional
 
@@ -238,9 +240,41 @@ def train_model(cfg: Dict[str, Any], work_dir: Optional[str] = None,
     ckpt_interval = int((cfg.get("checkpoint_config") or {}).get("interval", 1))
     log_interval = int((cfg.get("log_config") or {}).get("interval", 20))
 
+    # Preemption safety (TPU fleets send SIGTERM before reclaiming a VM):
+    # the handler only sets a flag; the loop checkpoints the CURRENT epoch
+    # at the next step boundary and returns cleanly, so `auto_resume`
+    # replays the partial epoch with the optimizer step count (and thus
+    # the LR schedule) intact. Signal handlers only install on the main
+    # thread — nested/threaded callers just skip the feature.
+    preempted = threading.Event()
+    prev_handler = None
+    if threading.current_thread() is threading.main_thread():
+        def _on_sigterm(signum, frame):
+            logger.warning("SIGTERM received — checkpointing for a "
+                           "preemption-safe exit")
+            preempted.set()
+        prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+
     base_rng = jax.random.PRNGKey(seed + 1)
     global_step = 0
     history = []
+    try:
+        return _train_loop(cfg, state, train_step, loader, mesh, ckpt_mgr,
+                           logger, schedule, update_interval, start_epoch,
+                           total_epochs, eval_interval, eval_cfg,
+                           ckpt_interval, log_interval, base_rng,
+                           global_step, history, max_steps, model,
+                           validate, preempted)
+    finally:
+        if prev_handler is not None:
+            signal.signal(signal.SIGTERM, prev_handler)
+
+
+def _train_loop(cfg, state, train_step, loader, mesh, ckpt_mgr, logger,
+                schedule, update_interval, start_epoch, total_epochs,
+                eval_interval, eval_cfg, ckpt_interval, log_interval,
+                base_rng, global_step, history, max_steps, model,
+                validate, preempted):
     with mesh:
         for epoch in range(start_epoch, total_epochs):
             loader.set_epoch(epoch)
@@ -252,6 +286,12 @@ def train_model(cfg: Dict[str, Any], work_dir: Optional[str] = None,
                 state, metrics = train_step(state, device_batch, base_rng)
                 n_clips += batch["imgs"].shape[0] * batch["imgs"].shape[1]
                 global_step += 1
+                if preempted.is_set():
+                    ckpt_mgr.save(state, epoch)  # resume replays this epoch
+                    logger.info(
+                        f"preempted at epoch {epoch + 1} iter {i + 1}: "
+                        f"checkpoint saved, exiting cleanly")
+                    return state, history
                 if (i + 1) % log_interval == 0 or i + 1 == len(loader):
                     m = {k: float(v) for k, v in
                          jax.device_get(metrics).items()}

@@ -293,3 +293,52 @@ def test_overfit_tiny_synthetic_set():
     assert np.isfinite(final_loss)
     assert final_loss < 0.25 * first_loss, (first_loss, final_loss)
     assert float(metrics["top1_acc"]) == 1.0, float(metrics["top1_acc"])
+
+
+def test_sigterm_preemption_checkpoints_and_resumes(tmp_path, ann):
+    """TPU preemption safety: SIGTERM mid-training saves a checkpoint of
+    the CURRENT epoch and returns cleanly; auto_resume replays it with the
+    optimizer step count (LR schedule) intact."""
+    import os
+    import signal
+    import threading
+
+    cfg = tiny_cfg(tmp_path, ann)
+    cfg["total_epochs"] = 50  # far more than the timer lets us run
+
+    import time as _time
+    stop = threading.Event()
+
+    def _kill_when_armed():
+        # wait until train_model has installed its handler, else the
+        # default action would kill the test process
+        for _ in range(600):
+            if stop.is_set():
+                return
+            if signal.getsignal(signal.SIGTERM) not in (
+                    signal.SIG_DFL, signal.default_int_handler, None):
+                break
+            _time.sleep(0.05)
+        os.kill(os.getpid(), signal.SIGTERM)
+
+    killer = threading.Thread(target=_kill_when_armed, daemon=True)
+    killer.start()
+    try:
+        state, history = train_model(cfg, validate=False, seed=0)
+    finally:
+        stop.set()
+    steps_done = int(jax.device_get(state.step))
+    assert steps_done > 0, "no step completed before checkpointing"
+
+    mgr = CheckpointManager(cfg["work_dir"])
+    latest = mgr.latest_epoch()
+    assert latest is not None and latest < 50, \
+        "preemption checkpoint missing or training ran to completion"
+    # the default handler is restored after train_model
+    assert signal.getsignal(signal.SIGTERM) in (signal.SIG_DFL,
+                                                signal.default_int_handler)
+
+    # resume: optimizer step count carried over, training continues
+    cfg["total_epochs"] = latest + 1  # finish just the replayed epoch
+    state2, _ = train_model(cfg, validate=False, seed=0, auto_resume=True)
+    assert int(jax.device_get(state2.step)) > steps_done
