@@ -106,6 +106,24 @@ class CheckpointManager:
     def latest_epoch(self) -> Optional[int]:
         return self._read_meta().get("latest")
 
+    def restore_variables(self, epoch: Optional[int] = None
+                          ) -> Dict[str, Any]:
+        """Restore a checkpoint into a flax ``variables`` dict
+        (``{'params': ..., <model_state collections>...}``) without a
+        TrainState template — the inference/demo load path. ``epoch``
+        also accepts the tag ``'best'``."""
+        if epoch is None:
+            epoch = self.latest_epoch()
+            if epoch is None:
+                raise FileNotFoundError(f"no checkpoints in {self.work_dir}")
+        from adapt_image_models_tpu.parallel.partition import merge_params
+        tree = self._ckpt.restore(self._path(epoch))
+        variables = {"params": merge_params(tree["trainable"],
+                                            tree["frozen"])}
+        for coll, sub in (tree.get("model_state") or {}).items():
+            variables[coll] = sub
+        return variables
+
     def restore(self, state, epoch: Optional[int] = None):
         """Restore into the structure of ``state``; returns (state, epoch)."""
         if epoch is None:

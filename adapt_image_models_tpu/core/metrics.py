@@ -104,17 +104,26 @@ def mean_average_precision(scores: np.ndarray, labels_onehot: np.ndarray,
     return float(np.mean(aps))
 
 
-def pairwise_temporal_iou(candidates: np.ndarray,
-                          gts: np.ndarray) -> np.ndarray:
-    """(N, 2) x (M, 2) -> (M, N) tIoU matrix (reference ``accuracy.py:218+``)."""
+def pairwise_temporal_iou(candidates: np.ndarray, gts: np.ndarray,
+                          calculate_overlap_self: bool = False):
+    """(N, 2) x (M, 2) -> (M, N) tIoU matrix (reference ``accuracy.py:218+``).
+
+    With ``calculate_overlap_self`` also returns the (M, N)
+    intersection / candidate_length ratio (reference's flag; consumed by
+    the SSN proposal-format converter)."""
     candidates = np.asarray(candidates, np.float64)
     gts = np.asarray(gts, np.float64)
     c0, c1 = candidates[:, 0], candidates[:, 1]
     out = np.empty((len(gts), len(candidates)))
+    self_out = np.empty_like(out) if calculate_overlap_self else None
     for i, (g0, g1) in enumerate(gts):
         inter = np.maximum(0, np.minimum(c1, g1) - np.maximum(c0, g0))
         union = (c1 - c0) + (g1 - g0) - inter
         out[i] = np.where(union > 0, inter / np.maximum(union, 1e-10), 0)
+        if calculate_overlap_self:
+            self_out[i] = inter / np.maximum(c1 - c0, 1e-10)
+    if calculate_overlap_self:
+        return out, self_out
     return out
 
 

@@ -72,7 +72,9 @@ def _kernel_layernorm(x, scale_ref, bias_ref, dtype, eps: float = 1e-5):
         mean = jnp.dot(x32, ones, preferred_element_type=jnp.float32)[:, :1]
         meansq = jnp.dot(jnp.square(x32), ones,
                          preferred_element_type=jnp.float32)[:, :1]
-        var = meansq - jnp.square(mean)
+        # uncentered variance can dip negative from fp32 cancellation on
+        # near-constant rows; clamp before rsqrt
+        var = jnp.maximum(meansq - jnp.square(mean), 0.0)
     else:
         mean = jnp.mean(x32, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)

@@ -204,7 +204,9 @@ bool crop_supported(AVPixelFormat fmt) {
 
 int convert_out_crop(Reader* r, const CropSpec& s, uint8_t* dst) {
   AVPixelFormat fmt = (AVPixelFormat)r->frame->format;
-  if (!crop_supported(fmt)) return -1;
+  // a mid-stream format change to something un-croppable must surface as
+  // the documented rc=-6 so the caller takes the host fallback
+  if (!crop_supported(fmt)) return -6;
   const AVPixFmtDescriptor* d = av_pix_fmt_desc_get(fmt);
   if (!r->crop_sws || r->crop_key[0] != s.cw || r->crop_key[1] != s.ch ||
       r->crop_key[2] != s.ow || r->crop_key[3] != s.oh ||
@@ -301,9 +303,10 @@ int fetch_frames(Reader* r, const long* indices, int n, size_t frame_bytes,
       }
       r->next_frame = idx + 1;
       if (idx >= target) {
-        if (convert(r, out + (size_t)i * frame_bytes) < 0) {
+        int cv = convert(r, out + (size_t)i * frame_bytes);
+        if (cv < 0) {
           set_error("frame conversion failed");
-          return -5;
+          return cv == -6 ? -6 : -5;  // -6 = take the host fallback
         }
         last_decoded = idx;
         last_out = (size_t)i * frame_bytes;

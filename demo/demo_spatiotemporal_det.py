@@ -108,7 +108,9 @@ def main():
     if args.checkpoint:
         from adapt_image_models_tpu.core.checkpoint import CheckpointManager
         mgr = CheckpointManager(os.path.dirname(args.checkpoint) or ".")
-        variables = mgr.restore(variables)
+        tag = os.path.basename(args.checkpoint).replace("ckpt_", "")
+        variables = mgr.restore_variables(
+            tag if tag == "best" else int(tag))
     fwd = jax.jit(lambda v, x, b: model.apply(v, x, b))
 
     annos = {}

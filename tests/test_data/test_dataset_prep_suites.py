@@ -259,13 +259,24 @@ def test_anet_convert_proposal_format(anet_root, monkeypatch, tmp_path):
         "--activity-index-file", str(idx), "--proposal-file", str(prop),
         "--formatted-proposal-file", str(out)])
     tool.main()
-    text = out.read_text().splitlines()
-    assert text[0] == "#0" and text[1] == "abc" and text[2] == "100"
-    assert text[4] == "1" and text[6] == "2"  # 1 gt, 2 proposals
-    # perfect-overlap proposal gets label 1 (Surfing), iou/overlap 1.0
-    assert text[7].split()[:3] == ["1", "1.0", "1.0"]
-    # the disjoint 7-9s proposal matches nothing
-    assert text[8].split()[:3] == ["0", "0", "0"]
+    # the output must round-trip through the in-repo SSN loader with
+    # CONSISTENT units: num_frames = field1 * field2, frame boundaries
+    from adapt_image_models_tpu.core.ssn_utils import (
+        load_localize_proposal_file,
+    )
+    infos = load_localize_proposal_file(str(out))
+    assert [v[0] for v in infos] == ["abc", "def"]
+    video_id, num_frames, gts, props = infos[0]
+    assert num_frames == 100  # duration 10 s at 10 fps
+    # gt: Surfing (1-based label 2) at frames 10..40
+    assert [int(x) for x in gts[0]] == [2, 10, 40]
+    assert len(props) == 2
+    # perfect-overlap proposal: label 2, iou/overlap 1.0, frames 10..40
+    lbl, iou, ov, s, e = props[0]
+    assert int(lbl) == 2 and float(iou) == 1.0 and float(ov) == 1.0
+    assert (int(s), int(e)) == (10, 40)
+    # the disjoint 7-9s proposal matches nothing -> background sentinel 0
+    assert [x for x in props[1][:3]] == ["0", "0", "0"]
 
 
 def test_anet_feature_postprocessing(tmp_path, monkeypatch):

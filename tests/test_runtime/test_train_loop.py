@@ -342,3 +342,30 @@ def test_sigterm_preemption_checkpoints_and_resumes(tmp_path, ann):
     cfg["total_epochs"] = latest + 1  # finish just the replayed epoch
     state2, _ = train_model(cfg, validate=False, seed=0, auto_resume=True)
     assert int(jax.device_get(state2.step)) > steps_done
+
+
+def test_restore_variables_for_inference(tmp_path, ann):
+    """CheckpointManager.restore_variables loads a checkpoint into a flax
+    variables dict without a TrainState template (the demo/inference load
+    path — mgr.restore(variables) used to crash on .trainable)."""
+    cfg = tiny_cfg(tmp_path, ann)
+    cfg["total_epochs"] = 1
+    state, _ = train_model(cfg, validate=False, seed=0)
+
+    mgr = CheckpointManager(cfg["work_dir"])
+    variables = mgr.restore_variables()
+    assert "params" in variables
+    for a, b in zip(jax.tree_util.tree_leaves(variables["params"]),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # the restored dict drives a forward pass directly
+    from adapt_image_models_tpu.models import build_model
+    model_cfg = dict(cfg["model"])
+    test_cfg = model_cfg.pop("test_cfg", None)
+    model = build_model(model_cfg, test_cfg=test_cfg)
+    x = jnp.zeros((1, 1, 3, 4, 32, 32))
+    scores = model.apply({"params": variables["params"]}, x,
+                         method=model.forward_test)
+    assert scores.shape == (1, 3)
+    np.testing.assert_allclose(float(jnp.sum(scores)), 1.0, rtol=1e-4)

@@ -26,11 +26,16 @@ def video_duration(path: str) -> float:
 
 
 def trim_video(src: str, dst: str, start_s: float, dur_s: float,
-               fps: float = None) -> bool:
-    """Extract ``[start_s, start_s+dur_s)`` of ``src`` into ``dst``."""
+               fps: float = None, chunk: int = 32) -> bool:
+    """Extract ``[start_s, start_s+dur_s)`` of ``src`` into ``dst``.
+
+    Frames stream through in ``chunk``-sized batches so memory stays
+    bounded regardless of clip length/resolution (minutes of HD under a
+    24-thread download pool would otherwise hold gigabytes)."""
     import cv2
     from adapt_image_models_tpu.data.video_reader import open_video
     r = open_video(src)
+    writer = None
     try:
         in_fps = r.avg_fps or 30.0
         out_fps = fps or in_fps
@@ -38,15 +43,19 @@ def trim_video(src: str, dst: str, start_s: float, dur_s: float,
         last = min(r.num_frames, int(round((start_s + dur_s) * in_fps)))
         if last <= first:
             return False
-        frames = r.get_frames(list(range(first, last)))
+        for s in range(first, last, chunk):
+            frames = r.get_frames(list(range(s, min(s + chunk, last))))
+            if writer is None:
+                h, w = frames.shape[1:3]
+                writer = cv2.VideoWriter(dst,
+                                         cv2.VideoWriter_fourcc(*"mp4v"),
+                                         out_fps, (w, h))
+                if not writer.isOpened():
+                    return False
+            for f in frames:
+                writer.write(f[:, :, ::-1])  # RGB -> BGR
     finally:
         r.close()
-    h, w = frames.shape[1:3]
-    writer = cv2.VideoWriter(dst, cv2.VideoWriter_fourcc(*"mp4v"), out_fps,
-                             (w, h))
-    if not writer.isOpened():
-        return False
-    for f in frames:
-        writer.write(f[:, :, ::-1])  # RGB -> BGR
-    writer.release()
+        if writer is not None:
+            writer.release()
     return True

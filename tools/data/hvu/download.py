@@ -34,7 +34,8 @@ def download_clip_wrapper(row, output_dir, tmp_dir):
     output = osp.join(output_dir, name)
     if osp.exists(output):
         return name, True, "Exists"
-    tmp = osp.join(tmp_dir, row["video_id"] + ".mp4")
+    # clip-keyed temp: segments of one video must not race on one file
+    tmp = osp.join(tmp_dir, name + ".dl.mp4")
     ok, msg = youtube_download(row["video_id"], tmp)
     if not ok:
         return name, False, msg

@@ -4,36 +4,13 @@
 mapped to per-category index lists using ``hvu_tags.json``."""
 
 import argparse
-import fnmatch
-import glob
 import json
 import os
 import os.path as osp
+import sys
 
-
-def parse_directory(path, rgb_prefix="img_", flow_x_prefix="flow_x_",
-                    flow_y_prefix="flow_y_", level=1):
-    """{video id: (path, rgb_num, flow_num)} for a rawframes tree."""
-    if level == 1:
-        frame_dirs = glob.glob(osp.join(path, "*"))
-        locate = osp.basename
-    elif level == 2:
-        frame_dirs = glob.glob(osp.join(path, "*", "*"))
-        def locate(x):
-            return osp.join(osp.basename(osp.dirname(x)), osp.basename(x))
-    else:
-        raise ValueError("level can be only 1 or 2")
-
-    frame_dict = {}
-    for frame_dir in frame_dirs:
-        lst = os.listdir(frame_dir)
-        counts = [len(fnmatch.filter(lst, p + "*"))
-                  for p in (rgb_prefix, flow_x_prefix, flow_y_prefix)]
-        if counts[1] != counts[2]:
-            raise ValueError("x and y direction have different numbers of "
-                             f"flow images in {frame_dir}")
-        frame_dict[locate(frame_dir)] = (frame_dir, counts[0], counts[1])
-    return frame_dict
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+from parse_file_list import parse_directory  # noqa: E402 — shared scanner
 
 
 def main():

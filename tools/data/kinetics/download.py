@@ -37,7 +37,9 @@ def download_clip_wrapper(row, label_to_dir, trim_format, tmp_dir):
     output = osp.join(label_dir, name)
     if osp.exists(output):
         return name, True, "Exists"
-    tmp = osp.join(tmp_dir, row["video_id"] + ".mp4")
+    # temp is keyed by the CLIP name, not the video id: two segments of the
+    # same video must not race on one temp file under the thread pool
+    tmp = osp.join(tmp_dir, name + ".dl.mp4")
     ok, msg = youtube_download(row["video_id"], tmp)
     if not ok:
         return name, False, msg
