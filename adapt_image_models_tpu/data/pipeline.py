@@ -437,9 +437,16 @@ def build_sample_processor(pipeline_cfg: Sequence[Dict[str, Any]],
                                   flip_label_map=item.get("flip_label_map"))))
             continue
         if t == "Imgaug":
-            # the reference wraps imgaug; we support its RandAugment use
-            # (vitclip_base_sthv2.py:25) natively
-            for tr in item.get("transforms", []):
+            # the reference wraps imgaug; its uses map onto the native
+            # RandAugment: explicit RandAugment entries
+            # (vitclip_base_sthv2.py:25) and transforms='default', which IS
+            # RandAugment with n=2, magnitude 9/10
+            # (augmentations.py:282-301, the tsm/tanet recipes)
+            transforms = item.get("transforms", [])
+            if transforms == "default":
+                steps.append(("RandAugment", dict(n=2, m=9)))
+                continue
+            for tr in transforms:
                 if tr.get("type") == "RandAugment":
                     steps.append(("RandAugment", dict(n=tr.get("n", 4),
                                                       m=tr.get("m", 7))))

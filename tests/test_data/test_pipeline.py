@@ -261,3 +261,19 @@ def test_build_pseudo_clip_and_aliases():
     # every pseudo frame is the same image
     for t in range(1, 8):
         np.testing.assert_array_equal(clips[0, t], clips[0, 0])
+
+
+def test_imgaug_default_maps_to_randaugment():
+    """Imgaug(transforms='default') IS RandAugment n=2 m=9 (reference
+    augmentations.py:282-301; the tsm/tanet K400 recipes use it)."""
+    from adapt_image_models_tpu.data.pipeline import build_sample_processor
+    proc = build_sample_processor([
+        dict(type="SampleFrames", clip_len=2, frame_interval=1, num_clips=1),
+        dict(type="Resize", scale=(32, 32), keep_ratio=False),
+        dict(type="Imgaug", transforms="default"),
+        dict(type="Normalize", mean=[0, 0, 0], std=[1, 1, 1]),
+        dict(type="FormatShape", input_format="NCHW"),
+    ])
+    assert ("RandAugment", dict(n=2, m=9)) in proc.steps
+    clips, _ = proc("synthetic://0", 0, rng=np.random.default_rng(0))
+    assert clips.shape == (1, 2, 32, 32, 3)
