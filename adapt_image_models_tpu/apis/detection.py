@@ -46,6 +46,7 @@ def make_detection_train_step(model, tx, prepare_fn):
     def train_step(state: TrainState, batch, rng):
         rng_step = jax.random.fold_in(rng, state.step)
         imgs = prepare_fn(batch["imgs"])
+        lt_feat = batch.get("lt_feat")  # FBO models: sampled LFB window
 
         has_mstate = bool(jax.tree_util.tree_leaves(state.model_state))
 
@@ -54,12 +55,12 @@ def make_detection_train_step(model, tx, prepare_fn):
             variables = {"params": params, **state.model_state}
             if has_mstate:
                 scores, new_mstate = model.apply(
-                    variables, imgs, batch["rois"], deterministic=False,
-                    rngs={"dropout": rng_step},
+                    variables, imgs, batch["rois"], lt_feat=lt_feat,
+                    deterministic=False, rngs={"dropout": rng_step},
                     mutable=list(state.model_state.keys()))
             else:
                 scores = model.apply(variables, imgs, batch["rois"],
-                                     deterministic=False,
+                                     lt_feat=lt_feat, deterministic=False,
                                      rngs={"dropout": rng_step})
                 new_mstate = state.model_state
             loss, metrics = model.apply(
@@ -79,6 +80,30 @@ def make_detection_train_step(model, tx, prepare_fn):
                              model_state=new_mstate), metrics
 
     return train_step
+
+
+def _maybe_build_lfb(model_cfg: Dict[str, Any]):
+    """Build the host-side long-term feature bank when the model carries an
+    FBOHead shared head (reference lfb configs); returns (LFB or None,
+    window length L = window_size * max_num_sampled_feat)."""
+    shared = (model_cfg.get("roi_head") or {}).get("shared_head") or {}
+    if shared.get("type") != "FBOHead" or "lfb_cfg" not in shared:
+        return None, 0
+    from adapt_image_models_tpu.models.lfb import LFB
+    lfb_cfg = dict(shared["lfb_cfg"])
+    lfb = LFB(**lfb_cfg)
+    window = (int(lfb_cfg.get("window_size", 60))
+              * int(lfb_cfg.get("max_num_sampled_feat", 5)))
+    return lfb, window
+
+
+def _sample_lt_feat(lfb, img_keys) -> np.ndarray:
+    """(B, L, C) bank windows for a batch of 'video_id,timestamp' keys."""
+    rows = []
+    for k in img_keys:
+        video_id, ts = k.rsplit(",", 1)
+        rows.append(lfb.sample_long_term_features(video_id, int(ts)))
+    return np.stack(rows)
 
 
 def train_detector(cfg: Dict[str, Any], work_dir: Optional[str] = None,
@@ -109,10 +134,15 @@ def train_detector(cfg: Dict[str, Any], work_dir: Optional[str] = None,
 
     prepare = make_det_prepare_fn(dataset.mean, dataset.std)
 
+    lfb, lfb_window = _maybe_build_lfb(model_cfg)
+
     sample = next(iter(loader))
     imgs0 = prepare(jnp.asarray(sample["imgs"][:1]))
     rois0 = jnp.asarray(sample["rois"][:1])
-    variables = model.init(jax.random.PRNGKey(seed), imgs0, rois0)
+    lt0 = (jnp.zeros((1, lfb_window, lfb.lfb_channels))
+           if lfb is not None else None)
+    variables = model.init(jax.random.PRNGKey(seed), imgs0, rois0,
+                           lt_feat=lt0)
     params = variables["params"]
     model_state = {k: v for k, v in variables.items() if k != "params"}
 
@@ -148,6 +178,9 @@ def train_detector(cfg: Dict[str, Any], work_dir: Optional[str] = None,
         for epoch in range(start_epoch, total_epochs):
             loader.set_epoch(epoch)
             for i, batch_data in enumerate(loader):
+                if lfb is not None:
+                    batch_data["lt_feat"] = _sample_lt_feat(
+                        lfb, batch_data["img_key"])
                 device_batch = shard_batch(mesh, {
                     k: v for k, v in batch_data.items()
                     if not isinstance(v, list)})
@@ -196,10 +229,12 @@ def run_detection_evaluation(cfg: Dict[str, Any], model=None, params=None,
                          shuffle=False, num_workers=2, drop_last=False)
     prepare = make_det_prepare_fn(dataset.mean, dataset.std)
 
+    lfb, _ = _maybe_build_lfb(dict(cfg["model"]))
+
     @jax.jit
-    def eval_step(imgs, rois):
+    def eval_step(imgs, rois, lt_feat=None):
         scores = model.apply(variables, prepare(imgs), rois,
-                             deterministic=True)
+                             lt_feat=lt_feat, deterministic=True)
         return jax.nn.sigmoid(scores)
 
     results = []
@@ -209,11 +244,16 @@ def run_detection_evaluation(cfg: Dict[str, Any], model=None, params=None,
             pad = (-n) % n_dev
             imgs = batch["imgs"]
             rois = batch["rois"]
+            lt = (_sample_lt_feat(lfb, batch["img_key"])
+                  if lfb is not None else None)
             if pad:
                 imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, 0)])
                 rois = np.concatenate([rois, np.repeat(rois[-1:], pad, 0)])
-            scores = np.asarray(jax.device_get(
-                eval_step(shard_batch(mesh, imgs), shard_batch(mesh, rois))))
+                if lt is not None:
+                    lt = np.concatenate([lt, np.repeat(lt[-1:], pad, 0)])
+            scores = np.asarray(jax.device_get(eval_step(
+                shard_batch(mesh, imgs), shard_batch(mesh, rois),
+                None if lt is None else shard_batch(mesh, lt))))
             if pad:
                 scores = scores[:n]
             for i in range(n):

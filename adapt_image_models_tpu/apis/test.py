@@ -119,9 +119,16 @@ def run_evaluation(cfg: Dict[str, Any], model=None, params=None,
                          num_workers=num_workers, drop_last=False)
 
     backbone_cfg = dict(cfg["model"]).get("backbone", {})
-    use_shard_map = (backbone_cfg.get("attention_core") == "fused"
-                     and mesh.devices.size > 1
+    is_fused = backbone_cfg.get("attention_core") == "fused"
+    use_shard_map = (is_fused and mesh.devices.size > 1
                      and mesh.devices.shape[1] == 1)
+    if is_fused and mesh.devices.size > 1 and not use_shard_map:
+        # bare pallas_call cannot be GSPMD-partitioned; the train path
+        # raises for this layout and eval must not silently fall through
+        raise ValueError(
+            "fused-kernel models evaluate via shard_map, which needs a "
+            f"data-only mesh; got model axis {mesh.devices.shape[1]} > 1. "
+            "Use attention_core='xla' for tensor-parallel eval.")
     eval_step = jax.jit(make_chunked_eval_step(
         model, prepare, test_cfg.get("average_clips", "prob"),
         test_cfg.get("max_testing_views"),

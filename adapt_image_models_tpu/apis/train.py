@@ -120,8 +120,19 @@ def train_model(cfg: Dict[str, Any], work_dir: Optional[str] = None,
             aux_ds = build_dataset({**aux_cfg, "pipeline": aux_pipe})
             aux_bs = None
             if omni_vpg:
-                aux_bs = ((int(omni_vpg[i]) // update_interval) * n_data
-                          // num_hosts)
+                vpg = int(omni_vpg[i])
+                # same divisibility contract as the main loader — a silent
+                # floor would drop the recipe's per-source batch ratio
+                if vpg % update_interval:
+                    raise ValueError(
+                        f"omni_videos_per_gpu[{i}]={vpg} must be divisible "
+                        f"by update_interval={update_interval}")
+                if (vpg // update_interval) * n_data % num_hosts:
+                    raise ValueError(
+                        f"omni source {i} global micro-batch "
+                        f"{(vpg // update_interval) * n_data} not divisible "
+                        f"by {num_hosts} hosts")
+                aux_bs = (vpg // update_interval) * n_data // num_hosts
             aux_loaders.append(_make_loader(aux_ds, aux_pipe,
                                             batch_size=aux_bs))
         loader = RoundRobinLoader([loader] + aux_loaders,

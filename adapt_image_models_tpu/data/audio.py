@@ -115,6 +115,7 @@ class AudioSampleProcessor:
     def __init__(self, pipeline_cfg):
         from adapt_image_models_tpu.data.sampling import SampleFrames
         self.mode = "wav"
+        self.pad_method = "zero"
         self.sampler = None
         self.fixed_length = 32000
         self.feat_fixed_length = 128
@@ -128,8 +129,10 @@ class AudioSampleProcessor:
                 self.mode = "wav"
             elif t == "LoadAudioFeature":
                 self.mode = "feature"
-                if "pad_method" in kw:
-                    assert kw["pad_method"] in ("zero", "random")
+                # pad_method fabricates the dummy input for videos WITHOUT
+                # an audio stream (reference loading.py:1332-1358)
+                self.pad_method = kw.get("pad_method", "zero")
+                assert self.pad_method in ("zero", "random")
             elif t == "SampleFrames":
                 self.sampler = SampleFrames(**{
                     k: v for k, v in kw.items()
@@ -171,7 +174,15 @@ class AudioSampleProcessor:
         frame_inds = self.sampler(total_frames,
                                   info.get("start_index", 0), rng=rng)
         if self.mode == "feature":
-            feats = np.load(info["audio_path"]).astype(np.float32)
+            import os as _os
+            if _os.path.exists(info["audio_path"]):
+                feats = np.load(info["audio_path"]).astype(np.float32)
+            else:
+                # no audio stream: dummy 10 s spectrogram by pad_method
+                # (reference loading.py:1352-1358)
+                feats = (rng.random((640, 80), dtype=np.float32)
+                         if self.pad_method == "random"
+                         else np.zeros((640, 80), np.float32))
             length = feats.shape[0]
             clips = []
             for s, e in self._clip_windows(frame_inds, total_frames, length):

@@ -36,7 +36,7 @@ class BaseVideoDataset:
     def __init__(self, ann_file: str, pipeline=None, data_prefix: str = "",
                  test_mode: bool = False, multi_class: bool = False,
                  num_classes: Optional[int] = None, start_index: int = 0,
-                 sample_by_class: bool = False, power: float = 1.0):
+                 sample_by_class: bool = False, power: float = 0.0):
         self.ann_file = ann_file
         self.pipeline = pipeline  # config list; compiled by the loader
         self.data_prefix = data_prefix or ""
@@ -62,13 +62,18 @@ class BaseVideoDataset:
     def labels(self) -> np.ndarray:
         return np.asarray([info["label"] for info in self.video_infos])
 
-    def class_weights(self, power: float = 1.0) -> np.ndarray:
-        """Per-sample weights for class-balanced sampling (base.py:89-100)."""
+    def class_weights(self, power: float = 0.0) -> np.ndarray:
+        """Per-sample weights for class-balanced sampling (base.py:89-100):
+        a class is drawn with prob ∝ (n_c/N)^power, then a sample uniformly
+        within it — per-sample weight ∝ n_c^(power-1). power == 1 is
+        uniform over samples; power == 0 uniform over classes."""
         labels = self.labels()
         _, inverse, counts = np.unique(labels, return_inverse=True,
                                        return_counts=True)
-        w = (1.0 / counts.astype(np.float64)) ** power
-        w = w / w.sum()
+        counts = counts.astype(np.float64)
+        class_prob = (counts / counts.sum()) ** power
+        w = class_prob / counts  # uniform draw inside the chosen class
+        w = w / (w * counts).sum()
         return w[inverse]
 
     def evaluate(self, results: Sequence[np.ndarray],

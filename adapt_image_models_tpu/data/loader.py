@@ -105,7 +105,7 @@ class VideoLoader:
             # resample with per-sample weights w_class^power
             rng = np.random.default_rng((self.seed, self.epoch))
             p = self.dataset.class_weights(
-                power=getattr(self.dataset, "power", 1.0)).astype(np.float64)
+                power=getattr(self.dataset, "power", 0.0)).astype(np.float64)
             order = rng.choice(n, size=n, replace=True, p=p / p.sum())
         elif self.shuffle:
             rng = np.random.default_rng((self.seed, self.epoch))

@@ -115,9 +115,12 @@ class AIMBlock(nn.Module):
                        else nn.remat(AdapterParams))
         # spatial/temporal steps run fully in-kernel in BOTH modes when
         # fused (adapter weights consumed directly) -> plain AdapterParams;
-        # remat only matters when an adapter is XLA-applied (num_tadapter=2)
+        # remat only matters when an adapter is XLA-applied — which the
+        # num_tadapter=2 branch does even under attention_core='fused'
+        # (t_adapter/T_Adapter_in wrap the kernel), so it keeps remat
         step_adapter_cls = (AdapterParams
-                            if self.attention_core == "fused"
+                            if (self.attention_core == "fused"
+                                and self.num_tadapter != 2)
                             else adapter_cls)
         s_adapter = step_adapter_cls(d, skip_connect=True,
                                      compute_dtype=self.compute_dtype,

@@ -87,6 +87,12 @@ class FastRCNN(nn.Module):
             if lt_feat is None:
                 raise ValueError("FBO models need the sampled LFB window "
                                  "as the lt_feat argument")
+            if lt_feat.ndim == 3:  # (B, L, C): one bank window per sample,
+                # shared by all its rois (reference lfb_infer semantics)
+                r = rois.shape[1]
+                lt_feat = jnp.broadcast_to(
+                    lt_feat[:, None],
+                    (lt_feat.shape[0], r) + lt_feat.shape[1:])
             roi_feat = self.shared_head_module(roi_feat, lt_feat,
                                                deterministic=deterministic)
         return self.bbox_head_module(roi_feat, deterministic=deterministic)

@@ -1356,6 +1356,46 @@ def _ref_train_step_impl(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
     return (x.astype(jnp.float32) + branch).astype(x.dtype)
 
 
+def _gated_cotangent(g32, gate):
+    """Branch-output cotangent with the per-sample drop-path gate applied."""
+    if gate is None:
+        return g32
+    return g32 * gate.reshape(-1, 1, 1).astype(jnp.float32)
+
+
+def _adapter_bwd_xla(u32, db, w1, b1, w2, skip):
+    """Exact bottleneck-adapter backward in XLA from the pre-adapter input
+    ``u`` and the gated output cotangent ``db`` -> (dpre, a, du)."""
+    pre = u32 @ w1.astype(jnp.float32) + b1.astype(jnp.float32)
+    a = jax.nn.gelu(pre, approximate=True)
+    da = db @ w2.astype(jnp.float32).T
+    dpre = da * _tanh_gelu_grad(pre)
+    du = dpre @ w1.astype(jnp.float32).T
+    if skip:
+        du = du + db
+    return dpre, a, du
+
+
+def _adapter_weight_cotangents(u, dpre, a, g32, db, gate, skip,
+                               w1, b1, w2, b2):
+    """(dw1, db1, dw2, db2, dgate) from the adapter intermediates — the one
+    shared implementation for every whole-step backward rule (spatial +
+    temporal, whole-kernel + composition)."""
+    u32 = u.astype(jnp.float32)
+    dpre32 = dpre.astype(jnp.float32)
+    a32 = a.astype(jnp.float32)
+    dw1 = jnp.einsum("bld,blh->dh", u32, dpre32).astype(w1.dtype)
+    db1 = jnp.sum(dpre32, axis=(0, 1)).astype(b1.dtype)
+    dw2 = jnp.einsum("blh,bld->hd", a32, db).astype(w2.dtype)
+    db2 = jnp.sum(db, axis=(0, 1)).astype(b2.dtype)
+    dgate = None
+    if gate is not None:
+        z = a32 @ w2.astype(jnp.float32) + b2.astype(jnp.float32)
+        branch = z + u32 if skip else z
+        dgate = jnp.sum(g32 * branch, axis=(1, 2)).astype(gate.dtype)
+    return dw1, db1, dw2, db2, dgate
+
+
 def _bwd_train_step(num_heads, skip, l_actual, res, g):
     (x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
      w1, b1, w2, b2, gate) = res
@@ -1366,30 +1406,14 @@ def _bwd_train_step(num_heads, skip, l_actual, res, g):
         u = fused_ln_qkv_attention(x, ln_scale, ln_bias, w_qkv, b_qkv,
                                    w_out, b_out, num_heads, l_actual)
         g32 = g.astype(jnp.float32)
-        gb = (gate.reshape(-1, 1, 1).astype(jnp.float32)
-              if gate is not None else None)
-        db = g32 * gb if gb is not None else g32
-        u32 = u.astype(jnp.float32)
-        pre = u32 @ w1.astype(jnp.float32) + b1.astype(jnp.float32)
-        a = jax.nn.gelu(pre, approximate=True)
-        da = db @ w2.astype(jnp.float32).T
-        dpre = da * _tanh_gelu_grad(pre)
-        du = dpre @ w1.astype(jnp.float32).T
-        if skip:
-            du = du + db
+        db = _gated_cotangent(g32, gate)
+        dpre, a, du = _adapter_bwd_xla(u.astype(jnp.float32), db,
+                                       w1, b1, w2, skip)
         dx = fused_ln_qkv_attention_bwd_dx(
             x, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
             du.astype(x.dtype), num_heads, l_actual) + g.astype(x.dtype)
-        dw1 = jnp.einsum("bld,blh->dh", u32, dpre).astype(w1.dtype)
-        db1 = jnp.sum(dpre, axis=(0, 1)).astype(b1.dtype)
-        dw2 = jnp.einsum("blh,bld->hd", a, db).astype(w2.dtype)
-        db2 = jnp.sum(db, axis=(0, 1)).astype(b2.dtype)
-        if gate is not None:
-            z = a @ w2.astype(jnp.float32) + b2.astype(jnp.float32)
-            branch = z + u32 if skip else z
-            dgate = jnp.sum(g32 * branch, axis=(1, 2)).astype(gate.dtype)
-        else:
-            dgate = None
+        dw1, db1, dw2, db2, dgate = _adapter_weight_cotangents(
+            u, dpre, a, g32, db, gate, skip, w1, b1, w2, b2)
         z_ = jnp.zeros_like
         return (dx, z_(ln_scale), z_(ln_bias), z_(w_qkv), z_(b_qkv),
                 z_(w_out), z_(b_out), dw1, db1, dw2, db2, dgate)
@@ -1397,22 +1421,9 @@ def _bwd_train_step(num_heads, skip, l_actual, res, g):
         x, gate, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
         w1, b1, w2, b2, g.astype(x.dtype), num_heads, skip, l_actual)
     g32 = g.astype(jnp.float32)
-    gb = (gate.reshape(-1, 1, 1).astype(jnp.float32) if gate is not None
-          else None)
-    db = g32 * gb if gb is not None else g32
-    dw1 = jnp.einsum("bld,blh->dh", u.astype(jnp.float32),
-                     dpre.astype(jnp.float32)).astype(w1.dtype)
-    db1 = jnp.sum(dpre.astype(jnp.float32), axis=(0, 1)).astype(b1.dtype)
-    dw2 = jnp.einsum("blh,bld->hd", a.astype(jnp.float32), db)
-    dw2 = dw2.astype(w2.dtype)
-    db2 = jnp.sum(db, axis=(0, 1)).astype(b2.dtype)
-    if gate is not None:
-        z = (a.astype(jnp.float32) @ w2.astype(jnp.float32)
-             + b2.astype(jnp.float32))
-        branch = z + u.astype(jnp.float32) if skip else z
-        dgate = jnp.sum(g32 * branch, axis=(1, 2)).astype(gate.dtype)
-    else:
-        dgate = None
+    db = _gated_cotangent(g32, gate)
+    dw1, db1, dw2, db2, dgate = _adapter_weight_cotangents(
+        u, dpre, a, g32, db, gate, skip, w1, b1, w2, b2)
     z_ = jnp.zeros_like
     return (dx, z_(ln_scale), z_(ln_bias), z_(w_qkv), z_(b_qkv), z_(w_out),
             z_(b_out), dw1, db1, dw2, db2, dgate)

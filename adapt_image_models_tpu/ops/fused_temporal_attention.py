@@ -1691,60 +1691,34 @@ def _bwd_tstep(num_frames, num_heads, skip, res, g):
         # stash (no recompute pass), adapter backward in XLA (exact), dX
         # via the dX-only backward kernel (core dispatched like the
         # forward)
-        g32_ = g.astype(jnp.float32)
-        gb = (gate.reshape(-1, 1, 1).astype(jnp.float32)
-              if gate is not None else None)
-        db_ = g32_ * gb if gb is not None else g32_
         from adapt_image_models_tpu.ops.fused_qkv_attention import (
-            _tanh_gelu_grad,
+            _adapter_bwd_xla, _adapter_weight_cotangents, _gated_cotangent,
         )
-        u32 = u.astype(jnp.float32)
-        pre = u32 @ w1.astype(jnp.float32) + b1.astype(jnp.float32)
-        a_ = jax.nn.gelu(pre, approximate=True)
-        da = db_ @ w2.astype(jnp.float32).T
-        dpre_ = da * _tanh_gelu_grad(pre)
-        du = dpre_ @ w1.astype(jnp.float32).T
-        if skip:
-            du = du + db_
+        g32 = g.astype(jnp.float32)
+        db = _gated_cotangent(g32, gate)
+        dpre, a, du = _adapter_bwd_xla(u.astype(jnp.float32), db,
+                                       w1, b1, w2, skip)
         dx_kernel = (fused_ln_temporal_attention_bwd_dx
                      if _use_full_core(num_frames)
                      else fused_ln_temporal_attention_bwd_dx_segment)
         dx = dx_kernel(
             x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, du.astype(x.dtype),
             num_frames, num_heads) + g.astype(x.dtype)
-        dw1 = jnp.einsum("bld,blh->dh", u32, dpre_).astype(w1.dtype)
-        db1 = jnp.sum(dpre_, axis=(0, 1)).astype(b1.dtype)
-        dw2 = jnp.einsum("blh,bld->hd", a_, db_).astype(w2.dtype)
-        db2 = jnp.sum(db_, axis=(0, 1)).astype(b2.dtype)
-        if gate is not None:
-            z = a_ @ w2.astype(jnp.float32) + b2.astype(jnp.float32)
-            branch = z + u32 if skip else z
-            dgate = jnp.sum(g32_ * branch, axis=(1, 2)).astype(gate.dtype)
-        else:
-            dgate = None
+        dw1, db1, dw2, db2, dgate = _adapter_weight_cotangents(
+            u, dpre, a, g32, db, gate, skip, w1, b1, w2, b2)
         z_ = jnp.zeros_like
         return (dx, z_(ln_scale), z_(ln_bias), z_(w_qkv), z_(b_qkv),
                 z_(w_out), z_(b_out), dw1, db1, dw2, db2, dgate)
     dx, u, dpre, a = fused_temporal_step_bwd_dx(
         x, gate, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
         w1, b1, w2, b2, g.astype(x.dtype), num_frames, num_heads, skip)
+    from adapt_image_models_tpu.ops.fused_qkv_attention import (
+        _adapter_weight_cotangents, _gated_cotangent,
+    )
     g32 = g.astype(jnp.float32)
-    if gate is not None:
-        db = g32 * gate.reshape(-1, 1, 1).astype(jnp.float32)
-    else:
-        db = g32
-    dw1 = jnp.einsum("bld,blh->dh", u.astype(jnp.float32),
-                     dpre.astype(jnp.float32)).astype(w1.dtype)
-    db1 = jnp.sum(dpre.astype(jnp.float32), axis=(0, 1)).astype(b1.dtype)
-    dw2 = jnp.einsum("blh,bld->hd", a.astype(jnp.float32), db).astype(w2.dtype)
-    db2 = jnp.sum(db, axis=(0, 1)).astype(b2.dtype)
-    if gate is not None:
-        z = (a.astype(jnp.float32) @ w2.astype(jnp.float32)
-             + b2.astype(jnp.float32))
-        branch = z + u.astype(jnp.float32) if skip else z
-        dgate = jnp.sum(g32 * branch, axis=(1, 2)).astype(gate.dtype)
-    else:
-        dgate = None
+    db = _gated_cotangent(g32, gate)
+    dw1, db1, dw2, db2, dgate = _adapter_weight_cotangents(
+        u, dpre, a, g32, db, gate, skip, w1, b1, w2, b2)
     z_ = jnp.zeros_like
     return (dx, z_(ln_scale), z_(ln_bias), z_(w_qkv), z_(b_qkv), z_(w_out),
             z_(b_out), dw1, db1, dw2, db2, dgate)

@@ -272,3 +272,67 @@ def test_train_detector_auto_resume(ava_root, tmp_path):
                                       auto_resume=True)
     assert int(state2.step) >= int(state1.step)
     assert history2 == [] or np.isfinite(history2[-1]["loss"])
+
+
+def test_lfb_fbo_detector_end_to_end(ava_root, tmp_path):
+    """LFB/FBO detection through the PUBLIC train/eval APIs: the bank is
+    built host-side from the model's lfb_cfg and its sampled windows flow
+    into the jitted steps as lt_feat (previously only direct model calls
+    worked — the lfb recipe family was dead through train_detector)."""
+    from adapt_image_models_tpu.apis.detection import (
+        train_detector, run_detection_evaluation,
+    )
+    from adapt_image_models_tpu.models.lfb import save_lfb
+    from adapt_image_models_tpu.parallel.mesh import make_mesh
+
+    # tiny bank covering the fixture's keyframes
+    C_LT = 512
+    rng = np.random.default_rng(0)
+    bank = {vid: {sec: rng.normal(size=(2, C_LT)).astype(np.float32)
+                  for sec in range(900, 905)}
+            for vid in ("vidA", "vidB")}
+    lfb_dir = tmp_path / "lfb"
+    lfb_dir.mkdir()
+    save_lfb(str(lfb_dir / "lfb_train.npz"), bank)
+    save_lfb(str(lfb_dir / "lfb_val.npz"), bank)
+
+    cfg = dict(
+        model=dict(
+            type="FastRCNN",
+            backbone=dict(type="ResNet3dSlowOnly", stage_blocks=(1, 1),
+                          inflate=(0, 1)),
+            roi_head=dict(
+                bbox_roi_extractor=dict(type="SingleRoIExtractor3D",
+                                        featmap_stride=8, output_size=4),
+                shared_head=dict(
+                    type="FBOHead",
+                    lfb_cfg=dict(lfb_prefix_path=str(lfb_dir),
+                                 max_num_sampled_feat=2, window_size=3,
+                                 lfb_channels=C_LT,
+                                 dataset_modes=("train", "val")),
+                    fbo_cfg=dict(type="non_local", st_feat_channels=512,
+                                 lt_feat_channels=C_LT, latent_channels=16,
+                                 num_non_local_layers=1,
+                                 st_feat_dropout_ratio=0,
+                                 lt_feat_dropout_ratio=0,
+                                 pre_activate=True)),
+                bbox_head=dict(type="BBoxHeadAVA", in_channels=512 + 16,
+                               num_classes=NUM_CLASSES, dropout_ratio=0.2,
+                               topk=(2, 3))),
+            train_cfg=dict(rcnn=dict(pos_weight=1.0)),
+            test_cfg=dict(rcnn=dict(action_thr=0.002))),
+        data=dict(videos_per_gpu=1, workers_per_gpu=2,
+                  train=_dataset_cfg(ava_root),
+                  val=_dataset_cfg(ava_root, test_mode=True)),
+        optimizer=dict(type="SGD", lr=0.01, momentum=0.9,
+                       weight_decay=1e-5),
+        lr_config=dict(policy="CosineAnnealing", min_lr=0),
+        total_epochs=1, log_config=dict(interval=1),
+        work_dir=str(tmp_path / "work"))
+    mesh = make_mesh(data=2, model=4)
+    state, history = train_detector(cfg, max_steps=2, seed=0, mesh=mesh)
+    assert history and np.isfinite(history[-1]["loss"])
+
+    results = run_detection_evaluation(cfg, params=state.variables,
+                                       split="val", mesh=mesh)
+    assert "mAP@0.5IOU" in results

@@ -147,26 +147,40 @@ def test_roundrobin_ratios(ann_file):
 
 
 def test_sample_by_class_loader(tmp_path):
-    """sample_by_class draws with w_class^power weights
-    (reference base.py:89-100; OmniSource web sources use power=0.5)."""
+    """sample_by_class follows the reference semantics (base.py:49-52,
+    89-100): class drawn with prob ∝ (n_c/N)^power, uniform within —
+    power=0 balances classes, power=1 is uniform over samples."""
     p = tmp_path / "ann_imb.txt"
     # 8 samples of class 0, 2 of class 1
     p.write_text("\n".join(
         [f"synthetic://{i} 0" for i in range(8)]
         + [f"synthetic://{8 + i} 1" for i in range(2)]))
-    ds = VideoDataset(str(p), PIPE, sample_by_class=True, power=1.0)
-    loader = VideoLoader(ds, PIPE, batch_size=5, shuffle=True, seed=0,
-                         num_workers=1, drop_last=True)
-    draws = []
-    for epoch in range(12):
-        loader.set_epoch(epoch)
-        draws.append(np.concatenate([b["label"] for b in loader]))
-    labels = np.concatenate(draws)
-    loader.set_epoch(0)
-    frac1 = (labels == 1).mean()
-    # power=1 weights classes equally: class-1 share ~0.5, not its 0.2 base
-    assert 0.3 < frac1 < 0.7
+
+    def class1_share(power):
+        ds = VideoDataset(str(p), PIPE, sample_by_class=True, power=power)
+        loader = VideoLoader(ds, PIPE, batch_size=5, shuffle=True, seed=0,
+                             num_workers=1, drop_last=True)
+        draws = []
+        for epoch in range(12):
+            loader.set_epoch(epoch)
+            draws.append(np.concatenate([b["label"] for b in loader]))
+        return (np.concatenate(draws) == 1).mean(), loader
+
+    # power=0 (reference default): classes equally likely -> share ~0.5
+    frac1, loader = class1_share(0.0)
+    assert 0.35 < frac1 < 0.65, frac1
+    # power=1: uniform over samples -> share ~0.2 (its base rate)
+    frac1_uniform, _ = class1_share(1.0)
+    assert 0.08 < frac1_uniform < 0.35, frac1_uniform
+    # per-sample weights: power=1 uniform, power=0 ∝ 1/n_c
+    ds = VideoDataset(str(p), PIPE, sample_by_class=True)
+    w1 = ds.class_weights(power=1.0)
+    np.testing.assert_allclose(w1, np.full(10, 0.1), rtol=1e-12)
+    w0 = ds.class_weights(power=0.0)
+    np.testing.assert_allclose(w0[:8].sum(), w0[8:].sum(), rtol=1e-12)
+    np.testing.assert_allclose(w0[0] * 8, w0[8] * 2, rtol=1e-12)
     # deterministic per (seed, epoch)
+    loader.set_epoch(0)
     first = np.concatenate([b["label"] for b in loader])
     again = np.concatenate([b["label"] for b in loader])
     np.testing.assert_array_equal(first, again)
