@@ -282,7 +282,7 @@ def _fwd(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj, w1, b1, w2, b2,
 
 def _bwd(scale, res, g):
     _, vjp = jax.vjp(lambda *a: _ref_impl(*a, scale), *res)
-    return vjp(g.astype(jnp.float32).astype(g.dtype))
+    return vjp(g)
 
 
 fused_joint_block.defvjp(_fwd, _bwd)

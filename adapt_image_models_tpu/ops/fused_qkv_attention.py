@@ -469,7 +469,7 @@ def _ref_adapter_impl(x, w_qkv, b_qkv, w_out, b_out, w1, b1, w2, b2,
                       num_heads, skip, l_actual=None):
     y = _ref_impl(x, w_qkv, b_qkv, w_out, b_out, num_heads, l_actual)
     a = jax.nn.gelu(y.astype(jnp.float32) @ w1.astype(jnp.float32)
-                    + b1.astype(jnp.float32), approximate=False)
+                    + b1.astype(jnp.float32), approximate=True)  # tanh-gelu: matches the kernels
     z = (a @ w2.astype(jnp.float32) + b2.astype(jnp.float32)).astype(y.dtype)
     return y + z if skip else z
 
@@ -521,7 +521,7 @@ def _bwd(num_heads, l_actual, res, g):
     x, w_qkv, b_qkv, w_out, b_out = res
     _, vjp = jax.vjp(lambda *a: _ref_impl(*a, num_heads, l_actual), x, w_qkv,
                      b_qkv, w_out, b_out)
-    return vjp(g.astype(jnp.float32).astype(g.dtype))
+    return vjp(g)
 
 
 fused_attention_block.defvjp(_fwd, _bwd)
@@ -545,7 +545,7 @@ def _bwd_ln(num_heads, l_actual, res, g):
     """XLA-remat backward (kept as the correctness oracle for the Pallas
     backward kernel, _bwd_ln_pallas below — the registered default)."""
     _, vjp = jax.vjp(lambda *a: _ref_ln_impl(*a, num_heads, l_actual), *res)
-    return vjp(g.astype(jnp.float32).astype(g.dtype))
+    return vjp(g)
 
 
 def _bwd_vmem_fits(l: int, d: int) -> bool:
@@ -623,7 +623,7 @@ def _ref_ln_adapter_res_impl(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
           + ln_bias.astype(jnp.float32)).astype(x.dtype)
     y = _ref_impl(xn, w_qkv, b_qkv, w_out, b_out, num_heads, l_actual)
     a = jax.nn.gelu(y.astype(jnp.float32) @ w1.astype(jnp.float32)
-                    + b1.astype(jnp.float32), approximate=False)
+                    + b1.astype(jnp.float32), approximate=True)  # tanh-gelu: matches the kernels
     z = a @ w2.astype(jnp.float32) + b2.astype(jnp.float32)
     y32 = y.astype(jnp.float32)
     z = y32 + z if skip else z
@@ -651,7 +651,7 @@ def _fwd_step(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out, w1, b1, w2,
 def _bwd_step(num_heads, skip, l_actual, res, g):
     _, vjp = jax.vjp(lambda *a: _ref_ln_adapter_res_impl(
         *a, num_heads, skip, l_actual), *res)
-    return vjp(g.astype(jnp.float32).astype(g.dtype))
+    return vjp(g)
 
 
 fused_spatial_step_block.defvjp(_fwd_step, _bwd_step)
@@ -828,12 +828,14 @@ def fused_ln_qkv_attention_bwd(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
     )(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, g)
 
 
-def _bwd_ln_pallas(num_heads, l_actual, res, g):
-    """Kernel-speed replacement for ``_bwd_ln``; exact same cotangents."""
-    x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out = res
-    dx, dqkv, dy, y, o = fused_ln_qkv_attention_bwd(
-        x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, g.astype(x.dtype),
-        num_heads, l_actual)
+def _attention_weight_cotangents(g, dqkv, y, o, x=None, dy=None,
+                                 l_actual=None):
+    """XLA weight-cotangent epilogue shared by every attention-block
+    backward (spatial + temporal, LN-fused or plain): attention weight/bias
+    cotangents from the kernel-emitted intermediates, plus LN parameter
+    cotangents when ``dy`` is given (padded rows masked out of xhat via
+    ``l_actual`` — only the spatial layout carries padded rows at the XLA
+    level). Returns (dwqkv, dbqkv, dwout, dbout[, dgamma, dbeta])."""
     g32 = g.astype(jnp.float32)
     # weight/bias cotangents — plain matmuls, DCE'd when frozen upstream
     dwqkv = jnp.einsum("bld,ble->de", y.astype(jnp.float32),
@@ -841,6 +843,8 @@ def _bwd_ln_pallas(num_heads, l_actual, res, g):
     dbqkv = jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1))
     dwout = jnp.einsum("bld,ble->de", o.astype(jnp.float32), g32)
     dbout = jnp.sum(g32, axis=(0, 1))
+    if dy is None:
+        return dwqkv, dbqkv, dwout, dbout
     # LN param cotangents need xhat: recompute (row ops, one read of x)
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
@@ -850,8 +854,19 @@ def _bwd_ln_pallas(num_heads, l_actual, res, g):
         row = jax.lax.broadcasted_iota(
             jnp.int32, (x.shape[1],), 0)[None, :, None]
         xhat = jnp.where(row < l_actual, xhat, 0.0)
-    dgamma = jnp.sum(dy * xhat, axis=(0, 1))
-    dbeta = jnp.sum(dy, axis=(0, 1))
+    dgamma = jnp.sum(dy.astype(jnp.float32) * xhat, axis=(0, 1))
+    dbeta = jnp.sum(dy.astype(jnp.float32), axis=(0, 1))
+    return dwqkv, dbqkv, dwout, dbout, dgamma, dbeta
+
+
+def _bwd_ln_pallas(num_heads, l_actual, res, g):
+    """Kernel-speed replacement for ``_bwd_ln``; exact same cotangents."""
+    x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out = res
+    dx, dqkv, dy, y, o = fused_ln_qkv_attention_bwd(
+        x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, g.astype(x.dtype),
+        num_heads, l_actual)
+    dwqkv, dbqkv, dwout, dbout, dgamma, dbeta = _attention_weight_cotangents(
+        g, dqkv, y, o, x=x, dy=dy, l_actual=l_actual)
     cast = lambda t, like: t.astype(like.dtype)
     return (cast(dx, x), cast(dgamma, ln_scale), cast(dbeta, ln_bias),
             cast(dwqkv, w_qkv), cast(dbqkv, b_qkv), cast(dwout, w_out),
@@ -912,12 +927,8 @@ def _bwd_pallas(num_heads, l_actual, res, g):
     x, w_qkv, b_qkv, w_out, b_out = res
     dx, dqkv, o = fused_qkv_attention_bwd(
         x, w_qkv, b_qkv, w_out, g.astype(x.dtype), num_heads, l_actual)
-    g32 = g.astype(jnp.float32)
-    dwqkv = jnp.einsum("bld,ble->de", x.astype(jnp.float32),
-                       dqkv.astype(jnp.float32))
-    dbqkv = jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1))
-    dwout = jnp.einsum("bld,ble->de", o.astype(jnp.float32), g32)
-    dbout = jnp.sum(g32, axis=(0, 1))
+    dwqkv, dbqkv, dwout, dbout = _attention_weight_cotangents(
+        g, dqkv, x, o)  # y == x for the plain (no-LN) block
     cast = lambda t, like: t.astype(like.dtype)
     return (cast(dx, x), cast(dwqkv, w_qkv), cast(dbqkv, b_qkv),
             cast(dwout, w_out), cast(dbout, b_out))
@@ -1409,9 +1420,16 @@ def _bwd_train_step(num_heads, skip, l_actual, res, g):
         db = _gated_cotangent(g32, gate)
         dpre, a, du = _adapter_bwd_xla(u.astype(jnp.float32), db,
                                        w1, b1, w2, skip)
-        dx = fused_ln_qkv_attention_bwd_dx(
-            x, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
-            du.astype(x.dtype), num_heads, l_actual) + g.astype(x.dtype)
+        if _bwd_dx_vmem_fits(x.shape[1], x.shape[2]):
+            dx = fused_ln_qkv_attention_bwd_dx(
+                x, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
+                du.astype(x.dtype), num_heads, l_actual) + g.astype(x.dtype)
+        else:  # ViT-H-class widths: exact XLA-remat dx (same guard as
+            # _bwd_ln_frozen — the dX cell itself can exceed VMEM)
+            _, vjp = jax.vjp(
+                lambda *args: _ref_ln_impl(*args, num_heads, l_actual),
+                x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out)
+            dx = vjp(du.astype(x.dtype))[0] + g.astype(x.dtype)
         dw1, db1, dw2, db2, dgate = _adapter_weight_cotangents(
             u, dpre, a, g32, db, gate, skip, w1, b1, w2, b2)
         z_ = jnp.zeros_like

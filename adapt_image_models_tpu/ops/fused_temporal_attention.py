@@ -42,6 +42,15 @@ def _round_up(x: int, m: int) -> int:
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
+def _split_frames(bt: int, t: int) -> int:
+    """Rows-per-frame-group count; a non-divisible frame axis would silently
+    drop the trailing bt % t rows from the kernel output."""
+    if bt % t:
+        raise ValueError(f"leading axis {bt} is not divisible by "
+                         f"num_frames={t}")
+    return bt // t
+
+
 # Frame-axis cutover: the masked-full core (and the whole-step backward
 # cell, which exceeds VMEM beyond it) covers T <= LONG_CLIP_T; longer clips
 # take the segment core / two-kernel composition. Module-level so tests can
@@ -412,7 +421,7 @@ def fused_temporal_attention(x: jax.Array, w_qkv: jax.Array, b_qkv: jax.Array,
     bt, n, d = x.shape
     tile = _auto_tile(d, num_frames, tile, n, wide=True)
     t = num_frames
-    b = bt // t
+    b = _split_frames(bt, t)
     hd = d // num_heads
     scale = 1.0 / (hd ** 0.5)
     seg = _segment_matrix(d, num_heads)
@@ -430,7 +439,7 @@ def fused_ln_temporal_attention(x, ln_scale, ln_bias, w_qkv, b_qkv,
     bt, n, d = x.shape
     tile = _auto_tile(d, num_frames, tile, n, wide=True)
     t = num_frames
-    b = bt // t
+    b = _split_frames(bt, t)
     scale = 1.0 / ((d // num_heads) ** 0.5)
     seg = _segment_matrix(d, num_heads)
     kernel = functools.partial(_kernel_ln, t=t, heads=num_heads, scale=scale,
@@ -452,7 +461,7 @@ def fused_temporal_attention_adapter(x, w_qkv, b_qkv, w_out, b_out,
     bt, n, d = x.shape
     tile = _auto_tile(d, num_frames, tile, n, wide=True)
     t = num_frames
-    b = bt // t
+    b = _split_frames(bt, t)
     hd = d // num_heads
     scale = 1.0 / (hd ** 0.5)
     seg = _segment_matrix(d, num_heads)
@@ -497,7 +506,7 @@ def fused_temporal_attention_adapter(x, w_qkv, b_qkv, w_out, b_out,
 def _ref_impl(x, w_qkv, b_qkv, w_out, b_out, num_frames, num_heads):
     bt, n, d = x.shape
     t = num_frames
-    b = bt // t
+    b = _split_frames(bt, t)
     hd = d // num_heads
     qkv = x @ w_qkv.astype(x.dtype) + b_qkv.astype(x.dtype)
     q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -528,7 +537,7 @@ def _ref_adapter_impl(x, w_qkv, b_qkv, w_out, b_out, w1, b1, w2, b2,
                       num_frames, num_heads, adapter_skip):
     y = _ref_impl(x, w_qkv, b_qkv, w_out, b_out, num_frames, num_heads)
     a = jax.nn.gelu(y.astype(jnp.float32) @ w1.astype(jnp.float32)
-                    + b1.astype(jnp.float32), approximate=False)
+                    + b1.astype(jnp.float32), approximate=True)  # tanh-gelu: matches the kernels
     z = (a @ w2.astype(jnp.float32) + b2.astype(jnp.float32)).astype(y.dtype)
     return y + z if adapter_skip else z
 
@@ -618,7 +627,7 @@ def fused_ln_temporal_adapter_residual(x, ln_scale, ln_bias, w_qkv, b_qkv,
     bt, n, d = x.shape
     tile = _auto_tile(d, num_frames, tile, n, wide=True)
     t = num_frames
-    b = bt // t
+    b = _split_frames(bt, t)
     scale = 1.0 / ((d // num_heads) ** 0.5)
     seg = _segment_matrix(d, num_heads)
     dh = w1.shape[1]
@@ -670,7 +679,7 @@ def _ref_ln_adapter_res_impl(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
           + ln_bias.astype(jnp.float32)).astype(x.dtype)
     y = _ref_impl(xn, w_qkv, b_qkv, w_out, b_out, num_frames, num_heads)
     a = jax.nn.gelu(y.astype(jnp.float32) @ w1.astype(jnp.float32)
-                    + b1.astype(jnp.float32), approximate=False)
+                    + b1.astype(jnp.float32), approximate=True)  # tanh-gelu: matches the kernels
     z = a @ w2.astype(jnp.float32) + b2.astype(jnp.float32)
     z = y.astype(jnp.float32) + z if adapter_skip else z
     return (x.astype(jnp.float32) + z).astype(x.dtype)
@@ -697,7 +706,7 @@ def _fwd_step(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out, w1, b1, w2,
 def _bwd_step(num_frames, num_heads, adapter_skip, res, g):
     _, vjp = jax.vjp(lambda *a: _ref_ln_adapter_res_impl(
         *a, num_frames, num_heads, adapter_skip), *res)
-    return vjp(g.astype(jnp.float32).astype(g.dtype))
+    return vjp(g)
 
 
 fused_temporal_step_block.defvjp(_fwd_step, _bwd_step)
@@ -875,12 +884,15 @@ def fused_ln_temporal_attention_bwd(x, ln_scale, ln_bias, w_qkv, b_qkv,
     returns (dx, dqkv, dy, y, o)."""
     bt, n, d = x.shape
     t = num_frames
+    requested = tile is not None
     tile = _auto_tile(d, t, tile, n)
     # backward holds 9 double-buffered row blocks: shrink the tile until
-    # the per-cell estimate fits the 16M VMEM scope (ViT-L widths)
-    while tile > 8 and (18 * t * tile * d * 2 + 4 * d * d * 2) > 14 * 2 ** 20:
+    # the per-cell estimate fits the 16M VMEM scope (ViT-L widths); an
+    # explicitly requested tile is honored
+    while (not requested and tile > 8
+           and (18 * t * tile * d * 2 + 4 * d * d * 2) > 14 * 2 ** 20):
         tile = max(8, tile // 2)
-    b = bt // t
+    b = _split_frames(bt, t)
     scale = 1.0 / ((d // num_heads) ** 0.5)
     n_cells = pl.cdiv(n, tile)
     kernel = functools.partial(_kernel_ln_bwd, t=t, heads=num_heads,
@@ -930,18 +942,11 @@ def _bwd_ln_pallas(num_frames, num_heads, res, g):
     dx, dqkv, dy, y, o = fused_ln_temporal_attention_bwd(
         x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, g.astype(x.dtype),
         num_frames, num_heads)
-    g32 = g.astype(jnp.float32)
-    dwqkv = jnp.einsum("bld,ble->de", y.astype(jnp.float32),
-                       dqkv.astype(jnp.float32))
-    dbqkv = jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1))
-    dwout = jnp.einsum("bld,ble->de", o.astype(jnp.float32), g32)
-    dbout = jnp.sum(g32, axis=(0, 1))
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-    xhat = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
-    dgamma = jnp.sum(dy * xhat, axis=(0, 1))
-    dbeta = jnp.sum(dy, axis=(0, 1))
+    from adapt_image_models_tpu.ops.fused_qkv_attention import (
+        _attention_weight_cotangents,
+    )
+    dwqkv, dbqkv, dwout, dbout, dgamma, dbeta = _attention_weight_cotangents(
+        g, dqkv, y, o, x=x, dy=dy)
     cast = lambda tl, like: tl.astype(like.dtype)
     return (cast(dx, x), cast(dgamma, ln_scale), cast(dbeta, ln_bias),
             cast(dwqkv, w_qkv), cast(dbqkv, b_qkv), cast(dwout, w_out),
@@ -951,7 +956,14 @@ def _bwd_ln_pallas(num_frames, num_heads, res, g):
 def _bwd_ln_dispatch(num_frames, num_heads, res, g):
     if _use_full_core(num_frames):
         return _bwd_ln_pallas(num_frames, num_heads, res, g)
-    return _bwd_ln_pallas_segment(num_frames, num_heads, res, g)
+    d = res[0].shape[-1]
+    if _seg_bwd_vmem_fits(num_frames, 8, d):
+        return _bwd_ln_pallas_segment(num_frames, num_heads, res, g)
+    # T=32 at ViT-B/L widths: the 5-output segment cell measured 19.12M >
+    # 16M VMEM on-chip even at the minimum tile — take the exact XLA-remat
+    # backward instead of a compile-time OOM (train steps never come here:
+    # fused_temporal_train_step has its own two-kernel composition)
+    return _bwd_ln(num_frames, num_heads, res, g)
 
 
 fused_ln_temporal_block.defvjp(_fwd_ln, _bwd_ln_dispatch)
@@ -978,10 +990,12 @@ def fused_temporal_attention_bwd(x, w_qkv, b_qkv, w_out, g,
     returns (dx, dqkv, o)."""
     bt, n, d = x.shape
     t = num_frames
+    requested = tile is not None
     tile = _auto_tile(d, t, tile, n)
-    while tile > 8 and (18 * t * tile * d * 2 + 4 * d * d * 2) > 14 * 2 ** 20:
+    while (not requested and tile > 8
+           and (18 * t * tile * d * 2 + 4 * d * d * 2) > 14 * 2 ** 20):
         tile = max(8, tile // 2)
-    b = bt // t
+    b = _split_frames(bt, t)
     scale = 1.0 / ((d // num_heads) ** 0.5)
     n_cells = pl.cdiv(n, tile)
     kernel = functools.partial(_kernel_plain_bwd, t=t, heads=num_heads,
@@ -1017,12 +1031,11 @@ def _bwd_plain_pallas(num_frames, num_heads, res, g):
     x, w_qkv, b_qkv, w_out, b_out = res
     dx, dqkv, o = fused_temporal_attention_bwd(
         x, w_qkv, b_qkv, w_out, g.astype(x.dtype), num_frames, num_heads)
-    g32 = g.astype(jnp.float32)
-    dwqkv = jnp.einsum("bld,ble->de", x.astype(jnp.float32),
-                       dqkv.astype(jnp.float32))
-    dbqkv = jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1))
-    dwout = jnp.einsum("bld,ble->de", o.astype(jnp.float32), g32)
-    dbout = jnp.sum(g32, axis=(0, 1))
+    from adapt_image_models_tpu.ops.fused_qkv_attention import (
+        _attention_weight_cotangents,
+    )
+    dwqkv, dbqkv, dwout, dbout = _attention_weight_cotangents(
+        g, dqkv, x, o)  # y == x for the plain (no-LN) block
     cast = lambda tl, like: tl.astype(like.dtype)
     return (cast(dx, x), cast(dwqkv, w_qkv), cast(dbqkv, b_qkv),
             cast(dwout, w_out), cast(dbout, b_out))
@@ -1156,6 +1169,16 @@ def _kernel_ln_bwd_segment(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
     o_ref[...] = o.astype(o_ref.dtype).reshape(t, tile, d)
 
 
+def _seg_bwd_vmem_fits(t: int, tile: int, d: int) -> bool:
+    """Whether the 5-output segment backward cell fits the VMEM scope.
+
+    Anchored on the real chip: (t=32, tile=8, d=768) measured 19.12M >
+    16M — the 18-blocks model under-counted the per-frame logit/prob/
+    accumulator transients, so the coefficient is 30 (estimate 16.5M,
+    correctly rejected) rather than 18 (11.8M, wrongly accepted)."""
+    return (30 * t * tile * d * 2 + 4 * d * d * 2) <= 14 * 2 ** 20
+
+
 def fused_ln_temporal_attention_bwd_segment(x, ln_scale, ln_bias, w_qkv,
                                             b_qkv, w_out, g,
                                             num_frames: int, num_heads: int,
@@ -1163,10 +1186,12 @@ def fused_ln_temporal_attention_bwd_segment(x, ln_scale, ln_bias, w_qkv,
     """Segment-core Pallas backward (T > 16): returns (dx, dqkv, dy, y, o)."""
     bt, n, d = x.shape
     t = num_frames
+    requested = tile is not None
     tile = _auto_tile(d, t, tile, n)
-    while tile > 8 and (18 * t * tile * d * 2 + 4 * d * d * 2) > 14 * 2 ** 20:
+    while (not requested and tile > 8
+           and not _seg_bwd_vmem_fits(t, tile, d)):
         tile = max(8, tile // 2)
-    b = bt // t
+    b = _split_frames(bt, t)
     scale = 1.0 / ((d // num_heads) ** 0.5)
     seg = _segment_matrix(d, num_heads)
     n_cells = pl.cdiv(n, tile)
@@ -1209,18 +1234,11 @@ def _bwd_ln_pallas_segment(num_frames, num_heads, res, g):
     dx, dqkv, dy, y, o = fused_ln_temporal_attention_bwd_segment(
         x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, g.astype(x.dtype),
         num_frames, num_heads)
-    g32 = g.astype(jnp.float32)
-    dwqkv = jnp.einsum("bld,ble->de", y.astype(jnp.float32),
-                       dqkv.astype(jnp.float32))
-    dbqkv = jnp.sum(dqkv.astype(jnp.float32), axis=(0, 1))
-    dwout = jnp.einsum("bld,ble->de", o.astype(jnp.float32), g32)
-    dbout = jnp.sum(g32, axis=(0, 1))
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-    xhat = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
-    dgamma = jnp.sum(dy.astype(jnp.float32) * xhat, axis=(0, 1))
-    dbeta = jnp.sum(dy.astype(jnp.float32), axis=(0, 1))
+    from adapt_image_models_tpu.ops.fused_qkv_attention import (
+        _attention_weight_cotangents,
+    )
+    dwqkv, dbqkv, dwout, dbout, dgamma, dbeta = _attention_weight_cotangents(
+        g, dqkv, y, o, x=x, dy=dy)
     cast = lambda tl, like: tl.astype(like.dtype)
     return (cast(dx, x), cast(dgamma, ln_scale), cast(dbeta, ln_bias),
             cast(dwqkv, w_qkv), cast(dbqkv, b_qkv), cast(dwout, w_out),
@@ -1259,7 +1277,7 @@ def fused_ln_temporal_attention_bwd_dx_segment(x, ln_scale, ln_bias, w_qkv,
     while (not requested and tile > 8
            and (18 * t * tile * d * 2 + 4 * d * d * 2) > 14 * 2 ** 20):
         tile = max(8, tile // 2)
-    b = bt // t
+    b = _split_frames(bt, t)
     scale = 1.0 / ((d // num_heads) ** 0.5)
     seg = _segment_matrix(d, num_heads)
     n_cells = pl.cdiv(n, tile)
@@ -1328,7 +1346,7 @@ def fused_ln_temporal_attention_bwd_dx(x, ln_scale, ln_bias, w_qkv, b_qkv,
     # 3 row units (x, g, dx) double-buffered + resident weights
     while tile > 8 and (6 * t * tile * d * 2 + 4 * d * d * 2) > 14 * 2 ** 20:
         tile = max(8, tile // 2)
-    b = bt // t
+    b = _split_frames(bt, t)
     scale = 1.0 / ((d // num_heads) ** 0.5)
     n_cells = pl.cdiv(n, tile)
     kernel = functools.partial(_kernel_ln_bwd_dx, t=t, heads=num_heads,
@@ -1497,7 +1515,7 @@ def fused_temporal_step_bwd_dx(x, gate, ln_scale, ln_bias, w_qkv, b_qkv,
     tile = _auto_tile(d, t, tile, n)
     while tile > 8 and (10 * t * tile * d * 2 + 4 * d * d * 2) > 14 * 2 ** 20:
         tile = max(8, tile // 2)
-    b = bt // t
+    b = _split_frames(bt, t)
     dh = w1.shape[1]
     scale = 1.0 / ((d // num_heads) ** 0.5)
     has_gate = gate is not None
@@ -1600,7 +1618,7 @@ def fused_ln_temporal_adapter_residual_gated(x, gate, ln_scale, ln_bias,
     while tile > 8 and ((9 if emit_u else 8) * t * tile * d * 2
                         + 4 * d * d * 2) > 12 * 2 ** 20:
         tile = max(8, tile // 2)
-    b = bt // t
+    b = _split_frames(bt, t)
     scale = 1.0 / ((d // num_heads) ** 0.5)
     seg = _segment_matrix(d, num_heads)
     dh = w1.shape[1]
