@@ -170,34 +170,59 @@ def train_detector(cfg: Dict[str, Any], work_dir: Optional[str] = None,
         state, start_epoch = ckpt_mgr.restore(state)
         logger.info(f"auto-resumed detector from epoch {start_epoch}")
 
+    # preemption safety, same contract as apis.train.train_model: SIGTERM
+    # checkpoints the current epoch at the next step boundary, exits clean
+    import signal
+    import threading
+    preempted = threading.Event()
+    prev_handler = None
+    if threading.current_thread() is threading.main_thread():
+        def _on_sigterm(signum, frame):
+            logger.warning("SIGTERM received — checkpointing for a "
+                           "preemption-safe exit")
+            preempted.set()
+        prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+
     base_rng = jax.random.PRNGKey(seed + 1)
     history = []
     global_step = 0
     log_interval = int((cfg.get("log_config") or {}).get("interval", 20))
-    with mesh:
-        for epoch in range(start_epoch, total_epochs):
-            loader.set_epoch(epoch)
-            for i, batch_data in enumerate(loader):
-                if lfb is not None:
-                    batch_data["lt_feat"] = _sample_lt_feat(
-                        lfb, batch_data["img_key"])
-                device_batch = shard_batch(mesh, {
-                    k: v for k, v in batch_data.items()
-                    if not isinstance(v, list)})
-                state, metrics = train_step(state, device_batch, base_rng)
-                global_step += 1
-                if (i + 1) % log_interval == 0 or i + 1 == len(loader):
-                    m = {k: float(v) for k, v in
-                         jax.device_get(metrics).items()}
-                    logger.info(f"Epoch [{epoch + 1}][{i + 1}/{len(loader)}] "
-                                f"loss: {m['loss']:.4f} "
-                                f"recall@thr=0.5: {m['recall@thr=0.5']:.3f}")
-                    history.append({"epoch": epoch, "iter": i + 1, **m})
+    try:
+        with mesh:
+            for epoch in range(start_epoch, total_epochs):
+                loader.set_epoch(epoch)
+                for i, batch_data in enumerate(loader):
+                    if lfb is not None:
+                        batch_data["lt_feat"] = _sample_lt_feat(
+                            lfb, batch_data["img_key"])
+                    device_batch = shard_batch(mesh, {
+                        k: v for k, v in batch_data.items()
+                        if not isinstance(v, list)})
+                    state, metrics = train_step(state, device_batch,
+                                                base_rng)
+                    global_step += 1
+                    if preempted.is_set():
+                        ckpt_mgr.save(state, epoch)  # resume replays epoch
+                        logger.info(
+                            f"preempted at epoch {epoch + 1} iter {i + 1}: "
+                            "checkpoint saved, exiting cleanly")
+                        return state, history
+                    if (i + 1) % log_interval == 0 or i + 1 == len(loader):
+                        m = {k: float(v) for k, v in
+                             jax.device_get(metrics).items()}
+                        logger.info(
+                            f"Epoch [{epoch + 1}][{i + 1}/{len(loader)}] "
+                            f"loss: {m['loss']:.4f} "
+                            f"recall@thr=0.5: {m['recall@thr=0.5']:.3f}")
+                        history.append({"epoch": epoch, "iter": i + 1, **m})
+                    if max_steps and global_step >= max_steps:
+                        break
+                ckpt_mgr.save(state, epoch + 1)
                 if max_steps and global_step >= max_steps:
                     break
-            ckpt_mgr.save(state, epoch + 1)
-            if max_steps and global_step >= max_steps:
-                break
+    finally:
+        if prev_handler is not None:
+            signal.signal(signal.SIGTERM, prev_handler)
     if validate:
         results = run_detection_evaluation(cfg, model, state.variables,
                                            split="val", mesh=mesh)
