@@ -172,23 +172,13 @@ def train_detector(cfg: Dict[str, Any], work_dir: Optional[str] = None,
 
     # preemption safety, same contract as apis.train.train_model: SIGTERM
     # checkpoints the current epoch at the next step boundary, exits clean
-    import signal
-    import threading
-    preempted = threading.Event()
-    prev_handler = None
-    if threading.current_thread() is threading.main_thread():
-        def _on_sigterm(signum, frame):
-            logger.warning("SIGTERM received — checkpointing for a "
-                           "preemption-safe exit")
-            preempted.set()
-        prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+    from adapt_image_models_tpu.apis.train import preemption_guard
 
     base_rng = jax.random.PRNGKey(seed + 1)
     history = []
     global_step = 0
     log_interval = int((cfg.get("log_config") or {}).get("interval", 20))
-    try:
-        with mesh:
+    with preemption_guard(logger) as preempted, mesh:
             for epoch in range(start_epoch, total_epochs):
                 loader.set_epoch(epoch)
                 for i, batch_data in enumerate(loader):
@@ -220,9 +210,6 @@ def train_detector(cfg: Dict[str, Any], work_dir: Optional[str] = None,
                 ckpt_mgr.save(state, epoch + 1)
                 if max_steps and global_step >= max_steps:
                     break
-    finally:
-        if prev_handler is not None:
-            signal.signal(signal.SIGTERM, prev_handler)
     if validate:
         results = run_detection_evaluation(cfg, model, state.variables,
                                            split="val", mesh=mesh)

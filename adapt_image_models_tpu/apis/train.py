@@ -17,6 +17,7 @@ TPU mapping of the reference stack:
 
 from __future__ import annotations
 
+import contextlib
 import signal
 import threading
 import time
@@ -251,12 +252,27 @@ def train_model(cfg: Dict[str, Any], work_dir: Optional[str] = None,
     ckpt_interval = int((cfg.get("checkpoint_config") or {}).get("interval", 1))
     log_interval = int((cfg.get("log_config") or {}).get("interval", 20))
 
-    # Preemption safety (TPU fleets send SIGTERM before reclaiming a VM):
-    # the handler only sets a flag; the loop checkpoints the CURRENT epoch
-    # at the next step boundary and returns cleanly, so `auto_resume`
-    # replays the partial epoch with the optimizer step count (and thus
-    # the LR schedule) intact. Signal handlers only install on the main
-    # thread — nested/threaded callers just skip the feature.
+    base_rng = jax.random.PRNGKey(seed + 1)
+    global_step = 0
+    history = []
+    with preemption_guard(logger) as preempted:
+        return _train_loop(cfg, state, train_step, loader, mesh, ckpt_mgr,
+                           logger, schedule, update_interval, start_epoch,
+                           total_epochs, eval_interval, eval_cfg,
+                           ckpt_interval, log_interval, base_rng,
+                           global_step, history, max_steps, model,
+                           validate, preempted)
+
+
+@contextlib.contextmanager
+def preemption_guard(logger):
+    """Preemption safety (TPU fleets send SIGTERM before reclaiming a VM):
+    yields a flag Event the SIGTERM handler sets; the train loops
+    checkpoint the CURRENT epoch at the next step boundary and return
+    cleanly, so `auto_resume` replays the partial epoch with the optimizer
+    step count (and thus the LR schedule) intact. Signal handlers only
+    install on the main thread — nested/threaded callers just skip the
+    feature. Shared by train_model and train_detector."""
     preempted = threading.Event()
     prev_handler = None
     if threading.current_thread() is threading.main_thread():
@@ -265,17 +281,8 @@ def train_model(cfg: Dict[str, Any], work_dir: Optional[str] = None,
                            "preemption-safe exit")
             preempted.set()
         prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
-
-    base_rng = jax.random.PRNGKey(seed + 1)
-    global_step = 0
-    history = []
     try:
-        return _train_loop(cfg, state, train_step, loader, mesh, ckpt_mgr,
-                           logger, schedule, update_interval, start_epoch,
-                           total_epochs, eval_interval, eval_cfg,
-                           ckpt_interval, log_interval, base_rng,
-                           global_step, history, max_steps, model,
-                           validate, preempted)
+        yield preempted
     finally:
         if prev_handler is not None:
             signal.signal(signal.SIGTERM, prev_handler)

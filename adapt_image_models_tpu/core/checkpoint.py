@@ -21,6 +21,16 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+def checkpoint_tag(path: str):
+    """``<work_dir>/ckpt_<epoch|best>`` (trailing slash tolerated — orbax
+    checkpoints are directories) -> ``int`` epoch or ``'best'``."""
+    base = os.path.basename(os.path.normpath(path))
+    if not base.startswith("ckpt_"):
+        raise ValueError(f"expected a .../ckpt_<epoch|best> path, got {path!r}")
+    tag = base[len("ckpt_"):]
+    return tag if tag == "best" else int(tag)
+
+
 class CheckpointManager:
     def __init__(self, work_dir: str, max_keep: Optional[int] = None):
         self.work_dir = os.path.abspath(work_dir)

@@ -1342,9 +1342,11 @@ def fused_ln_temporal_attention_bwd_dx(x, ln_scale, ln_bias, w_qkv, b_qkv,
     """dX-only Pallas backward for the LN+temporal block (full core)."""
     bt, n, d = x.shape
     t = num_frames
+    requested = tile is not None
     tile = _auto_tile(d, t, tile, n)
     # 3 row units (x, g, dx) double-buffered + resident weights
-    while tile > 8 and (6 * t * tile * d * 2 + 4 * d * d * 2) > 14 * 2 ** 20:
+    while (not requested and tile > 8
+           and (6 * t * tile * d * 2 + 4 * d * d * 2) > 14 * 2 ** 20):
         tile = max(8, tile // 2)
     b = _split_frames(bt, t)
     scale = 1.0 / ((d // num_heads) ** 0.5)
@@ -1512,8 +1514,10 @@ def fused_temporal_step_bwd_dx(x, gate, ln_scale, ln_bias, w_qkv, b_qkv,
     """Returns (dx, u, dpre, a) for the temporal whole-step backward."""
     bt, n, d = x.shape
     t = num_frames
+    requested = tile is not None
     tile = _auto_tile(d, t, tile, n)
-    while tile > 8 and (10 * t * tile * d * 2 + 4 * d * d * 2) > 14 * 2 ** 20:
+    while (not requested and tile > 8
+           and (10 * t * tile * d * 2 + 4 * d * d * 2) > 14 * 2 ** 20):
         tile = max(8, tile // 2)
     b = _split_frames(bt, t)
     dh = w1.shape[1]
@@ -1610,13 +1614,15 @@ def fused_ln_temporal_adapter_residual_gated(x, gate, ln_scale, ln_bias,
                                              tile: Optional[int] = None,
                                              emit_u: bool = False):
     bt, n, d = x.shape
+    requested = tile is not None
     tile = _auto_tile(d, num_frames, tile, n)
     t = num_frames
     # the gated step kernel carries extra fp32 transients; shrink the tile
     # beyond the eval budget (T=32 otherwise exceeds the VMEM scope); the
     # emit_u variant adds one more double-buffered (t, tile, d) output row
-    while tile > 8 and ((9 if emit_u else 8) * t * tile * d * 2
-                        + 4 * d * d * 2) > 12 * 2 ** 20:
+    while (not requested and tile > 8
+           and ((9 if emit_u else 8) * t * tile * d * 2
+                + 4 * d * d * 2) > 12 * 2 ** 20):
         tile = max(8, tile // 2)
     b = _split_frames(bt, t)
     scale = 1.0 / ((d // num_heads) ** 0.5)

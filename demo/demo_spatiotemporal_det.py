@@ -106,11 +106,12 @@ def main():
     rois0 = jnp.zeros((1, r, 4))
     variables = model.init(jax.random.PRNGKey(0), x0, rois0)
     if args.checkpoint:
-        from adapt_image_models_tpu.core.checkpoint import CheckpointManager
-        mgr = CheckpointManager(os.path.dirname(args.checkpoint) or ".")
-        tag = os.path.basename(args.checkpoint).replace("ckpt_", "")
-        variables = mgr.restore_variables(
-            tag if tag == "best" else int(tag))
+        from adapt_image_models_tpu.core.checkpoint import (
+            CheckpointManager, checkpoint_tag,
+        )
+        ckpt = os.path.normpath(args.checkpoint)
+        mgr = CheckpointManager(os.path.dirname(ckpt) or ".")
+        variables = mgr.restore_variables(checkpoint_tag(ckpt))
     fwd = jax.jit(lambda v, x, b: model.apply(v, x, b))
 
     annos = {}

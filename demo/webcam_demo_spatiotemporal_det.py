@@ -68,11 +68,12 @@ def main():
                            jnp.zeros((1, 3, clip_len, size, size)),
                            jnp.zeros((1, r, 4)))
     if args.checkpoint:
-        from adapt_image_models_tpu.core.checkpoint import CheckpointManager
-        mgr = CheckpointManager(os.path.dirname(args.checkpoint) or ".")
-        tag = os.path.basename(args.checkpoint).replace("ckpt_", "")
-        variables = mgr.restore_variables(
-            tag if tag == "best" else int(tag))
+        from adapt_image_models_tpu.core.checkpoint import (
+            CheckpointManager, checkpoint_tag,
+        )
+        ckpt = os.path.normpath(args.checkpoint)
+        mgr = CheckpointManager(os.path.dirname(ckpt) or ".")
+        variables = mgr.restore_variables(checkpoint_tag(ckpt))
     fwd = jax.jit(lambda v, x, b: model.apply(v, x, b))
 
     # headless cv2 builds may lack objdetect; fall back to one full-frame

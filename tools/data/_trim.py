@@ -36,6 +36,11 @@ def trim_video(src: str, dst: str, start_s: float, dur_s: float,
     from adapt_image_models_tpu.data.video_reader import open_video
     r = open_video(src)
     writer = None
+    # write to a temp name and os.replace on success: a mid-trim decode
+    # failure must not leave a truncated file that a re-run's
+    # "already exists" check would treat as a completed clip
+    tmp_dst = dst + ".part.mp4"
+    ok = False
     try:
         in_fps = r.avg_fps or 30.0
         out_fps = fps or in_fps
@@ -47,15 +52,20 @@ def trim_video(src: str, dst: str, start_s: float, dur_s: float,
             frames = r.get_frames(list(range(s, min(s + chunk, last))))
             if writer is None:
                 h, w = frames.shape[1:3]
-                writer = cv2.VideoWriter(dst,
+                writer = cv2.VideoWriter(tmp_dst,
                                          cv2.VideoWriter_fourcc(*"mp4v"),
                                          out_fps, (w, h))
                 if not writer.isOpened():
                     return False
             for f in frames:
                 writer.write(f[:, :, ::-1])  # RGB -> BGR
+        ok = writer is not None
     finally:
         r.close()
         if writer is not None:
             writer.release()
-    return True
+        if ok:
+            os.replace(tmp_dst, dst)
+        elif os.path.exists(tmp_dst):
+            os.remove(tmp_dst)
+    return ok
