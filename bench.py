@@ -31,35 +31,74 @@ A100_BASELINE_CLIPS_PER_S = 309.0
 
 
 def run_with_watchdog() -> int:
-    """Run the measurement in a timed child process, retrying on relay
+    """Run the measurement in timed child processes, retrying on relay
     outages. The axon relay sporadically hangs at backend init (observed
     r3: >1 h blocked inside the first dispatch with no error) — an
     in-process retry cannot recover from that, so the parent re-invokes
-    itself with AIM_BENCH_CHILD=1 under a hard timeout and retries."""
+    itself with AIM_BENCH_CHILD=1 under a hard timeout and retries.
+
+    The parent also A/Bs the two staged kernel-layout candidates from the
+    knockout sweep (docs/benchmark.md) — ``AIM_KERNEL_LN=mxu`` and
+    ``AIM_EVAL_SOFTMAX=t`` — because both are read at kernel import, i.e.
+    per-process. The baseline config runs first (guaranteed number), each
+    flip only if budget remains; the reported value is the best config,
+    named on stderr. Set AIM_BENCH_NO_AB=1 for a baseline-only run."""
     import subprocess
 
     deadline = time.time() + int(os.environ.get("AIM_BENCH_DEADLINE_S",
                                                 40 * 60))
-    attempt = 0
-    while True:
-        attempt += 1
-        budget = max(60, min(15 * 60, int(deadline - time.time())))
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env={**os.environ, "AIM_BENCH_CHILD": "1"},
-                capture_output=True, text=True, timeout=budget)
-            out = proc.stdout.strip().splitlines()
-            if proc.returncode == 0 and out:
-                print(out[-1])
-                return 0
-            err = (proc.stderr or "")[-2000:]
-        except subprocess.TimeoutExpired:
-            err = f"attempt {attempt}: timed out after {budget}s (relay hang)"
-        print(f"bench attempt {attempt} failed: {err}", file=sys.stderr)
-        if time.time() + 120 > deadline:
+    configs = [("baseline", {})]
+    if not os.environ.get("AIM_BENCH_NO_AB"):
+        configs += [
+            ("ln=mxu", {"AIM_KERNEL_LN": "mxu"}),
+            ("softmax=t", {"AIM_EVAL_SOFTMAX": "t"}),
+            ("ln=mxu+softmax=t", {"AIM_KERNEL_LN": "mxu",
+                                  "AIM_EVAL_SOFTMAX": "t"}),
+        ]
+    best_line, best_value, best_name = None, -1.0, None
+    for name, extra in configs:
+        # a flip config is strictly optional: never let it starve the
+        # baseline's retry budget, and skip it when little time remains
+        if best_line is not None and time.time() + 6 * 60 > deadline:
+            print(f"bench: skipping config {name} (deadline)",
+                  file=sys.stderr)
+            continue
+        attempt = 0
+        while True:
+            attempt += 1
+            budget = max(60, min(15 * 60, int(deadline - time.time())))
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env={**os.environ, "AIM_BENCH_CHILD": "1", **extra},
+                    capture_output=True, text=True, timeout=budget)
+                out = proc.stdout.strip().splitlines()
+                if proc.returncode == 0 and out:
+                    value = json.loads(out[-1]).get("value", 0.0)
+                    print(f"bench config {name}: {value} clips/s",
+                          file=sys.stderr)
+                    if value > best_value:
+                        best_line, best_value, best_name = out[-1], value, name
+                    break
+                err = (proc.stderr or "")[-2000:]
+            except subprocess.TimeoutExpired:
+                err = (f"attempt {attempt}: timed out after {budget}s "
+                       "(relay hang)")
+            print(f"bench attempt {attempt} ({name}) failed: {err}",
+                  file=sys.stderr)
+            if time.time() + 120 > deadline:
+                break
+            # only the baseline earns unlimited retries; one retry per flip
+            if best_line is not None and attempt >= 2:
+                break
+            time.sleep(60)
+        if best_line is None and time.time() + 120 > deadline:
             return 1
-        time.sleep(60)
+    if best_line is None:
+        return 1
+    print(f"bench: best config = {best_name}", file=sys.stderr)
+    print(best_line)
+    return 0
 
 
 def main():
@@ -68,18 +107,27 @@ def main():
 
     from adapt_image_models_tpu.models import build_model
 
+    # AIM_BENCH_TINY=1: end-to-end smoke of the measurement path (parent
+    # A/B loop + child protocol) with a CPU-feasible model — the headline
+    # geometry at ViT-B/16 takes ~404 GFLOP/clip, unreachable off-chip.
+    # The tiny model keeps the XLA attention core (Pallas does not lower on
+    # CPU; the kernels carry their own interpret-mode parity tests).
+    tiny = bool(os.environ.get("AIM_BENCH_TINY"))
+    res, width, layers, heads, frames = \
+        (32, 64, 2, 4, 2) if tiny else (224, 768, 12, 12, 8)
     model = build_model(dict(
         type="Recognizer3D",
-        backbone=dict(type="AIM", input_resolution=224, patch_size=16,
-                      width=768, layers=12, heads=12, num_frames=8,
+        backbone=dict(type="AIM", input_resolution=res, patch_size=16,
+                      width=width, layers=layers, heads=heads,
+                      num_frames=frames,
                       drop_path_rate=0.0, compute_dtype="bfloat16",
-                      attention_core="fused"),
-        cls_head=dict(type="I3DHead", num_classes=400, in_channels=768,
+                      attention_core="xla" if tiny else "fused"),
+        cls_head=dict(type="I3DHead", num_classes=400, in_channels=width,
                       dropout_ratio=0.0),
         test_cfg=dict(average_clips="prob"),
     ))
     params = model.init(jax.random.PRNGKey(0),
-                        jnp.zeros((1, 3, 8, 224, 224), jnp.float32))
+                        jnp.zeros((1, 3, frames, res, res), jnp.float32))
 
     fwd = jax.jit(lambda p, v: model.apply(p, v))
 
@@ -87,17 +135,17 @@ def main():
 
     best = 0.0
     last_err = None
-    for batch in (128, 256, 512):
+    for batch in ((4,) if tiny else (128, 256, 512)):
         # distinct inputs per iteration (the axon relay memoizes repeated
         # identical dispatches) + a forced scalar fetch per result
         # (block_until_ready does not synchronize over the relay). Dispatches
         # are issued back-to-back and fetched at the end — the async-dispatch
         # pipelining any real eval loop gets for free.
         keys = jax.random.split(jax.random.PRNGKey(batch), 7)
-        warm = jax.random.normal(keys[0], (batch, 3, 8, 224, 224),
+        warm = jax.random.normal(keys[0], (batch, 3, frames, res, res),
                                  jnp.bfloat16)
-        xs = [jax.random.normal(k, (batch, 3, 8, 224, 224), jnp.bfloat16)
-              for k in keys[1:]]
+        xs = [jax.random.normal(k, (batch, 3, frames, res, res),
+                                jnp.bfloat16) for k in keys[1:]]
         for attempt in (1, 2):  # retry once on transient relay errors
             try:
                 float(fwd(params, warm).sum())  # compile + warmup

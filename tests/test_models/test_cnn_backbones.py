@@ -65,10 +65,20 @@ def test_slowonly():
 
 def test_c3d():
     model = C3D()
-    x = jnp.ones((1, 3, 16, 112, 112))
-    variables = model.init(jax.random.PRNGKey(0), x)
-    out = model.apply(variables, x)
+    # canonical 16x112x112 geometry: structure-only via eval_shape (the
+    # real forward is ~50 GFLOPs — on this 1-core host its async dispatch
+    # used to land 12s of compute on the NEXT test's clock)
+    x = jax.ShapeDtypeStruct((1, 3, 16, 112, 112), jnp.float32)
+    variables = jax.eval_shape(model.init, jax.random.PRNGKey(0), x)
+    out = jax.eval_shape(model.apply, variables, x)
     assert out.shape == (1, 4096)
+    # numeric sanity at a small spatial size (fc6/fc7 size-infer; T=16 is
+    # the minimum that survives the four temporal pool halvings)
+    xs = jnp.ones((1, 3, 16, 16, 16))
+    vs = model.init(jax.random.PRNGKey(0), xs)
+    outs = model.apply(vs, xs)
+    assert outs.shape == (1, 4096)
+    assert bool(jnp.isfinite(outs).all())
 
 
 def test_timesformer():

@@ -507,7 +507,7 @@ def test_eval_softmax_t_mode_matches_stacked():
                                rtol=2e-4, atol=2e-4)
 
 
-def test_temporal_ln_block_backward_dispatch_t32():
+def test_temporal_ln_block_backward_dispatch_t32(monkeypatch):
     """T=32 at production widths must NOT route to the 5-output segment
     backward kernel (measured 19.12M > 16M VMEM on-chip): the dispatch
     falls back to the exact XLA-remat backward, and gradients still flow."""
@@ -519,8 +519,11 @@ def test_temporal_ln_block_backward_dispatch_t32():
     assert fta._seg_bwd_vmem_fits(32, 8, 64)  # test dims keep the kernel
 
     # gradient flows through the XLA fallback branch: force the fits
-    # predicate False at tiny dims (the branch itself is width-agnostic)
-    d, t = 64, 20  # t > full-core threshold -> segment route
+    # predicate False at tiny dims (the branch itself is width-agnostic).
+    # Cutover lowered so the segment route engages at a small traced size —
+    # interpret mode unrolls the grid, t=20 costs ~15 s vs ~4 s at t=6.
+    monkeypatch.setattr(fta, "LONG_CLIP_T", 4)
+    d, t = 64, 6  # t > full-core threshold -> segment route
     x = _rand((t, 8, d), 0) * 0.1
     lns = jnp.ones((d,))
     lnb = jnp.zeros((d,))
