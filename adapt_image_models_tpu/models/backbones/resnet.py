@@ -128,6 +128,10 @@ class ResNet(nn.Module):
     # multi-entry -> tuple of those stage feature maps (NHWC), the reference
     # TPN-TSM recipe's out_indices=(2, 3) (resnet.py forward/out_indices)
     out_indices: Sequence[int] = ()
+    # per-stage block-count override (mirrors resnet3d's stage_blocks; the
+    # reference 2D ResNet derives counts from depth only — this TPU-build
+    # extension exists for tiny test/bench geometries)
+    stage_blocks: Optional[Sequence[int]] = None
     compute_dtype: Dtype = jnp.float32
     pretrained: Optional[str] = None
 
@@ -136,6 +140,8 @@ class ResNet(nn.Module):
         if self.depth not in ARCH_SETTINGS:
             raise KeyError(f"unsupported ResNet depth {self.depth}")
         kind, stage_blocks = ARCH_SETTINGS[self.depth]
+        if self.stage_blocks is not None:
+            stage_blocks = tuple(self.stage_blocks)
         block_cls = BasicBlock if kind == "basic" else Bottleneck
         cdt = self.compute_dtype
 

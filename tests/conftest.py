@@ -44,7 +44,14 @@ def _machine_fingerprint() -> str:
                     break
     except OSError:
         pass
-    raw = f"{platform.machine()}|{platform.processor()}|{flags}"
+    # jaxlib + kernel release matter too: XLA:CPU target features include
+    # tuning flags (+prefer-no-gather/-scatter) derived from more than
+    # cpuinfo — a cache written under a different kernel/jaxlib poisoned
+    # every lookup here once (r3: the whole suite silently ran ~2x slow
+    # while cpu_aot_loader spammed feature-mismatch errors)
+    import jaxlib
+    raw = (f"{platform.machine()}|{platform.processor()}|{flags}"
+           f"|{jaxlib.__version__}|{platform.release()}")
     return hashlib.sha256(raw.encode()).hexdigest()[:16]
 
 

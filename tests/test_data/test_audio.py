@@ -14,6 +14,17 @@ from adapt_image_models_tpu.data.audio import (
 from adapt_image_models_tpu.models import build_model
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _optimized_convs():
+    """ResNet/conv execution dominates parts of this module on this host;
+    optimized compiles (cached persistently) beat
+    jax_disable_most_optimizations (see tests/test_models/test_cnn_backbones.py)."""
+    jax.config.update("jax_disable_most_optimizations", False)
+    yield
+    jax.config.update("jax_disable_most_optimizations", True)
+
+
+
 @pytest.fixture
 def wav_file(tmp_path):
     path = str(tmp_path / "t.wav")
@@ -53,7 +64,7 @@ def test_amplify_deterministic():
 def test_audio_recognizer():
     cfg = dict(
         type="AudioRecognizer",
-        backbone=dict(type="ResNet", depth=18),
+        backbone=dict(type="ResNet", depth=18, stage_blocks=(1, 1, 1, 1)),
         cls_head=dict(type="AudioTSNHead", num_classes=5, in_channels=512,
                       dropout_ratio=0.0),
         test_cfg=dict(average_clips="prob"),

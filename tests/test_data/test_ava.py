@@ -17,6 +17,17 @@ from adapt_image_models_tpu.core.bbox import (
 from adapt_image_models_tpu.core.ava_eval import eval_frame_map, read_labelmap
 from adapt_image_models_tpu.data.datasets import build_dataset
 
+
+@pytest.fixture(scope="module", autouse=True)
+def _optimized_convs():
+    """ResNet/conv execution dominates parts of this module on this host;
+    optimized compiles (cached persistently) beat
+    jax_disable_most_optimizations (see tests/test_models/test_cnn_backbones.py)."""
+    jax.config.update("jax_disable_most_optimizations", False)
+    yield
+    jax.config.update("jax_disable_most_optimizations", True)
+
+
 NUM_CLASSES = 5  # 4 actions + reserved class 0
 
 

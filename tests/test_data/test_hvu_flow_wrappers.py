@@ -18,6 +18,17 @@ from adapt_image_models_tpu.data.transforms import (
     format_nchw_flow, format_nptchw,
 )
 
+
+@pytest.fixture(scope="module", autouse=True)
+def _optimized_convs():
+    """ResNet/conv execution dominates parts of this module on this host;
+    optimized compiles (cached persistently) beat
+    jax_disable_most_optimizations (see tests/test_models/test_cnn_backbones.py)."""
+    jax.config.update("jax_disable_most_optimizations", False)
+    yield
+    jax.config.update("jax_disable_most_optimizations", True)
+
+
 CATS = ("action", "object", "scene")
 NUMS = (4, 6, 3)
 
@@ -197,7 +208,7 @@ def test_hvu_style_multilabel_train_step():
     )
     model = build_model(dict(
         type="Recognizer2D",
-        backbone=dict(type="ResNet", depth=18),
+        backbone=dict(type="ResNet", depth=18, stage_blocks=(1, 1, 1, 1)),
         cls_head=dict(type="TSNHead", in_channels=512, num_classes=7,
                       multi_class=True,
                       loss_cls=dict(type="BCELossWithLogits",

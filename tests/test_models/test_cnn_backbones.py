@@ -6,6 +6,17 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+
+@pytest.fixture(scope="module", autouse=True)
+def _optimized_convs():
+    """conv3d execution under ``jax_disable_most_optimizations`` is ~4x
+    slower than the optimized compile on this host (C3D 16^3: 8.4 s vs
+    2.0 s execute) and these tests are execution- not compile-bound; the
+    one-time optimized compiles land in the persistent cache."""
+    jax.config.update("jax_disable_most_optimizations", False)
+    yield
+    jax.config.update("jax_disable_most_optimizations", True)
+
 from adapt_image_models_tpu.models.backbones.resnet import (
     ResNet, ResNetTSM, temporal_shift,
 )
@@ -73,10 +84,13 @@ def test_c3d():
     out = jax.eval_shape(model.apply, variables, x)
     assert out.shape == (1, 4096)
     # numeric sanity at a small spatial size (fc6/fc7 size-infer; T=16 is
-    # the minimum that survives the four temporal pool halvings)
+    # the minimum that survives the four temporal pool halvings); init+apply
+    # in ONE jitted graph — two separate traces of the conv stack cost ~2x
+    # on this host
     xs = jnp.ones((1, 3, 16, 16, 16))
-    vs = model.init(jax.random.PRNGKey(0), xs)
-    outs = model.apply(vs, xs)
+    outs = jax.jit(
+        lambda k, x: model.apply(model.init(k, x), x))(
+            jax.random.PRNGKey(0), xs)
     assert outs.shape == (1, 4096)
     assert bool(jnp.isfinite(outs).all())
 

@@ -11,6 +11,17 @@ from adapt_image_models_tpu.models.heads.fbo_head import (
     FBOHead, FBONonLocal, FBOAvg, FBOMax, LFBInferHead,
 )
 
+
+@pytest.fixture(scope="module", autouse=True)
+def _optimized_convs():
+    """ResNet/conv execution dominates parts of this module on this host;
+    optimized compiles (cached persistently) beat
+    jax_disable_most_optimizations (see tests/test_models/test_cnn_backbones.py)."""
+    jax.config.update("jax_disable_most_optimizations", False)
+    yield
+    jax.config.update("jax_disable_most_optimizations", True)
+
+
 C = 16
 
 

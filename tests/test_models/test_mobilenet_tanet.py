@@ -12,6 +12,17 @@ from adapt_image_models_tpu.models.backbones.mobilenet import (
 from adapt_image_models_tpu.models.common import TAM, Conv2plus1d
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _optimized_convs():
+    """ResNet/conv execution dominates parts of this module on this host;
+    optimized compiles (cached persistently) beat
+    jax_disable_most_optimizations (see tests/test_models/test_cnn_backbones.py)."""
+    jax.config.update("jax_disable_most_optimizations", False)
+    yield
+    jax.config.update("jax_disable_most_optimizations", True)
+
+
+
 def test_mobilenetv2():
     from tests.util import zeros_init
     model = MobileNetV2()

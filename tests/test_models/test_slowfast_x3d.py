@@ -12,6 +12,17 @@ from adapt_image_models_tpu.models.backbones.slowfast import (
 from adapt_image_models_tpu.models import build_model
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _optimized_convs():
+    """ResNet/conv execution dominates parts of this module on this host;
+    optimized compiles (cached persistently) beat
+    jax_disable_most_optimizations (see tests/test_models/test_cnn_backbones.py)."""
+    jax.config.update("jax_disable_most_optimizations", False)
+    yield
+    jax.config.update("jax_disable_most_optimizations", True)
+
+
+
 def test_slowfast_forward():
     model = ResNet3dSlowFast(stage_blocks=(1, 1, 1, 1), alpha=4, beta_inv=8)
     x = jnp.ones((1, 3, 8, 32, 32))

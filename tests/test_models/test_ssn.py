@@ -6,6 +6,14 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+@pytest.fixture(scope="module", autouse=True)
+def _optimized_convs():
+    """ResNet conv execution dominates these tests on this host; optimized
+    compiles (cached persistently) beat jax_disable_most_optimizations
+    (see tests/test_models/test_cnn_backbones.py)."""
+    jax.config.update("jax_disable_most_optimizations", False)
+    yield
+    jax.config.update("jax_disable_most_optimizations", True)
 from adapt_image_models_tpu.models.heads.ssn_head import (
     SSNHead, parse_stage_config, stpp_train_pool, stpp_test_pool,
 )
@@ -239,7 +247,7 @@ def test_ssn_localizer_end_to_end_tiny(tmp_path):
 
     model = build_model(dict(
         type="SSN",
-        backbone=dict(type="ResNet", depth=18),
+        backbone=dict(type="ResNet", depth=18, stage_blocks=(1, 1, 1, 1)),
         cls_head=dict(type="SSNHead", in_channels=512, num_classes=K,
                       stpp_cfg=(1, 1, 1), num_segments_list=SEGS,
                       dropout_ratio=0),

@@ -16,6 +16,17 @@ from adapt_image_models_tpu.models.backbones.vit_clip import patch_shift
 from adapt_image_models_tpu.data.loader import RoundRobinLoader
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _optimized_convs():
+    """ResNet/conv execution dominates parts of this module on this host;
+    optimized compiles (cached persistently) beat
+    jax_disable_most_optimizations (see tests/test_models/test_cnn_backbones.py)."""
+    jax.config.update("jax_disable_most_optimizations", False)
+    yield
+    jax.config.update("jax_disable_most_optimizations", True)
+
+
+
 def test_temporal_interlace():
     m = TemporalInterlace(num_segments=4, shift_div=4)
     x = jax.random.normal(jax.random.PRNGKey(0), (8, 6, 6, 16))

@@ -12,6 +12,14 @@ from adapt_image_models_tpu.core.train_state import (
 )
 from adapt_image_models_tpu.models import build_model
 
+@pytest.fixture(scope="module", autouse=True)
+def _optimized_convs():
+    """ResNet conv execution dominates these tests on this host; optimized
+    compiles (cached persistently) beat jax_disable_most_optimizations
+    (see tests/test_models/test_cnn_backbones.py)."""
+    jax.config.update("jax_disable_most_optimizations", False)
+    yield
+    jax.config.update("jax_disable_most_optimizations", True)
 _NECK = dict(
     type="TPN",
     in_channels=(64, 128),
@@ -31,7 +39,7 @@ def _tpn_slowonly_cfg():
     return dict(
         type="Recognizer3D",
         backbone=dict(type="ResNet3dSlowOnly", depth=18, base_channels=16,
-                      out_indices=(2, 3)),
+                      stage_blocks=(1, 1, 1, 1), out_indices=(2, 3)),
         neck=dict(_NECK),
         cls_head=dict(type="TPNHead", num_classes=5, in_channels=64,
                       spatial_type="avg",
@@ -83,7 +91,7 @@ def test_tpn_tsm_2d_path():
     model = build_model(dict(
         type="Recognizer2D",
         backbone=dict(type="ResNetTSM", depth=18, num_frames=8,
-                      out_indices=(2, 3)),
+                      stage_blocks=(1, 1, 1, 1), out_indices=(2, 3)),
         neck=dict(type="TPN", in_channels=(256, 512), out_channels=32,
                   temporal_modulation_cfg=dict(downsample_scales=(8, 8)),
                   level_fusion_cfg=dict(mid_channels=(32, 32),
@@ -114,14 +122,18 @@ def test_multi_stage_out_indices():
     from adapt_image_models_tpu.models.backbones.resnet3d import (
         ResNet3dSlowOnly,
     )
+    # shape-only semantics: eval_shape traces without paying the (slow,
+    # unoptimized-XLA) conv compute on this 1-core host
     bb = ResNetTSM(depth=18, num_frames=4, out_indices=(2, 3))
-    v = bb.init(jax.random.PRNGKey(0), jnp.zeros((4, 3, 32, 32)))
-    f2, f3 = bb.apply(v, jnp.zeros((4, 3, 32, 32)))
+    x = jax.ShapeDtypeStruct((4, 3, 32, 32), jnp.float32)
+    v = jax.eval_shape(bb.init, jax.random.PRNGKey(0), x)
+    f2, f3 = jax.eval_shape(bb.apply, v, x)
     # 32 -> /4 stem -> 8; stages 2/3 sit at /16 and /32
     assert f2.shape == (4, 2, 2, 256) and f3.shape == (4, 1, 1, 512)
 
     bb3 = ResNet3dSlowOnly(depth=18, base_channels=16, out_indices=(2, 3))
-    v3 = bb3.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 4, 32, 32)))
-    g2, g3 = bb3.apply(v3, jnp.zeros((1, 3, 4, 32, 32)))
+    x3 = jax.ShapeDtypeStruct((1, 3, 4, 32, 32), jnp.float32)
+    v3 = jax.eval_shape(bb3.init, jax.random.PRNGKey(0), x3)
+    g2, g3 = jax.eval_shape(bb3.apply, v3, x3)
     assert g2.shape[-1] == 64 and g3.shape[-1] == 128
     assert g2.shape[1] == 4 and g3.shape[1] == 4  # no temporal downsampling

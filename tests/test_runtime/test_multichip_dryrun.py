@@ -204,10 +204,13 @@ def test_dp_train_step_with_fused_kernels_shard_map_interpret():
     # step) at half the interpret-mode cost — each device's cell chain runs
     # as pure Python
     mesh = make_mesh(data=2, model=1, devices=jax.devices()[:2])
+    # one block: the coverage target is shard_map partitioning of the
+    # kernel-path step, not inter-block chaining (test_fused_step_blocks
+    # covers that) — interpret mode runs each cell as pure Python
     model = build_model(dict(
         type="Recognizer3D",
         backbone=dict(type="AIM", input_resolution=RES, patch_size=PATCH,
-                      width=WIDTH, layers=LAYERS, heads=HEADS,
+                      width=WIDTH, layers=1, heads=HEADS,
                       num_frames=FRAMES, drop_path_rate=0.0,
                       attention_core="fused"),
         cls_head=dict(type="I3DHead", num_classes=NUM_CLASSES,
