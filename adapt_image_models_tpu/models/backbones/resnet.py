@@ -17,6 +17,7 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import flax.linen as nn
 
 from adapt_image_models_tpu.models.builder import BACKBONES
@@ -132,6 +133,16 @@ class ResNet(nn.Module):
     # reference 2D ResNet derives counts from depth only — this TPU-build
     # extension exists for tiny test/bench geometries)
     stage_blocks: Optional[Sequence[int]] = None
+    # non-local blocks over the folded (B, S, H, W, C) clip — per-stage int
+    # or per-block sequence like the reference tsm_nl configs'
+    # ((0,)*3, (1,0,1,0), ...) (resnet_tsm.py make_non_local); needs
+    # ``num_frames`` to unfold segments into the temporal axis
+    non_local: Sequence = (0, 0, 0, 0)
+    non_local_cfg: Optional[dict] = None
+    # reference tsm_temporal_pool variant: halve T with a stride-2 temporal
+    # max-pool after stage 2 (resnet_tsm.py TemporalPool); downstream TSM
+    # shifts and the head consensus then run at T/2
+    temporal_pool: bool = False
     compute_dtype: Dtype = jnp.float32
     pretrained: Optional[str] = None
 
@@ -154,14 +165,53 @@ class ResNet(nn.Module):
 
         planes = 64
         stage_outs = []
+        frames = self.num_frames
+        nl_kwargs = dict(self.non_local_cfg or {})
+        nl_kwargs.pop("norm_cfg", None)
+        nl_kwargs["compute_dtype"] = cdt
+
+        def fold_nonlocal(feat, name):
+            # (B*S, H, W, C) -> (B, S, H, W, C): segments are the temporal
+            # axis of the non-local affinity (reference resnet_tsm.py
+            # NL3DWrapper reshape)
+            if frames is None:
+                raise ValueError("non_local on a 2D ResNet needs num_frames")
+            from adapt_image_models_tpu.models.backbones.resnet3d import (
+                NonLocal3d)
+            bs = feat.shape[0] // frames
+            clip = feat.reshape((bs, frames) + feat.shape[1:])
+            clip = NonLocal3d(**nl_kwargs, name=name)(
+                clip, deterministic=deterministic)
+            return clip.reshape(feat.shape)
+
         for i, n_blocks in enumerate(stage_blocks):
             for j in range(n_blocks):
                 stride = 2 if (i > 0 and j == 0) else 1
                 h = block_cls(planes, stride=stride,
-                              tsm_frames=self.num_frames,
+                              tsm_frames=frames,
                               compute_dtype=cdt,
                               name=f"layer{i + 1}_{j}")(
                                   h, deterministic=deterministic)
+                nl_stage = (self.non_local[i]
+                            if i < len(self.non_local) else 0)
+                if (not np.isscalar(nl_stage) and j < len(nl_stage)
+                        and nl_stage[j]):
+                    h = fold_nonlocal(h, f"layer{i + 1}_{j}_nonlocal")
+            nl_stage = self.non_local[i] if i < len(self.non_local) else 0
+            if np.isscalar(nl_stage) and nl_stage:
+                h = fold_nonlocal(h, f"layer{i + 1}_nonlocal")
+            if self.temporal_pool and i == 1:
+                if frames is None or frames % 2:
+                    raise ValueError(
+                        "temporal_pool needs an even num_frames")
+                bs = h.shape[0] // frames
+                clip = h.reshape((bs, frames) + h.shape[1:])
+                # kernel 3 / stride 2 / pad 1 over T (reference TemporalPool)
+                clip = nn.max_pool(
+                    clip.reshape(bs, frames, -1, h.shape[-1]),
+                    (3, 1), (2, 1), padding=((1, 1), (0, 0)))
+                frames //= 2
+                h = clip.reshape((bs * frames,) + h.shape[1:])
             stage_outs.append(h)
             planes *= 2
         if len(self.out_indices) > 1:

@@ -23,6 +23,7 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import flax.linen as nn
 
 from adapt_image_models_tpu.models.builder import BACKBONES
@@ -44,10 +45,15 @@ def _bn(deterministic, name):
 
 
 class NonLocal3d(nn.Module):
-    """Embedded-gaussian non-local block (reference uses mmcv's NonLocal3d
-    when ``non_local`` is set per stage)."""
+    """Non-local block (reference uses mmcv's NonLocal3d when ``non_local``
+    is set; the nl config families — ``i3d_nl_*``, ``tsm_nl_*``,
+    ``slowonly_nl_*`` — select ``mode`` gaussian / embedded_gaussian /
+    dot_product and ``sub_sample``)."""
 
     reduction: int = 2
+    mode: str = "embedded_gaussian"
+    sub_sample: bool = False
+    use_scale: bool = False
     compute_dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -55,15 +61,34 @@ class NonLocal3d(nn.Module):
         c = x.shape[-1]
         inter = max(1, c // self.reduction)
         cdt = self.compute_dtype
-        theta = nn.Conv(inter, (1, 1, 1), dtype=cdt, name="theta")(x)
-        phi = nn.Conv(inter, (1, 1, 1), dtype=cdt, name="phi")(x)
+        if self.mode == "gaussian":
+            # pairwise affinity straight on the input features
+            theta, phi, q_dim = x, x, c
+        elif self.mode in ("embedded_gaussian", "dot_product"):
+            theta = nn.Conv(inter, (1, 1, 1), dtype=cdt, name="theta")(x)
+            phi = nn.Conv(inter, (1, 1, 1), dtype=cdt, name="phi")(x)
+            q_dim = inter
+        else:
+            raise ValueError(f"unsupported non-local mode {self.mode!r}")
         g = nn.Conv(inter, (1, 1, 1), dtype=cdt, name="g")(x)
+        if self.sub_sample:
+            # mmcv sub_sample: max-pool phi/g spatially by 2 — the affinity
+            # matrix shrinks 4x, the output grid is unchanged
+            pool = lambda v: nn.max_pool(v, (1, 2, 2), (1, 2, 2))
+            phi, g = pool(phi), pool(g)
         b = x.shape[0]
-        flat = lambda v: v.reshape(b, -1, inter)
-        attn = jnp.einsum("bic,bjc->bij", flat(theta), flat(phi),
+        flat = lambda v, d: v.reshape(b, -1, d)
+        attn = jnp.einsum("bic,bjc->bij", flat(theta, q_dim),
+                          flat(phi, q_dim),
                           preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(attn, axis=-1).astype(cdt)
-        y = jnp.einsum("bij,bjc->bic", attn, flat(g),
+        if self.mode == "dot_product":
+            attn = attn / attn.shape[-1]
+        else:
+            if self.use_scale:
+                attn = attn / jnp.sqrt(float(q_dim))
+            attn = jax.nn.softmax(attn, axis=-1)
+        attn = attn.astype(cdt)
+        y = jnp.einsum("bij,bjc->bic", attn, flat(g, inter),
                        preferred_element_type=jnp.float32).astype(cdt)
         y = y.reshape(x.shape[:-1] + (inter,))
         y = nn.Conv(c, (1, 1, 1), dtype=cdt, name="conv_out")(y)
@@ -178,7 +203,11 @@ class ResNet3dCore(nn.Module):
     out_indices: Sequence[int] = ()
     inflate: Sequence[int] = (0, 0, 1, 1)
     inflate_style: str = "3x1x1"
-    non_local: Sequence[int] = (0, 0, 0, 0)
+    # per-stage int (one block after the stage) or per-block sequence
+    # (reference nl configs pass e.g. ((0,)*3, (1,0,1,0), ...) — a
+    # NonLocal3d after each flagged block, resnet3d.py make_res_layer)
+    non_local: Sequence = (0, 0, 0, 0)
+    non_local_cfg: Optional[dict] = None  # mode/sub_sample/use_scale
     frozen_stages: int = -1  # -1 none; 0 stem; k stems+stages 1..k
     csn_mode: str = ""
     # reference CSN spells the mode 'bottleneck_mode'; alias accepted
@@ -220,6 +249,9 @@ class ResNet3dCore(nn.Module):
 
         planes = self.base_channels
         stage_outs = []
+        nl_kwargs = dict(self.non_local_cfg or {})
+        nl_kwargs.pop("norm_cfg", None)  # BN is the only norm here
+        nl_kwargs["compute_dtype"] = cdt
         for i, n_blocks in enumerate(stage_blocks):
             frozen = self.frozen_stages >= i + 1
             det = deterministic or frozen
@@ -244,8 +276,13 @@ class ResNet3dCore(nn.Module):
                                             or self.csn_mode))
                 h = block_cls(**kwargs, name=f"layer{i + 1}_{j}")(
                     h, deterministic=det)
-            if self.non_local[i]:
-                h = NonLocal3d(compute_dtype=cdt,
+                if (not np.isscalar(nl_stage := self.non_local[i])
+                        and j < len(nl_stage) and nl_stage[j]):
+                    h = NonLocal3d(**nl_kwargs,
+                                   name=f"layer{i + 1}_{j}_nonlocal")(
+                                       h, deterministic=det)
+            if np.isscalar(self.non_local[i]) and self.non_local[i]:
+                h = NonLocal3d(**nl_kwargs,
                                name=f"layer{i + 1}_nonlocal")(
                                    h, deterministic=det)
             if i == 0 and self.with_pool2:

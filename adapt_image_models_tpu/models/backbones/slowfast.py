@@ -69,6 +69,11 @@ class ResNet3dSlowFast(nn.Module):
     """
 
     stage_blocks: Sequence[int] = (3, 4, 6, 3)
+    # per-pathway depth overrides (reference slowfast_r101_r50 /
+    # slowfast_r152_r50 recipes pair a deeper slow pathway with an R50
+    # fast pathway, configs/recognition/slowfast/); None -> stage_blocks
+    slow_stage_blocks: Optional[Sequence[int]] = None
+    fast_stage_blocks: Optional[Sequence[int]] = None
     alpha: int = 8          # fast/slow frame-rate ratio
     beta_inv: int = 8       # slow/fast channel ratio
     base_channels: int = 64
@@ -91,7 +96,8 @@ class ResNet3dSlowFast(nn.Module):
 
         # fast pathway first: its stage outputs feed the laterals
         fast_out, fast_stages = _Pathway(
-            c_fast, self.stage_blocks, inflate=(1, 1, 1, 1),
+            c_fast, self.fast_stage_blocks or self.stage_blocks,
+            inflate=(1, 1, 1, 1),
             compute_dtype=cdt, name="fast_path")(
                 fast_in, deterministic=deterministic)
 
@@ -110,7 +116,8 @@ class ResNet3dSlowFast(nn.Module):
         laterals = [lateral(fast_stages[i], i) for i in range(4)]
 
         slow_out, _ = _Pathway(
-            self.base_channels, self.stage_blocks, inflate=(0, 0, 1, 1),
+            self.base_channels, self.slow_stage_blocks or self.stage_blocks,
+            inflate=(0, 0, 1, 1),
             compute_dtype=cdt, name="slow_path")(
                 slow_in, laterals=laterals, deterministic=deterministic)
 

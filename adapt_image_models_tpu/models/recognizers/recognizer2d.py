@@ -50,7 +50,11 @@ class Recognizer2D(nn.Module):
             else:
                 feat = out
             return self.head_module(feat, deterministic=deterministic)
-        feat = feat.reshape(b, s, -1)
+        # infer the segment count from the backbone output: a
+        # temporal-pooling backbone (ResNetTSM temporal_pool=True) returns
+        # fewer per-segment rows than it was fed
+        s_out = feat.shape[0] // b
+        feat = feat.reshape(b, s_out, -1)
         return self.head_module(feat, deterministic=deterministic)
 
     def forward_test(self, imgs: jax.Array) -> jax.Array:

@@ -195,3 +195,68 @@ def test_frozen_stages_excluded_from_trainable_partition():
     assert any(k.startswith("layer2_") for k in tkeys)
     assert all(not k.startswith(("conv1", "bn1", "layer1_")) for k in tkeys)
     assert any(k.startswith("layer1_") for k in fkeys)
+
+
+def test_nonlocal_modes_and_per_block_placement():
+    """Reference nl recipes (i3d_nl_{gaussian,embedded_gaussian,dot_product})
+    insert a NonLocal3d after flagged blocks; all three affinity modes must
+    run and be identity at init (zero-init output BN scale)."""
+    from adapt_image_models_tpu.models import build_backbone
+    from flax import traverse_util
+    x = jnp.ones((1, 3, 4, 32, 32))
+    for mode in ("gaussian", "embedded_gaussian", "dot_product"):
+        bb = build_backbone(dict(
+            type="ResNet3d", stage_blocks=(1, 2), inflate=(0, 1),
+            non_local=((0,), (0, 1)),
+            non_local_cfg=dict(mode=mode, sub_sample=True)))
+        v = bb.init(jax.random.PRNGKey(0), x)
+        keys = {"/".join(k) for k in
+                traverse_util.flatten_dict(v["params"])}
+        assert any(k.startswith("layer2_1_nonlocal") for k in keys), keys
+        assert not any("layer1" in k and "nonlocal" in k for k in keys)
+        out = bb.apply(v, x)
+        # identity at init: zero-scaled output BN leaves the trunk value
+        ref = build_backbone(dict(type="ResNet3d", stage_blocks=(1, 2),
+                                  inflate=(0, 1)))
+        vref = ref.init(jax.random.PRNGKey(0), x)
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(ref.apply(vref, x)),
+                                   atol=1e-6)
+
+
+def test_resnet_tsm_nonlocal_2d():
+    """tsm_nl recipes put non-local on the 2D TSM trunk, folding segments
+    into the affinity's temporal axis (reference resnet_tsm.py NL3DWrapper)."""
+    from flax import traverse_util
+    model = ResNetTSM(depth=18, num_frames=4, stage_blocks=(1, 2, 1, 1),
+                      non_local=((0,), (1, 0), (0,), (0,)),
+                      non_local_cfg=dict(mode="embedded_gaussian"))
+    x = jnp.ones((8, 3, 32, 32))  # B=2 clips x 4 segments
+    v = model.init(jax.random.PRNGKey(0), x)
+    keys = {"/".join(k) for k in traverse_util.flatten_dict(v["params"])}
+    assert any(k.startswith("layer2_0_nonlocal") for k in keys)
+    out = model.apply(v, x)
+    assert out.shape == (8, 512)
+
+
+def test_resnet_tsm_temporal_pool_halves_segments():
+    """tsm_temporal_pool recipe: stride-2 temporal max-pool after stage 2;
+    the recognizer's consensus then runs over T/2 segments."""
+    from adapt_image_models_tpu.models import build_model
+    model = build_model(dict(
+        type="Recognizer2D",
+        backbone=dict(type="ResNetTSM", depth=18, num_frames=8,
+                      stage_blocks=(1, 1, 1, 1), temporal_pool=True),
+        cls_head=dict(type="TSMHead", num_classes=5, in_channels=512,
+                      num_segments=8, dropout_ratio=0.0),
+        test_cfg=dict(average_clips="prob"),
+    ))
+    x = jnp.ones((2, 8, 3, 32, 32))
+    v = model.init(jax.random.PRNGKey(0), x)
+    logits = model.apply(v, x, deterministic=True)
+    assert logits.shape == (2, 5)
+    # the backbone itself must return half the segment rows
+    bb_out = model.apply(v, x.reshape(16, 3, 32, 32), deterministic=True,
+                         method=lambda m, z, deterministic:
+                         m.backbone_module(z, deterministic=deterministic))
+    assert bb_out.shape[0] == 8  # 16 segment rows -> 8 after the pool

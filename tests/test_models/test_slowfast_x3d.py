@@ -63,3 +63,21 @@ def test_x3d_forward():
     out = model.apply(variables, x)
     assert out.ndim == 5 and out.shape[1] == 4  # no temporal downsample
     assert bool(jnp.isfinite(out).all())
+
+
+def test_slowfast_per_pathway_depths():
+    """r101_r50-style recipes pair a deeper slow pathway with a shallower
+    fast pathway (reference slowfast_r101_r50_4x16x1)."""
+    from flax import traverse_util
+    model = ResNet3dSlowFast(slow_stage_blocks=(1, 2, 1, 1),
+                             fast_stage_blocks=(1, 1, 1, 1),
+                             alpha=4, beta_inv=8)
+    x = jnp.ones((1, 3, 8, 32, 32))
+    from tests.util import zeros_init
+    variables = zeros_init(model, x)
+    keys = {"/".join(k) for k in
+            traverse_util.flatten_dict(variables["params"])}
+    assert "slow_path/layer2_1/conv1/kernel" in keys   # depth-2 stage 2
+    assert "fast_path/layer2_1/conv1/kernel" not in keys
+    slow, fast = model.apply(variables, x)
+    assert slow.shape[-1] == 2048 and fast.shape[-1] == 256
