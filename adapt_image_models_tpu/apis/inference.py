@@ -29,10 +29,10 @@ def init_recognizer(cfg: Dict[str, Any], checkpoint: Optional[str] = None,
 
     pipeline = cfg["data"]["test"]["pipeline"]
     proc = build_sample_processor(pipeline)
-    h, w = proc.output_size()
-    t = proc.sampler.clip_len
+    from adapt_image_models_tpu.data.transforms import init_sample_shape
     variables = model.init(jax.random.PRNGKey(seed),
-                           jnp.zeros((1, 3, t, h, w), jnp.float32))
+                           jnp.zeros(init_sample_shape(pipeline, proc),
+                                     jnp.float32))
     params = variables["params"]
     model_state = {k: v for k, v in variables.items() if k != "params"}
     if checkpoint:
@@ -56,7 +56,9 @@ def inference_recognizer(model, params, cfg: Dict[str, Any], video: str,
     clips, _ = proc(video, label=0)
     imgs = clips[None]  # (1, V, T, H, W, C)
 
-    prepare = make_prepare_fn(proc.mean, proc.std)
+    from adapt_image_models_tpu.data.transforms import layout_from_pipeline
+    layout = layout_from_pipeline(pipeline)
+    prepare = make_prepare_fn(proc.mean, proc.std, layout=layout)
     views = prepare(jnp.asarray(imgs))
 
     test_cfg = cfg["model"].get("test_cfg") or {}
@@ -64,8 +66,13 @@ def inference_recognizer(model, params, cfg: Dict[str, Any], video: str,
     from adapt_image_models_tpu.models.recognizers.recognizer3d import average_clip
     params, model_state = split_variables(params)
     variables = {"params": params, **model_state}
-    b, v = views.shape[:2]
-    flat = views.reshape((b * v,) + views.shape[2:])
+    if layout in ("NCHW", "NCHW_Flow"):
+        # already the 2D segment contract (B, S, C, H, W); consensus inside
+        # the head does the averaging
+        v, flat = 1, views
+    else:
+        b, v = views.shape[:2]
+        flat = views.reshape((b * v,) + views.shape[2:])
     if return_features:
         feats = model.apply(variables, flat, deterministic=True,
                             method=model.extract_feat)

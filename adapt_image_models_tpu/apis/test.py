@@ -23,7 +23,9 @@ from adapt_image_models_tpu.core.train_state import make_eval_step, split_variab
 from adapt_image_models_tpu.data.datasets import build_dataset
 from adapt_image_models_tpu.data.loader import VideoLoader
 from adapt_image_models_tpu.data.pipeline import build_sample_processor
-from adapt_image_models_tpu.data.transforms import make_prepare_fn
+from adapt_image_models_tpu.data.transforms import (
+    layout_from_pipeline, make_prepare_fn,
+)
 from adapt_image_models_tpu.models import build_model
 from adapt_image_models_tpu.models.recognizers.recognizer3d import average_clip
 from adapt_image_models_tpu.parallel.mesh import make_mesh, shard_batch
@@ -31,12 +33,18 @@ from adapt_image_models_tpu.parallel.mesh import make_mesh, shard_batch
 
 def make_chunked_eval_step(model, prepare_fn, average_clips: str = "prob",
                            max_testing_views: Optional[int] = None,
-                           shard_mesh=None, data_axis: str = "data"):
+                           shard_mesh=None, data_axis: str = "data",
+                           segment_layout: bool = False):
     """Eval step that processes views in chunks of ``max_testing_views``.
 
     ``shard_mesh``: run the forward inside ``shard_map`` over ``data_axis``
     — required for Pallas-kernel models on a multi-device mesh (a bare
-    pallas_call cannot be auto-partitioned by GSPMD)."""
+    pallas_call cannot be auto-partitioned by GSPMD).
+
+    ``segment_layout``: the prepared batch is already the 2D recognizer's
+    (B, S, C, H, W) contract — crops/clips/frames folded into consensus
+    segments by the prepare fn (reference ``recognizer2d.py`` forward_test:
+    num_segs = total rows / batch, consensus averages them all)."""
 
     def eval_step(variables, imgs_uint8):
         params, model_state = split_variables(variables)
@@ -44,12 +52,17 @@ def make_chunked_eval_step(model, prepare_fn, average_clips: str = "prob",
         if shard_mesh is not None:
             from jax.sharding import PartitionSpec as PS
             inner = make_chunked_eval_step(model, prepare_fn, average_clips,
-                                           max_testing_views)
+                                           max_testing_views,
+                                           segment_layout=segment_layout)
             return jax.shard_map(
                 inner, mesh=shard_mesh,
                 in_specs=(PS(), PS(data_axis)), out_specs=PS(data_axis),
                 check_vma=False,
             )(variables, imgs_uint8)
+        if segment_layout:
+            imgs = prepare_fn(imgs_uint8)  # (B, S, C, H, W), model-ready
+            logits = model.apply(variables, imgs, deterministic=True)
+            return average_clip(logits, 1, average_clips)
         imgs = prepare_fn(imgs_uint8)  # (B, V, C, T, H, W)
         b, v = imgs.shape[:2]
         if max_testing_views is None or v <= max_testing_views:
@@ -108,7 +121,8 @@ def run_evaluation(cfg: Dict[str, Any], model=None, params=None,
     mean, std = proc.mean, proc.std
     compute_dtype = cfg["model"].get("backbone", {}).get(
         "compute_dtype", jnp.float32)
-    prepare = make_prepare_fn(mean, std, dtype=compute_dtype)
+    prepare = make_prepare_fn(mean, std, dtype=compute_dtype,
+                              layout=layout_from_pipeline(pipeline))
 
     if mesh is None:
         mesh = make_mesh()
@@ -132,7 +146,9 @@ def run_evaluation(cfg: Dict[str, Any], model=None, params=None,
     eval_step = jax.jit(make_chunked_eval_step(
         model, prepare, test_cfg.get("average_clips", "prob"),
         test_cfg.get("max_testing_views"),
-        shard_mesh=mesh if use_shard_map else None))
+        shard_mesh=mesh if use_shard_map else None,
+        segment_layout=layout_from_pipeline(pipeline) in (
+            "NCHW", "NCHW_Flow")))
 
     scores = []
     n = len(dataset)

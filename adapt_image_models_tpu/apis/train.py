@@ -37,7 +37,9 @@ from adapt_image_models_tpu.data.blending import build_blending
 from adapt_image_models_tpu.data.datasets import build_dataset
 from adapt_image_models_tpu.data.loader import VideoLoader
 from adapt_image_models_tpu.data.pipeline import build_sample_processor
-from adapt_image_models_tpu.data.transforms import make_prepare_fn
+from adapt_image_models_tpu.data.transforms import (
+    init_sample_shape, layout_from_pipeline, make_prepare_fn,
+)
 from adapt_image_models_tpu.models import build_model
 from adapt_image_models_tpu.parallel.mesh import make_mesh, shard_batch
 from adapt_image_models_tpu.utils.logger import get_root_logger
@@ -141,15 +143,14 @@ def train_model(cfg: Dict[str, Any], work_dir: Optional[str] = None,
 
     mean, std = _norm_cfg_from_pipeline(train_pipeline)
     compute_dtype = model_cfg.get("backbone", {}).get("compute_dtype", jnp.float32)
+    layout = layout_from_pipeline(train_pipeline)
     prepare = make_prepare_fn(mean or (122.769, 116.74, 104.04),
                               std or (68.493, 66.63, 70.321),
-                              dtype=compute_dtype)
+                              dtype=compute_dtype, layout=layout)
 
     # ---- init / pretrained ----------------------------------------------
     proc = build_sample_processor(train_pipeline)
-    h, w = proc.output_size()
-    t = proc.sampler.clip_len
-    sample = jnp.zeros((1, 3, t, h, w), jnp.float32)
+    sample = jnp.zeros(init_sample_shape(train_pipeline, proc), jnp.float32)
     rng = jax.random.PRNGKey(seed)
     variables = model.init(rng, sample)
     params = variables["params"]

@@ -53,12 +53,64 @@ def prepare_batch(clips_uint8: jax.Array,
     return format_ncthw(x)
 
 
-def make_prepare_fn(mean=CLIP_MEAN, std=CLIP_STD, dtype=jnp.float32):
+def layout_from_pipeline(pipeline) -> str:
+    """The recipe's ``FormatShape`` input_format (reference
+    ``formating.py:252``): NCTHW (3D models), NCHW (2D segment models),
+    NCHW_Flow (2D flow), NPTCHW (SSN). Defaults to NCTHW."""
+    for item in pipeline:
+        if item.get("type") == "FormatShape":
+            return item.get("input_format", "NCTHW")
+    return "NCTHW"
+
+
+def init_sample_shape(pipeline, proc) -> Tuple[int, ...]:
+    """Shape of a model-init dummy consistent with what the prepared
+    batches of this recipe will look like: (1, 3, T, H, W) for the 3D
+    NCTHW contract, (1, S, 3, H, W) segments for 2D NCHW recipes,
+    (1, V, 2L, H, W) for NCHW_Flow (L flow frames stack into channels)."""
+    h, w = proc.output_size()
+    t = proc.sampler.clip_len
+    v = getattr(proc.sampler, "num_clips", 1) or 1
+    layout = layout_from_pipeline(pipeline)
+    if layout == "NCHW":
+        return (1, v * t, 3, h, w)
+    if layout == "NCHW_Flow":
+        return (1, v, 2 * t, h, w)
+    return (1, 3, t, h, w)
+
+
+def make_prepare_fn(mean=CLIP_MEAN, std=CLIP_STD, dtype=jnp.float32,
+                    layout: str = "NCTHW"):
+    """Device-side batch prep: normalize + format.
+
+    ``layout`` mirrors the recipe's FormatShape:
+
+    * ``NCTHW`` — (B[, V], T, H, W, C) -> (B[, V], C, T, H, W); the 3D
+      recognizer contract (views fold into batch downstream).
+    * ``NCHW`` — -> (B, V*T, C, H, W); the 2D segment contract
+      (``Recognizer2D``): crops x clips x frames all become consensus
+      segments, exactly the reference's test-time fold
+      (``recognizer2d.py`` num_segs = total rows / batch).
+    * ``NCHW_Flow`` — -> (B, V, T*C, H, W); per clip, the L flow frames'
+      (dx, dy) planes stack frame-major into one 2L-channel image
+      (reference ``formating.py:268-278``).
+    """
     mean = jnp.asarray(mean, jnp.float32)
     std = jnp.asarray(std, jnp.float32)
+    if layout not in ("NCTHW", "NCHW", "NCHW_Flow"):
+        raise ValueError(f"unsupported prepare layout {layout!r}")
 
     def prepare(clips_uint8):
-        return prepare_batch(clips_uint8, mean, std, dtype)
+        x = prepare_batch(clips_uint8, mean, std, dtype)
+        if layout == "NCTHW":
+            return x
+        if x.ndim == 5:  # no view axis: treat as a single view
+            x = x[:, None]
+        b, v, c, t, h, w = x.shape
+        x = x.transpose(0, 1, 3, 2, 4, 5)  # (B, V, T, C, H, W)
+        if layout == "NCHW":
+            return x.reshape(b, v * t, c, h, w)
+        return x.reshape(b, v, t * c, h, w)  # NCHW_Flow
 
     return prepare
 

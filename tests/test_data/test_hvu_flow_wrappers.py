@@ -227,3 +227,57 @@ def test_hvu_style_multilabel_train_step():
                        jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
     assert int(s2.step) == 1
+
+
+def test_make_prepare_fn_segment_layouts():
+    """NCHW folds crops x clips x frames into consensus segments; NCHW_Flow
+    stacks each clip's L flow frames frame-major into 2L channels (matches
+    format_nchw_flow, reference formating.py:268-278)."""
+    import jax.numpy as jnp
+    from adapt_image_models_tpu.data.transforms import (
+        format_nchw_flow, layout_from_pipeline, make_prepare_fn, normalize,
+    )
+    rng = np.random.default_rng(0)
+    # NCHW: (B=2, V=3 clips, T=2, H, W, C=3) -> (2, 6, 3, H, W)
+    raw = rng.integers(0, 255, (2, 3, 2, 4, 4, 3), dtype=np.uint8)
+    prep = make_prepare_fn((0, 0, 0), (1, 1, 1), layout="NCHW")
+    out = np.asarray(prep(jnp.asarray(raw)))
+    assert out.shape == (2, 6, 3, 4, 4)
+    # segment 1 of clip 0 == raw frame [b, 0, 1] (CHW)
+    np.testing.assert_allclose(out[1, 1], raw[1, 0, 1].transpose(2, 0, 1))
+
+    # NCHW_Flow: (B=1, V=2 clips, L=3, H, W, C=2) -> (1, 2, 6, H, W)
+    flow = rng.integers(0, 255, (1, 2, 3, 4, 4, 2), dtype=np.uint8)
+    prep_f = make_prepare_fn((0, 0), (1, 1), layout="NCHW_Flow")
+    got = np.asarray(prep_f(jnp.asarray(flow)))
+    assert got.shape == (1, 2, 6, 4, 4)
+    want = np.asarray(format_nchw_flow(
+        normalize(jnp.asarray(flow.reshape(1, 6, 4, 4, 2)), (0, 0), (1, 1)),
+        clip_len=3))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    # layout detection
+    assert layout_from_pipeline(
+        [dict(type="FormatShape", input_format="NCHW")]) == "NCHW"
+    assert layout_from_pipeline([dict(type="Resize")]) == "NCTHW"
+    with pytest.raises(ValueError, match="layout"):
+        make_prepare_fn(layout="NPTCHW")
+
+
+def test_init_sample_shape_matches_prepared_batches():
+    from adapt_image_models_tpu.data.pipeline import build_sample_processor
+    from adapt_image_models_tpu.data.transforms import (
+        init_sample_shape, make_prepare_fn, layout_from_pipeline,
+    )
+    import jax.numpy as jnp
+    pipe = [
+        dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=4),
+        dict(type="Resize", scale=(16, 16), keep_ratio=False),
+        dict(type="Normalize"),
+        dict(type="FormatShape", input_format="NCHW"),
+    ]
+    proc = build_sample_processor(pipe)
+    clips, _ = proc("synthetic://0", 0, np.random.default_rng(0))
+    prep = make_prepare_fn(layout=layout_from_pipeline(pipe))
+    batch = prep(jnp.asarray(clips[None]))
+    assert tuple(batch.shape) == init_sample_shape(pipe, proc)
