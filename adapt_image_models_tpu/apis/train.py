@@ -194,6 +194,13 @@ def train_model(cfg: Dict[str, Any], work_dir: Optional[str] = None,
     if fs >= 0:
         frozen_prefixes = ("conv1", "bn1") + tuple(
             f"layer{i + 1}_" for i in range(fs))
+    if model_cfg.get("backbone", {}).get("bn_frozen"):
+        # reference bn_frozen (ircsn bnfrozen recipes): BN affine params
+        # get requires_grad=False; here they move to the frozen partition.
+        # Prefix match is anchored to the backbone subtree, where any path
+        # segment may match — bn1/bn2/bn3, downsample/lateral BNs.
+        frozen_prefixes = frozen_prefixes + ("bn", "downsample_bn",
+                                             "lateral_bn")
     trainable, _ = partition_params(params, frozen_prefixes=frozen_prefixes)
     # the fused train path returns ZERO cotangents for the frozen CLIP
     # weights: joint kernel -> mlp/ln_2 (fused_joint_train_block), dX-only

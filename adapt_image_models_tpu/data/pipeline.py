@@ -71,6 +71,8 @@ class SampleProcessor:
                 crops = 10
             elif name == "MultiGroupCrop":
                 crops = kw.get("groups", 1)
+        if self.sampler.views is None:  # untrimmed: video-dependent
+            return None
         return self.sampler.views * crops
 
     def output_size(self) -> Tuple[int, int]:
@@ -349,7 +351,35 @@ def build_sample_processor(pipeline_cfg: Sequence[Dict[str, Any]],
             continue
         if t in _DECODE_OPS or t in _NOOPS:
             continue
-        if t in ("SampleFrames", "DenseSampleFrames"):
+        if t == "UntrimmedSampleFrames":
+            # per-video variable clip count: valid for per-video tools
+            # (clip_feature_extraction, LFB inference), not batch loaders
+            from adapt_image_models_tpu.data.sampling import (
+                UntrimmedSampleFrames)
+            test_mode = True if test_mode is None else test_mode
+            sampler = UntrimmedSampleFrames(
+                clip_len=item["clip_len"],
+                frame_interval=item.get("frame_interval", 16),
+                start_index=item.get("start_index", 0))
+            continue
+        if t == "DenseSampleFrames":
+            # dense sampling inside a 64-frame window (reference
+            # loading.py:341) — previously this silently degraded to
+            # uniform SampleFrames
+            from adapt_image_models_tpu.data.sampling import (
+                DenseSampleFrames)
+            item.setdefault("test_mode", False)
+            if test_mode is None:
+                test_mode = item["test_mode"]
+            sampler = DenseSampleFrames(
+                clip_len=item["clip_len"],
+                frame_interval=item.get("frame_interval", 1),
+                num_clips=item.get("num_clips", 1),
+                sample_range=item.get("sample_range", 64),
+                num_sample_positions=item.get("num_sample_positions", 10),
+                test_mode=item["test_mode"])
+            continue
+        if t == "SampleFrames":
             item.setdefault("test_mode", False)
             if test_mode is None:
                 test_mode = item["test_mode"]

@@ -180,6 +180,11 @@ class UntrimmedSampleFrames:
     frame_interval: int = 16
     start_index: int = 0
 
+    @property
+    def views(self):
+        """Video-length-dependent clip count — not static."""
+        return None
+
     def __call__(self, num_frames: int, start_index: Optional[int] = None,
                  rng=None) -> np.ndarray:
         si = self.start_index if start_index is None else start_index

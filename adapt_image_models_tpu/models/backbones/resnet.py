@@ -143,6 +143,9 @@ class ResNet(nn.Module):
     # max-pool after stage 2 (resnet_tsm.py TemporalPool); downstream TSM
     # shifts and the head consensus then run at T/2
     temporal_pool: bool = False
+    # stem input channels (flow recipes set 2*clip_len; the conv infers the
+    # actual count from the input — kept for reference-config parity)
+    in_channels: int = 3
     compute_dtype: Dtype = jnp.float32
     pretrained: Optional[str] = None
 

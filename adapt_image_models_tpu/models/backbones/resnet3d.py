@@ -209,6 +209,8 @@ class ResNet3dCore(nn.Module):
     non_local: Sequence = (0, 0, 0, 0)
     non_local_cfg: Optional[dict] = None  # mode/sub_sample/use_scale
     frozen_stages: int = -1  # -1 none; 0 stem; k stems+stages 1..k
+    norm_eval: bool = False  # BN always uses running stats (bnfrozen)
+    bn_frozen: bool = False  # trainer-side: BN affine params frozen too
     csn_mode: str = ""
     # reference CSN spells the mode 'bottleneck_mode'; alias accepted
     bottleneck_mode: Optional[str] = None
@@ -230,6 +232,10 @@ class ResNet3dCore(nn.Module):
         kind, stage_blocks = self._blocks()
         block_cls = Bottleneck3d if kind == "bottleneck" else BasicBlock3d
         expansion = 4 if kind == "bottleneck" else 1
+        # norm_eval pins every BatchNorm to running stats even in training
+        # (reference ircsn bnfrozen recipes: norm_eval=True); the affine
+        # params are frozen by the trainer via bn_frozen (apis/train.py)
+        deterministic = deterministic or self.norm_eval
 
         h = x.transpose(0, 2, 3, 4, 1).astype(cdt)  # NCTHW -> NTHWC
         stem_frozen = self.frozen_stages >= 0

@@ -1,0 +1,60 @@
+# tsn_r101_1x1x5_50e_mmit_rgb (parity: reference configs/recognition/tsn/tsn_r101_1x1x5_50e_mmit_rgb.py)
+_base_ = "./tsn_r50_1x1x3_100e_kinetics400_rgb.py"
+
+# Multi-Moments-in-Time: 313-way multi-label, BCE loss, mmit-mAP eval
+model = dict(
+    backbone=dict(depth=101),
+    cls_head=dict(num_classes=313, multi_class=True,
+                  loss_cls=dict(type="BCELossWithLogits")),
+)
+
+img_norm_cfg = dict(mean=[123.675, 116.28, 103.53],
+                    std=[58.395, 57.12, 57.375], to_bgr=False)
+
+train_pipeline = [
+    dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=5),
+    dict(type="RawFrameDecode"),
+    dict(type="Resize", scale=(-1, 256)),
+    dict(type="MultiScaleCrop", input_size=224,
+         scales=(1, 0.875, 0.75, 0.66), random_crop=False,
+         max_wh_scale_gap=1),
+    dict(type="Resize", scale=(224, 224), keep_ratio=False),
+    dict(type="Flip", flip_ratio=0.5),
+    dict(type="Normalize", **img_norm_cfg),
+    dict(type="FormatShape", input_format="NCHW"),
+]
+val_pipeline = [
+    dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=5,
+         test_mode=True),
+    dict(type="RawFrameDecode"),
+    dict(type="Resize", scale=(-1, 256)),
+    dict(type="CenterCrop", crop_size=224),
+    dict(type="Normalize", **img_norm_cfg),
+    dict(type="FormatShape", input_format="NCHW"),
+]
+test_pipeline = [
+    dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=5,
+         test_mode=True),
+    dict(type="RawFrameDecode"),
+    dict(type="Resize", scale=(-1, 256)),
+    dict(type="TenCrop", crop_size=224),
+    dict(type="Normalize", **img_norm_cfg),
+    dict(type="FormatShape", input_format="NCHW"),
+]
+
+data = dict(
+    train=dict(ann_file="data/mmit/mmit_train_list.txt",
+               data_prefix="data/mmit/rawframes",
+               multi_class=True, num_classes=313, pipeline=train_pipeline),
+    val=dict(ann_file="data/mmit/mmit_val_list.txt",
+             data_prefix="data/mmit/rawframes",
+             multi_class=True, num_classes=313, pipeline=val_pipeline),
+    test=dict(ann_file="data/mmit/mmit_val_list.txt",
+              data_prefix="data/mmit/rawframes",
+              multi_class=True, num_classes=313, pipeline=test_pipeline),
+)
+evaluation = dict(interval=5, metrics=["mmit_mean_average_precision"])
+
+optimizer = dict(type="SGD", lr=0.01, momentum=0.9, weight_decay=1e-4)
+total_epochs = 50
+work_dir = "./work_dirs/tsn_r101_1x1x5_50e_mmit_rgb"

@@ -1,0 +1,50 @@
+# tsn_r50_1x1x8_50e_sthv1_rgb (parity: reference configs/recognition/tsn/tsn_r50_1x1x8_50e_sthv1_rgb.py)
+_base_ = "./tsn_r50_1x1x3_100e_kinetics400_rgb.py"
+
+model = dict(cls_head=dict(num_classes=174, dropout_ratio=0.5))
+
+img_norm_cfg = dict(mean=[123.675, 116.28, 103.53],
+                    std=[58.395, 57.12, 57.375], to_bgr=False)
+
+train_pipeline = [
+    dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=8),
+    dict(type="RawFrameDecode"),
+    dict(type="Resize", scale=(-1, 256)),
+    dict(type="MultiScaleCrop", input_size=224,
+         scales=(1, 0.875, 0.75, 0.66), random_crop=False,
+         max_wh_scale_gap=1),
+    dict(type="Resize", scale=(224, 224), keep_ratio=False),
+    dict(type="Flip", flip_ratio=0.5),
+    dict(type="Normalize", **img_norm_cfg),
+    dict(type="FormatShape", input_format="NCHW"),
+]
+val_pipeline = [
+    dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=8, test_mode=True),
+    dict(type="RawFrameDecode"),
+    dict(type="Resize", scale=(-1, 256)),
+    dict(type="CenterCrop", crop_size=224),
+    dict(type="Normalize", **img_norm_cfg),
+    dict(type="FormatShape", input_format="NCHW"),
+]
+test_pipeline = [
+    dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=8, test_mode=True),
+    dict(type="RawFrameDecode"),
+    dict(type="Resize", scale=(-1, 256)),
+    dict(type="TenCrop", crop_size=224),
+    dict(type="Normalize", **img_norm_cfg),
+    dict(type="FormatShape", input_format="NCHW"),
+]
+
+data = dict(
+    train=dict(type="RawframeDataset", ann_file="data/sthv1/sthv1_train_list.txt",
+               data_prefix="data/sthv1/rawframes/train", pipeline=train_pipeline, filename_tmpl="{:05}.jpg"),
+    val=dict(type="RawframeDataset", ann_file="data/sthv1/sthv1_val_list.txt",
+             data_prefix="data/sthv1/rawframes/val", pipeline=val_pipeline, filename_tmpl="{:05}.jpg"),
+    test=dict(type="RawframeDataset", ann_file="data/sthv1/sthv1_val_list.txt",
+              data_prefix="data/sthv1/rawframes/val", pipeline=test_pipeline, filename_tmpl="{:05}.jpg"),
+)
+
+optimizer = dict(type="SGD", lr=0.02, momentum=0.9, weight_decay=1e-4)
+lr_config = dict(policy="step", step=[20, 40])
+total_epochs = 50
+work_dir = "./work_dirs/tsn_r50_1x1x8_50e_sthv1_rgb"

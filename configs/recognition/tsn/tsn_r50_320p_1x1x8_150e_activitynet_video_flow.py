@@ -1,0 +1,56 @@
+# tsn_r50_320p_1x1x8_150e_activitynet_video_flow (parity: reference configs/recognition/tsn/tsn_r50_320p_1x1x8_150e_activitynet_video_flow.py)
+_base_ = "./tsn_r50_1x1x3_100e_kinetics400_rgb.py"
+
+# ``in_channels`` = 2 * clip_len: 5 flow frames stack into 10 channels per
+# segment (reference FormatShape NCHW_Flow, formating.py:268-278)
+model = dict(backbone=dict(in_channels=10),
+             cls_head=dict(num_classes=200))
+
+img_norm_cfg = dict(mean=[128, 128], std=[128, 128])
+
+train_pipeline = [
+    dict(type="SampleFrames", clip_len=5, frame_interval=1, num_clips=8),
+    dict(type="RawFrameDecode"),
+    dict(type="Resize", scale=(-1, 320)),
+    dict(type="MultiScaleCrop", input_size=224,
+         scales=(1, 0.875, 0.75, 0.66), random_crop=False,
+         max_wh_scale_gap=1),
+    dict(type="Resize", scale=(224, 224), keep_ratio=False),
+    dict(type="Flip", flip_ratio=0.5),
+    dict(type="Normalize", **img_norm_cfg),
+    dict(type="FormatShape", input_format="NCHW_Flow"),
+]
+val_pipeline = [
+    dict(type="SampleFrames", clip_len=5, frame_interval=1, num_clips=8,
+         test_mode=True),
+    dict(type="RawFrameDecode"),
+    dict(type="Resize", scale=(-1, 320)),
+    dict(type="CenterCrop", crop_size=224),
+    dict(type="Normalize", **img_norm_cfg),
+    dict(type="FormatShape", input_format="NCHW_Flow"),
+]
+test_pipeline = [
+    dict(type="SampleFrames", clip_len=5, frame_interval=1, num_clips=25,
+         test_mode=True),
+    dict(type="RawFrameDecode"),
+    dict(type="Resize", scale=(-1, 320)),
+    dict(type="ThreeCrop", crop_size=256),
+    dict(type="Normalize", **img_norm_cfg),
+    dict(type="FormatShape", input_format="NCHW_Flow"),
+]
+
+data = dict(
+    train=dict(type="RawframeDataset", ann_file="data/ActivityNet/flow_train_list.txt",
+               data_prefix="data/ActivityNet/rawframes_flow", pipeline=train_pipeline,
+               modality="Flow", filename_tmpl="{}_{:05d}.jpg"),
+    val=dict(type="RawframeDataset", ann_file="data/ActivityNet/flow_val_list.txt",
+             data_prefix="data/ActivityNet/rawframes_flow", pipeline=val_pipeline,
+             modality="Flow", filename_tmpl="{}_{:05d}.jpg"),
+    test=dict(type="RawframeDataset", ann_file="data/ActivityNet/flow_val_list.txt",
+              data_prefix="data/ActivityNet/rawframes_flow", pipeline=test_pipeline,
+              modality="Flow", filename_tmpl="{}_{:05d}.jpg"),
+)
+
+optimizer = dict(type="SGD", lr=0.005, momentum=0.9, weight_decay=1e-4)
+total_epochs = 150
+work_dir = "./work_dirs/tsn_r50_320p_1x1x8_150e_activitynet_video_flow"

@@ -1,0 +1,31 @@
+# tsn_r50_clip_feature_extraction_1x1x3_rgb (parity: reference configs/recognition/tsn/tsn_r50_clip_feature_extraction_1x1x3_rgb.py)
+# Per-clip feature
+# extraction recipe for tools/misc/clip_feature_extraction.py (reference
+# tsn_r50_clip_feature_extraction_1x1x3_rgb.py): no classifier training,
+# the tool dumps backbone features over UntrimmedSampleFrames windows.
+model = dict(
+    type="Recognizer2D",
+    backbone=dict(type="ResNet", depth=50),
+    cls_head=dict(type="TSNHead", num_classes=400, in_channels=2048,
+                  dropout_ratio=0.4),
+    test_cfg=dict(average_clips=None),
+)
+
+img_norm_cfg = dict(mean=[123.675, 116.28, 103.53],
+                    std=[58.395, 57.12, 57.375], to_bgr=False)
+
+test_pipeline = [
+    dict(type="UntrimmedSampleFrames", clip_len=1, frame_interval=16),
+    dict(type="RawFrameDecode"),
+    dict(type="Resize", scale=(-1, 256)),
+    dict(type="CenterCrop", crop_size=256),
+    dict(type="Normalize", **img_norm_cfg),
+    dict(type="FormatShape", input_format="NCHW"),
+]
+
+data = dict(
+    test=dict(type="RawframeDataset",
+              ann_file="data/ActivityNet/anet_val_clip_list.txt",
+              data_prefix="data/ActivityNet/rawframes",
+              pipeline=test_pipeline),
+)

@@ -277,3 +277,44 @@ def test_imgaug_default_maps_to_randaugment():
     assert ("RandAugment", dict(n=2, m=9)) in proc.steps
     clips, _ = proc("synthetic://0", 0, rng=np.random.default_rng(0))
     assert clips.shape == (1, 2, 32, 32, 3)
+
+
+def test_dense_sampler_wired_not_degraded():
+    """DenseSampleFrames recipes must get the 64-frame-window sampler, not
+    silently degrade to uniform SampleFrames (caught in round 3)."""
+    from adapt_image_models_tpu.data.pipeline import build_sample_processor
+    from adapt_image_models_tpu.data.sampling import DenseSampleFrames
+    proc = build_sample_processor([
+        dict(type="DenseSampleFrames", clip_len=1, frame_interval=1,
+             num_clips=5),
+        dict(type="RawFrameDecode"),
+        dict(type="Resize", scale=(16, 16), keep_ratio=False),
+        dict(type="Normalize"),
+        dict(type="FormatShape", input_format="NCHW"),
+    ])
+    assert isinstance(proc.sampler, DenseSampleFrames)
+    assert proc.sampler.sample_range == 64
+    # train-mode dense sampling stays inside a 64-frame window
+    import numpy as np
+    rng = np.random.default_rng(0)
+    for _ in range(8):
+        inds = proc.sampler(1000, rng=rng)
+        assert inds.max() - inds.min() <= 64
+
+
+def test_untrimmed_sampler_in_processor():
+    """UntrimmedSampleFrames compiles for per-video tools; view count is
+    video-dependent (None)."""
+    from adapt_image_models_tpu.data.pipeline import build_sample_processor
+    import numpy as np
+    proc = build_sample_processor([
+        dict(type="UntrimmedSampleFrames", clip_len=1, frame_interval=16),
+        dict(type="RawFrameDecode"),
+        dict(type="Resize", scale=(16, 16), keep_ratio=False),
+        dict(type="Normalize"),
+        dict(type="FormatShape", input_format="NCHW"),
+    ])
+    assert proc.num_views is None
+    clips, _ = proc("synthetic://0", 0, np.random.default_rng(0))
+    assert clips.shape[1:] == (1, 16, 16, 3)
+    assert clips.shape[0] >= 1

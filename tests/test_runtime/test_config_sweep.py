@@ -42,9 +42,12 @@ def test_config_loads_and_builds(path):
         for ds_cfg in split_cfgs:
             _check_split(ds_cfg)
 
-    # recipe fields used by the trainer must be present and well-formed
-    assert "optimizer" in cfg and "lr" in cfg["optimizer"]
-    assert cfg.get("total_epochs", 1) >= 1
+    # recipe fields used by the trainer must be present and well-formed —
+    # except for test/inference-only recipes (reference *_inference_*,
+    # lfb infer, bsn pgm), which carry no train split and no optimizer
+    if "train" in cfg.get("data", {}):
+        assert "optimizer" in cfg and "lr" in cfg["optimizer"]
+        assert cfg.get("total_epochs", 1) >= 1
 
 
 def _check_split(ds_cfg):
@@ -79,7 +82,8 @@ def _check_split(ds_cfg):
     proc = build_sample_processor(pipeline)
     h, w = proc.output_size()
     assert h > 0 and w > 0
-    assert proc.num_views >= 1
+    # UntrimmedSampleFrames recipes have video-dependent view counts (None)
+    assert proc.num_views is None or proc.num_views >= 1
 
 
 @pytest.mark.parametrize("path", [p for p in CONFIGS if "debug_tiny" in p])
