@@ -1,0 +1,28 @@
+# tsm_mobilenetv2_video_dense_1x1x8_100e_kinetics400_rgb (parity: reference configs/recognition/tsm/tsm_mobilenetv2_video_dense_1x1x8_100e_kinetics400_rgb.py)
+_base_ = "./tsm_r50_1x1x8_50e_kinetics400_rgb.py"
+
+model = dict(backbone=dict(_delete_=True, type="MobileNetV2TSM",
+                           num_frames=8),
+             cls_head=dict(in_channels=1280))
+
+data = dict(
+    train=dict(type="VideoDataset",
+               ann_file="data/kinetics400/kinetics400_train_list_videos.txt",
+               data_prefix="data/kinetics400/videos_train",pipeline=[
+        dict(type="DenseSampleFrames", clip_len=1, frame_interval=1,
+             num_clips=8),
+        dict(type="DecordInit"),
+        dict(type="DecordDecode"),
+        dict(type="Resize", scale=(-1, 256)),
+        dict(type="MultiScaleCrop", input_size=224,
+             scales=(1, 0.875, 0.75, 0.66), random_crop=False,
+             max_wh_scale_gap=1),
+        dict(type="Resize", scale=(224, 224), keep_ratio=False),
+        dict(type="Flip", flip_ratio=0.5),
+        dict(type="Normalize", mean=[123.675, 116.28, 103.53],
+             std=[58.395, 57.12, 57.375]),
+        dict(type="FormatShape", input_format="NCHW"),
+    ]),
+)
+total_epochs = 100
+work_dir = "./work_dirs/tsm_mobilenetv2_video_dense_1x1x8_100e_kinetics400_rgb"

@@ -1,0 +1,55 @@
+# tsm_r50_video_1x1x8_50e_kinetics400_rgb (parity: reference configs/recognition/tsm/tsm_r50_video_1x1x8_50e_kinetics400_rgb.py)
+_base_ = "./tsm_r50_1x1x8_50e_kinetics400_rgb.py"
+
+img_norm_cfg = dict(mean=[123.675, 116.28, 103.53],
+                    std=[58.395, 57.12, 57.375], to_bgr=False)
+
+train_pipeline = [
+    dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=8),
+    dict(type="DecordInit"),
+    dict(type="DecordDecode"),
+    dict(type="Resize", scale=(-1, 256)),
+    dict(type="MultiScaleCrop", input_size=224,
+         scales=(1, 0.875, 0.75, 0.66), random_crop=False,
+         max_wh_scale_gap=1),
+    dict(type="Resize", scale=(224, 224), keep_ratio=False),
+    dict(type="Flip", flip_ratio=0.5),
+    dict(type="Normalize", **img_norm_cfg),
+    dict(type="FormatShape", input_format="NCHW"),
+]
+val_pipeline = [
+    dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=8,
+         test_mode=True),
+    dict(type="DecordInit"),
+    dict(type="DecordDecode"),
+    dict(type="Resize", scale=(-1, 256)),
+    dict(type="CenterCrop", crop_size=224),
+    dict(type="Normalize", **img_norm_cfg),
+    dict(type="FormatShape", input_format="NCHW"),
+]
+test_pipeline = [
+    dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=8,
+         twice_sample=True, test_mode=True),
+    dict(type="DecordInit"),
+    dict(type="DecordDecode"),
+    dict(type="Resize", scale=(-1, 256)),
+    dict(type="ThreeCrop", crop_size=256),
+    dict(type="Normalize", **img_norm_cfg),
+    dict(type="FormatShape", input_format="NCHW"),
+]
+
+data = dict(
+    train=dict(type="VideoDataset",
+               ann_file="data/kinetics400/kinetics400_train_list_videos.txt",
+               data_prefix="data/kinetics400/videos_train",
+               pipeline=train_pipeline),
+    val=dict(type="VideoDataset",
+             ann_file="data/kinetics400/kinetics400_val_list_videos.txt",
+             data_prefix="data/kinetics400/videos_val",
+             pipeline=val_pipeline),
+    test=dict(type="VideoDataset",
+              ann_file="data/kinetics400/kinetics400_val_list_videos.txt",
+              data_prefix="data/kinetics400/videos_val",
+              pipeline=test_pipeline),
+)
+work_dir = "./work_dirs/tsm_r50_video_1x1x8_50e_kinetics400_rgb"
