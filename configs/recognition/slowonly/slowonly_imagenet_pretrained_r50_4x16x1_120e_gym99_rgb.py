@@ -1,0 +1,17 @@
+# slowonly_imagenet_pretrained_r50_4x16x1_120e_gym99_rgb (parity: reference configs/recognition/slowonly/slowonly_imagenet_pretrained_r50_4x16x1_120e_gym99_rgb.py)
+_base_ = "./slowonly_r50_4x16x1_256e_kinetics400_rgb.py"
+
+model = dict(backbone=dict(pretrained="torchvision://resnet50",
+                           pretrained2d=True),
+             cls_head=dict(num_classes=99))
+
+data = dict(
+    train=dict(ann_file="data/gym/gym99_train_list.txt",
+               data_prefix="data/gym/subaction_frames"),
+    val=dict(ann_file="data/gym/gym99_val_list.txt",
+             data_prefix="data/gym/subaction_frames"),
+    test=dict(ann_file="data/gym/gym99_val_list.txt",
+              data_prefix="data/gym/subaction_frames"),
+)
+total_epochs = 120
+work_dir = "./work_dirs/slowonly_imagenet_pretrained_r50_4x16x1_120e_gym99_rgb"

@@ -1,0 +1,9 @@
+# slowonly_imagenet_pretrained_r50_4x16x1_150e_kinetics400_rgb (parity: reference configs/recognition/slowonly/slowonly_imagenet_pretrained_r50_4x16x1_150e_kinetics400_rgb.py)
+_base_ = "./slowonly_r50_4x16x1_256e_kinetics400_rgb.py"
+
+# ImageNet-inflated stem (reference pretrained='torchvision://resnet50',
+# pretrained2d=True): 2D torchvision weights inflate into the 3D trunk
+model = dict(backbone=dict(pretrained="torchvision://resnet50",
+                           pretrained2d=True))
+total_epochs = 150
+work_dir = "./work_dirs/slowonly_imagenet_pretrained_r50_4x16x1_150e_kinetics400_rgb"

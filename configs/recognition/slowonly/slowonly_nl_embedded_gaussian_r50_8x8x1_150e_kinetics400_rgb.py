@@ -1,0 +1,9 @@
+# slowonly_nl_embedded_gaussian_r50_8x8x1_150e_kinetics400_rgb (parity: reference configs/recognition/slowonly/slowonly_nl_embedded_gaussian_r50_8x8x1_150e_kinetics400_rgb.py)
+_base_ = "./slowonly_r50_8x8x1_256e_kinetics400_rgb.py"
+
+model = dict(backbone=dict(
+    non_local=((0, 0, 0), (1, 0, 1, 0), (1, 0, 1, 0, 1, 0), (0, 0, 0)),
+    non_local_cfg=dict(mode="embedded_gaussian", sub_sample=True),
+))
+total_epochs = 150
+work_dir = "./work_dirs/slowonly_nl_embedded_gaussian_r50_8x8x1_150e_kinetics400_rgb"

@@ -1,0 +1,52 @@
+# slowonly_r50_video_8x8x1_256e_kinetics600_rgb (parity: reference configs/recognition/slowonly/slowonly_r50_video_8x8x1_256e_kinetics600_rgb.py)
+_base_ = "./slowonly_r50_4x16x1_256e_kinetics400_rgb.py"
+
+model = dict(cls_head=dict(num_classes=600))
+
+data = dict(
+    train=dict(type="VideoDataset",
+               ann_file="data/kinetics600/kinetics600_train_list_videos.txt",
+               data_prefix="data/kinetics600/videos_train",
+               pipeline=[
+                   dict(type="SampleFrames", clip_len=8, frame_interval=8,
+                        num_clips=1),
+                   dict(type="DecordInit"),
+                   dict(type="DecordDecode"),
+                   dict(type="Resize", scale=(-1, 256)),
+                   dict(type="RandomResizedCrop"),
+                   dict(type="Resize", scale=(224, 224), keep_ratio=False),
+                   dict(type="Flip", flip_ratio=0.5),
+                   dict(type="Normalize", mean=[123.675, 116.28, 103.53],
+                        std=[58.395, 57.12, 57.375]),
+                   dict(type="FormatShape", input_format="NCTHW"),
+               ]),
+    val=dict(type="VideoDataset",
+             ann_file="data/kinetics600/kinetics600_val_list_videos.txt",
+             data_prefix="data/kinetics600/videos_val",
+             pipeline=[
+                 dict(type="SampleFrames", clip_len=8, frame_interval=8,
+                      num_clips=1, test_mode=True),
+                 dict(type="DecordInit"),
+                 dict(type="DecordDecode"),
+                 dict(type="Resize", scale=(-1, 256)),
+                 dict(type="CenterCrop", crop_size=224),
+                 dict(type="Normalize", mean=[123.675, 116.28, 103.53],
+                      std=[58.395, 57.12, 57.375]),
+                 dict(type="FormatShape", input_format="NCTHW"),
+             ]),
+    test=dict(type="VideoDataset",
+              ann_file="data/kinetics600/kinetics600_val_list_videos.txt",
+              data_prefix="data/kinetics600/videos_val",
+              pipeline=[
+                  dict(type="SampleFrames", clip_len=8, frame_interval=8,
+                       num_clips=10, test_mode=True),
+                  dict(type="DecordInit"),
+                  dict(type="DecordDecode"),
+                  dict(type="Resize", scale=(-1, 256)),
+                  dict(type="ThreeCrop", crop_size=256),
+                  dict(type="Normalize", mean=[123.675, 116.28, 103.53],
+                       std=[58.395, 57.12, 57.375]),
+                  dict(type="FormatShape", input_format="NCTHW"),
+              ]),
+)
+work_dir = "./work_dirs/slowonly_r50_video_8x8x1_256e_kinetics600_rgb"
