@@ -1,0 +1,38 @@
+# r2plus1d_r34_32x2x1_180e_kinetics400_rgb (parity: reference configs/recognition/r2plus1d/r2plus1d_r34_32x2x1_180e_kinetics400_rgb.py)
+_base_ = "./r2plus1d_r34_8x8x1_180e_kinetics400_rgb.py"
+
+data = dict(
+    train=dict(pipeline=[
+        dict(type="SampleFrames", clip_len=32, frame_interval=2,
+             num_clips=1),
+        dict(type="RawFrameDecode"),
+        dict(type="Resize", scale=(-1, 256)),
+        dict(type="RandomResizedCrop"),
+        dict(type="Resize", scale=(224, 224), keep_ratio=False),
+        dict(type="Flip", flip_ratio=0.5),
+        dict(type="Normalize", mean=[110.2008, 100.63983, 95.99475],
+             std=[58.14765, 56.46975, 55.332195]),
+        dict(type="FormatShape", input_format="NCTHW"),
+    ]),
+    val=dict(pipeline=[
+        dict(type="SampleFrames", clip_len=32, frame_interval=2,
+             num_clips=1, test_mode=True),
+        dict(type="RawFrameDecode"),
+        dict(type="Resize", scale=(-1, 256)),
+        dict(type="CenterCrop", crop_size=224),
+        dict(type="Normalize", mean=[110.2008, 100.63983, 95.99475],
+             std=[58.14765, 56.46975, 55.332195]),
+        dict(type="FormatShape", input_format="NCTHW"),
+    ]),
+    test=dict(pipeline=[
+        dict(type="SampleFrames", clip_len=32, frame_interval=2,
+             num_clips=10, test_mode=True),
+        dict(type="RawFrameDecode"),
+        dict(type="Resize", scale=(-1, 256)),
+        dict(type="ThreeCrop", crop_size=256),
+        dict(type="Normalize", mean=[110.2008, 100.63983, 95.99475],
+             std=[58.14765, 56.46975, 55.332195]),
+        dict(type="FormatShape", input_format="NCTHW"),
+    ]),
+)
+work_dir = "./work_dirs/r2plus1d_r34_32x2x1_180e_kinetics400_rgb"

@@ -1,0 +1,27 @@
+# r2plus1d_r34_video_inference_8x8x1_180e_kinetics400_rgb (parity: reference configs/recognition/r2plus1d/r2plus1d_r34_video_inference_8x8x1_180e_kinetics400_rgb.py)
+# Inference-only recipe (no train split / optimizer).
+model = dict(
+    type="Recognizer3D",
+    backbone=dict(type="ResNet2Plus1d", depth=34),
+    cls_head=dict(type="I3DHead", num_classes=400, in_channels=512),
+    test_cfg=dict(average_clips="prob"),
+)
+
+test_pipeline = [
+    dict(type="SampleFrames", clip_len=8, frame_interval=8, num_clips=10,
+         test_mode=True),
+    dict(type="DecordInit"),
+    dict(type="DecordDecode"),
+    dict(type="Resize", scale=(-1, 256)),
+    dict(type="ThreeCrop", crop_size=256),
+    dict(type="Normalize", mean=[110.2008, 100.63983, 95.99475],
+         std=[58.14765, 56.46975, 55.332195]),
+    dict(type="FormatShape", input_format="NCTHW"),
+]
+
+data = dict(
+    test=dict(type="VideoDataset",
+              ann_file="data/kinetics400/kinetics400_val_list_videos.txt",
+              data_prefix="data/kinetics400/videos_val",
+              pipeline=test_pipeline),
+)

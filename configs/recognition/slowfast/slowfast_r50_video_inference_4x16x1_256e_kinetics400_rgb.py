@@ -1,0 +1,28 @@
+# slowfast_r50_video_inference_4x16x1_256e_kinetics400_rgb (parity: reference configs/recognition/slowfast/slowfast_r50_video_inference_4x16x1_256e_kinetics400_rgb.py)
+# Inference-only recipe (no train split / optimizer).
+model = dict(
+    type="Recognizer3D",
+    backbone=dict(type="ResNet3dSlowFast", alpha=8, beta_inv=8,
+                  fusion_kernel=5),
+    cls_head=dict(type="SlowFastHead", num_classes=400, in_channels=2304),
+    test_cfg=dict(average_clips="prob"),
+)
+
+test_pipeline = [
+    dict(type="SampleFrames", clip_len=32, frame_interval=2, num_clips=10,
+         test_mode=True),
+    dict(type="DecordInit"),
+    dict(type="DecordDecode"),
+    dict(type="Resize", scale=(-1, 256)),
+    dict(type="ThreeCrop", crop_size=256),
+    dict(type="Normalize", mean=[123.675, 116.28, 103.53],
+         std=[58.395, 57.12, 57.375]),
+    dict(type="FormatShape", input_format="NCTHW"),
+]
+
+data = dict(
+    test=dict(type="VideoDataset",
+              ann_file="data/kinetics400/kinetics400_val_list_videos.txt",
+              data_prefix="data/kinetics400/videos_val",
+              pipeline=test_pipeline),
+)

@@ -1,0 +1,12 @@
+# tin_r50_1x1x8_40e_sthv2_rgb (parity: reference configs/recognition/tin/tin_r50_1x1x8_40e_sthv2_rgb.py)
+_base_ = "./tin_r50_1x1x8_40e_sthv1_rgb.py"
+
+data = dict(
+    train=dict(ann_file="data/sthv2/sthv2_train_list_rawframes.txt",
+               data_prefix="data/sthv2/rawframes"),
+    val=dict(ann_file="data/sthv2/sthv2_val_list_rawframes.txt",
+             data_prefix="data/sthv2/rawframes"),
+    test=dict(ann_file="data/sthv2/sthv2_val_list_rawframes.txt",
+              data_prefix="data/sthv2/rawframes"),
+)
+work_dir = "./work_dirs/tin_r50_1x1x8_40e_sthv2_rgb"
