@@ -1,0 +1,30 @@
+# slowonly_nl_kinetics_pretrained_r50_8x8x1_10e_ava_rgb (parity: reference configs/detection/ava/slowonly_nl_kinetics_pretrained_r50_8x8x1_10e_ava_rgb.py)
+_base_ = "./slowonly_kinetics_pretrained_r50_4x16x1_20e_ava_rgb.py"
+
+model = dict(backbone=dict(
+    non_local=((0, 0, 0), (1, 0, 1, 0), (1, 0, 1, 0, 1, 0), (0, 0, 0)),
+    non_local_cfg=dict(mode="embedded_gaussian", sub_sample=True),
+))
+
+data = dict(
+    train=dict(pipeline=[
+        dict(type="SampleAVAFrames", clip_len=8, frame_interval=8),
+        dict(type="RawFrameDecode"),
+        dict(type="RandomRescale", scale_range=(256, 320)),
+        dict(type="RandomCrop", size=256),
+        dict(type="Flip", flip_ratio=0.5),
+        dict(type="Normalize", mean=[123.675, 116.28, 103.53],
+             std=[58.395, 57.12, 57.375]),
+        dict(type="FormatShape", input_format="NCTHW", collapse=True),
+    ]),
+    val=dict(pipeline=[
+        dict(type="SampleAVAFrames", clip_len=8, frame_interval=8),
+        dict(type="RawFrameDecode"),
+        dict(type="Resize", scale=(-1, 256)),
+        dict(type="Normalize", mean=[123.675, 116.28, 103.53],
+             std=[58.395, 57.12, 57.375]),
+        dict(type="FormatShape", input_format="NCTHW", collapse=True),
+    ]),
+)
+total_epochs = 10
+work_dir = "./work_dirs/slowonly_nl_kinetics_pretrained_r50_8x8x1_10e_ava_rgb"

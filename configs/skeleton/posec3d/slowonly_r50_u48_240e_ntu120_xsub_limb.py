@@ -1,0 +1,11 @@
+# slowonly_r50_u48_240e_ntu120_xsub_limb (parity: reference configs/skeleton/posec3d/slowonly_r50_u48_240e_ntu120_xsub_limb.py)
+_base_ = "./slowonly_r50_u48_240e_ntu60_xsub_limb.py"
+
+model = dict(cls_head=dict(num_classes=120))
+
+data = dict(
+    train=dict(ann_file="data/posec3d/ntu120_xsub_train.pkl"),
+    val=dict(ann_file="data/posec3d/ntu120_xsub_val.pkl"),
+    test=dict(ann_file="data/posec3d/ntu120_xsub_val.pkl"),
+)
+work_dir = "./work_dirs/slowonly_r50_u48_240e_ntu120_xsub_limb"

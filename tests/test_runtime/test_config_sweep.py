@@ -25,6 +25,11 @@ CONFIGS = sorted(
 @pytest.mark.parametrize("path", CONFIGS, ids=[os.path.basename(p) for p in CONFIGS])
 def test_config_loads_and_builds(path):
     cfg = Config.fromfile(path)
+    if cfg.get("model") is None:
+        # tool-stage recipes (reference bsn_pgm) carry no model: they
+        # parameterize a CLI stage instead
+        assert "pgm_proposals_cfg" in cfg
+        return
     model_cfg = dict(cfg["model"])
     test_cfg = model_cfg.pop("test_cfg", None)
     train_cfg = model_cfg.pop("train_cfg", None)
@@ -33,7 +38,8 @@ def test_config_loads_and_builds(path):
 
     # all three pipelines must compile and agree on a static output size
     for split in ("train", "val", "test"):
-        if split not in cfg["data"]:
+        # None = split removed by a child config (infer/test-only recipes)
+        if cfg["data"].get(split) is None:
             continue
         split_cfgs = cfg["data"][split]
         # OmniSource recipes train over a list of sources
@@ -45,9 +51,9 @@ def test_config_loads_and_builds(path):
     # recipe fields used by the trainer must be present and well-formed —
     # except for test/inference-only recipes (reference *_inference_*,
     # lfb infer, bsn pgm), which carry no train split and no optimizer
-    if "train" in cfg.get("data", {}):
-        assert "optimizer" in cfg and "lr" in cfg["optimizer"]
-        assert cfg.get("total_epochs", 1) >= 1
+    if cfg.get("data", {}).get("train") is not None:
+        assert cfg.get("optimizer") and "lr" in cfg["optimizer"]
+        assert (cfg.get("total_epochs") or 1) >= 1
 
 
 def _check_split(ds_cfg):

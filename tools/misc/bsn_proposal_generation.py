@@ -19,20 +19,56 @@ import numpy as np
 
 def parse_args():
     p = argparse.ArgumentParser(description="BSN PGM")
-    p.add_argument("ann_file", help="ActivityNet-style annotation json")
-    p.add_argument("--tem-results-dir", required=True)
-    p.add_argument("--pgm-proposals-dir", required=True)
-    p.add_argument("--pgm-features-dir", required=True)
-    p.add_argument("--peak-threshold", type=float, default=0.5)
-    p.add_argument("--bsp-boundary-ratio", type=float, default=0.2)
-    p.add_argument("--num-sample-start", type=int, default=8)
-    p.add_argument("--num-sample-end", type=int, default=8)
-    p.add_argument("--num-sample-action", type=int, default=16)
-    p.add_argument("--num-sample-interp", type=int, default=3)
-    p.add_argument("--top-k", type=int, default=1000)
+    p.add_argument("ann_file", nargs="?", default=None,
+                   help="ActivityNet-style annotation json (or use --config)")
+    p.add_argument("--config", default=None,
+                   help="PGM recipe (reference configs/localization/bsn/"
+                        "bsn_pgm_400x100_activitynet_feature.py) supplying "
+                        "dirs + sampling params; CLI flags override it")
+    p.add_argument("--tem-results-dir", default=None)
+    p.add_argument("--pgm-proposals-dir", default=None)
+    p.add_argument("--pgm-features-dir", default=None)
+    p.add_argument("--peak-threshold", type=float, default=None)
+    p.add_argument("--bsp-boundary-ratio", type=float, default=None)
+    p.add_argument("--num-sample-start", type=int, default=None)
+    p.add_argument("--num-sample-end", type=int, default=None)
+    p.add_argument("--num-sample-action", type=int, default=None)
+    p.add_argument("--num-sample-interp", type=int, default=None)
+    p.add_argument("--top-k", type=int, default=None)
     p.add_argument("--mode", choices=["proposals", "features", "both"],
                    default="both")
-    return p.parse_args()
+    args = p.parse_args()
+
+    defaults = dict(peak_threshold=0.5, bsp_boundary_ratio=0.2,
+                    num_sample_start=8, num_sample_end=8,
+                    num_sample_action=16, num_sample_interp=3, top_k=1000)
+    if args.config:
+        from adapt_image_models_tpu.config import Config
+        cfg = Config.fromfile(args.config)
+        pp = dict(cfg.get("pgm_proposals_cfg", {}))
+        pf = dict(cfg.get("pgm_features_test_cfg", {}))
+        defaults.update(peak_threshold=pp.get(
+            "peak_threshold", defaults["peak_threshold"]))
+        for k in ("bsp_boundary_ratio", "num_sample_start",
+                  "num_sample_end", "num_sample_action",
+                  "num_sample_interp", "top_k"):
+            if k in pf:
+                defaults[k] = pf[k]
+        args.ann_file = args.ann_file or cfg.get("ann_file_val")
+        args.tem_results_dir = (args.tem_results_dir
+                                or cfg.get("tem_results_dir"))
+        args.pgm_proposals_dir = (args.pgm_proposals_dir
+                                  or cfg.get("pgm_proposals_dir"))
+        args.pgm_features_dir = (args.pgm_features_dir
+                                 or cfg.get("pgm_features_dir"))
+    for k, v in defaults.items():
+        if getattr(args, k) is None:
+            setattr(args, k, v)
+    for k in ("ann_file", "tem_results_dir", "pgm_proposals_dir",
+              "pgm_features_dir"):
+        if getattr(args, k) is None:
+            p.error(f"{k.replace('_', '-')} required (flag or --config)")
+    return args
 
 
 PROPOSAL_HEADER = "tmin,tmax,tmin_score,tmax_score,score,match_iou,match_ioa"
