@@ -202,7 +202,8 @@ class ResNet2Plus1d(nn.Module):
     """R(2+1)D (reference ``resnet2plus1d.py``): factorized 3D convs.
     Input (B, C, T, H, W) -> (B, T, H', W', C_out)."""
 
-    stage_blocks: Sequence[int] = (2, 2, 2, 2)  # R(2+1)D-18
+    stage_blocks: Optional[Sequence[int]] = None
+    depth: int = 18  # 18 -> (2,2,2,2), 34 -> (3,4,6,3) basic blocks
     compute_dtype: Dtype = jnp.float32
     pretrained: Optional[str] = None
 
@@ -215,7 +216,9 @@ class ResNet2Plus1d(nn.Module):
         h = nn.relu(nn.BatchNorm(use_running_average=deterministic,
                                  momentum=0.9, name="bn1")(h))
         planes = 64
-        for i, n_blocks in enumerate(self.stage_blocks):
+        stage_blocks = self.stage_blocks or {18: (2, 2, 2, 2),
+                                              34: (3, 4, 6, 3)}[self.depth]
+        for i, n_blocks in enumerate(stage_blocks):
             for j in range(n_blocks):
                 stride = 2 if (i > 0 and j == 0) else 1
                 h = Block2Plus1d(planes, spatial_stride=stride,

@@ -90,11 +90,13 @@ class TINBlock(nn.Module):
     num_segments: int
     stride: int = 1
     kind: str = "bottleneck"
+    shift_div: int = 4
     compute_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         h = TemporalInterlace(self.num_segments,
+                              shift_div=self.shift_div,
                               compute_dtype=self.compute_dtype,
                               name="tin")(x, deterministic=deterministic)
         block = (Bottleneck if self.kind == "bottleneck" else BasicBlock)(
@@ -109,6 +111,9 @@ class TINBlock(nn.Module):
 class ResNetTIN(nn.Module):
     depth: int = 50
     num_segments: int = 8
+    # fraction of channels interlaced = 1/shift_div (reference
+    # resnet_tin.py shift_div, default 4)
+    shift_div: int = 4
     compute_dtype: Dtype = jnp.float32
     pretrained: Optional[str] = None
 
@@ -127,7 +132,8 @@ class ResNetTIN(nn.Module):
             for j in range(n_blocks):
                 stride = 2 if (i > 0 and j == 0) else 1
                 h = TINBlock(planes, self.num_segments, stride=stride,
-                             kind=kind, compute_dtype=cdt,
+                             kind=kind, shift_div=self.shift_div,
+                             compute_dtype=cdt,
                              name=f"layer{i + 1}_{j}")(
                                  h, deterministic=deterministic)
             planes *= 2

@@ -65,11 +65,16 @@ class FastRCNN(nn.Module):
         Tuple-returning backbones (SlowFast pathways) are fused by
         temporal-pooling each pathway and concatenating channels — the
         reference's per-pathway temporal pool + concat
-        (``single_straight3d.py:103-112``) folded into extraction."""
+        (``single_straight3d.py:103-112``) folded into extraction, honoring
+        the extractor's ``temporal_pool_mode`` (max for the reference's
+        slowfast_temporal_max AVA variant)."""
         feat = self.backbone_module(imgs, deterministic=deterministic)
         if isinstance(feat, (tuple, list)):
+            pool = (jnp.max if getattr(self.bbox_roi_extractor,
+                                       "temporal_pool_mode", "avg") == "max"
+                    else jnp.mean)
             feat = jnp.concatenate(
-                [f.mean(axis=1, keepdims=True) for f in feat], axis=-1)
+                [pool(f, axis=1, keepdims=True) for f in feat], axis=-1)
         return feat
 
     def __call__(self, imgs: jax.Array, rois: jax.Array,

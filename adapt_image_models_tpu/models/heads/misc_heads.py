@@ -22,6 +22,10 @@ class TSMHead(nn.Module):
     num_segments: int = 8
     dropout_ratio: float = 0.8
     init_std: float = 0.001
+    # reference TSMHead(temporal_pool=True): consensus runs over the
+    # backbone's halved segment count — the recognizer already infers the
+    # pooled length from the feature rows, so this is config-surface parity
+    temporal_pool: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:

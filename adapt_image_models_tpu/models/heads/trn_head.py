@@ -39,6 +39,7 @@ class TRNHead(nn.Module):
     num_relations: int = 3
     relation_type: str = "TRNMultiScale"  # or 'TRN' (full-scale only)
     dropout_ratio: float = 0.8
+    init_std: float = 0.001
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -61,6 +62,7 @@ class TRNHead(nn.Module):
             fc1 = nn.Dense(self.hidden_dim, dtype=jnp.float32,
                            name=f"rel{scale}_fc1")
             fc2 = nn.Dense(self.num_classes, dtype=jnp.float32,
+                           kernel_init=nn.initializers.normal(self.init_std),
                            name=f"rel{scale}_fc2")
             scale_score = jnp.zeros((b, self.num_classes), jnp.float32)
             for subset in subsets:

@@ -10,7 +10,7 @@ model = dict(
         beta_inv=8,
         fusion_kernel=5),
     roi_head=dict(
-        bbox_roi_extractor=dict(temporal_pool_type="avg"),
+        bbox_roi_extractor=dict(temporal_pool_mode="avg"),
         bbox_head=dict(in_channels=2304)))
 
 model = dict(roi_head=dict(bbox_roi_extractor=dict(with_global=True),

@@ -35,6 +35,36 @@ def test_config_loads_and_builds(path):
     train_cfg = model_cfg.pop("train_cfg", None)
     model = build_model(model_cfg, train_cfg=train_cfg, test_cfg=test_cfg)
     assert model is not None
+    # flax setup() is lazy — constructor-validate the sub-module configs
+    # (unknown kwargs otherwise surface only at init/apply time)
+    from adapt_image_models_tpu.models.builder import (
+        build_backbone, build_head, build_neck,
+    )
+    if "backbone" in model_cfg:
+        assert build_backbone(dict(model_cfg["backbone"])) is not None
+    head_key = "cls_head" if "cls_head" in model_cfg else None
+    if head_key:
+        assert build_head(dict(model_cfg[head_key])) is not None
+    if model_cfg.get("neck"):
+        assert build_neck(dict(model_cfg["neck"])) is not None
+    if "roi_head" in model_cfg:  # detectors mirror FastRCNN.setup
+        from adapt_image_models_tpu.models.builder import HEADS
+        from adapt_image_models_tpu.models.roi_extractors.single_straight3d import (
+            SingleRoIExtractor3D,
+        )
+        rh = model_cfg["roi_head"]
+        ec = dict(rh["bbox_roi_extractor"])
+        ec.pop("type", None)
+        SingleRoIExtractor3D(**ec)
+        hc = dict(rh["bbox_head"])
+        hc.pop("type", None)
+        HEADS.get("BBoxHeadAVA")(**hc)
+        if rh.get("shared_head"):
+            sc = dict(rh["shared_head"])
+            st = sc.pop("type")
+            if st == "FBOHead":
+                sc.pop("lfb_cfg", None)
+            HEADS.get(st)(**sc)
 
     # all three pipelines must compile and agree on a static output size
     for split in ("train", "val", "test"):
