@@ -146,7 +146,10 @@ class AudioSampleProcessor:
                 self.feat_fixed_length = int(kw.get("fixed_length", 128))
             elif t == "AudioAmplify":
                 self.amplify_ratio = float(kw.get("ratio", 0.5))
-            elif t == "MelSpectrogram":
+            elif t in ("MelSpectrogram", "MelLogSpectrogram"):
+                # the reference's shipped tsn_r50 audio recipe spells the op
+                # 'MelLogSpectrogram' though only MelSpectrogram is
+                # registered (augmentations.py:2011) — accept both
                 self.mel_cfg = kw
             elif t == "FormatAudioShape":
                 self.fmt = kw.get("input_format", "NCTF")

@@ -203,13 +203,19 @@ class AudioFeatureDataset(AudioDataset):
 
 @DATASETS.register_module()
 class RawframeDataset(BaseVideoDataset):
-    """``<frame_dir> <total_frames> <label...>`` lines."""
+    """``<frame_dir> <total_frames> <label...>`` lines; with
+    ``with_offset=True`` lines are ``<frame_dir> <offset> <total_frames>
+    <label...>`` — clips cut from long videos whose file indices start at
+    ``offset`` (reference ``rawframe_dataset.py:43-68,133-135``; the
+    ActivityNet *clip* recipes)."""
 
     def __init__(self, *args, filename_tmpl: str = "img_{:05}.jpg",
-                 start_index: int = 1, modality: str = "RGB", **kw):
+                 start_index: int = 1, modality: str = "RGB",
+                 with_offset: bool = False, **kw):
         assert modality in ("RGB", "Flow")
         self.filename_tmpl = filename_tmpl
         self.modality = modality
+        self.with_offset = with_offset
         if modality == "Flow" and filename_tmpl == "img_{:05}.jpg":
             # mmaction flow convention: flow_x_00001.jpg / flow_y_00001.jpg
             self.filename_tmpl = "{}_{:05d}.jpg"
@@ -223,21 +229,31 @@ class RawframeDataset(BaseVideoDataset):
                 if not line:
                     continue
                 parts = line.split()
-                frame_dir, total_frames = parts[0], int(parts[1])
+                frame_dir = parts[0]
+                idx = 1
+                offset = 0
+                if self.with_offset:
+                    offset = int(parts[idx])
+                    idx += 1
+                total_frames = int(parts[idx])
+                idx += 1
                 if self.data_prefix:
                     frame_dir = osp.join(self.data_prefix, frame_dir)
                 if self.multi_class:
                     if self.num_classes is None:
                         raise ValueError("multi_class requires num_classes")
                     label = np.zeros(self.num_classes, np.float32)
-                    label[[int(x) for x in parts[2:]]] = 1.0
+                    label[[int(x) for x in parts[idx:]]] = 1.0
                 else:
-                    label = int(parts[2])
-                infos.append(dict(frame_dir=frame_dir,
-                                  total_frames=total_frames, label=label,
-                                  filename_tmpl=self.filename_tmpl,
-                                  start_index=self.start_index,
-                                  modality=self.modality))
+                    label = int(parts[idx])
+                info = dict(frame_dir=frame_dir,
+                            total_frames=total_frames, label=label,
+                            filename_tmpl=self.filename_tmpl,
+                            start_index=self.start_index,
+                            modality=self.modality)
+                if self.with_offset:
+                    info["offset"] = offset
+                infos.append(info)
         return infos
 
 
@@ -300,7 +316,8 @@ class AudioVisualDataset(RawframeDataset):
             reader = RawFrameReader(
                 info["frame_dir"], info["total_frames"],
                 filename_tmpl=info.get("filename_tmpl", "img_{:05}.jpg"),
-                start_index=info.get("start_index", 1))
+                start_index=info.get("start_index", 1),
+                offset=info.get("offset", 0))
             clips, label = visual_proc(reader, info["label"], rng=rng,
                                        total_frames=info["total_frames"],
                                        start_index=info.get("start_index", 1))

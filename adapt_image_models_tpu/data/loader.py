@@ -140,7 +140,8 @@ class VideoLoader:
                     "filename_tmpl",
                     "{}_{:05d}.jpg" if info.get("modality") == "Flow"
                     else "img_{:05}.jpg"),
-                start_index=info.get("start_index", 1))
+                start_index=info.get("start_index", 1),
+                offset=info.get("offset", 0))
             clips, label = self.processor(
                 reader, info["label"], rng=rng,
                 total_frames=info["total_frames"],

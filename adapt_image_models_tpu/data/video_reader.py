@@ -133,12 +133,16 @@ class RawFrameReader(VideoReader):
 
     def __init__(self, frame_dir: str, num_frames: int,
                  filename_tmpl: str = "img_{:05}.jpg", start_index: int = 1,
-                 short_side: Optional[int] = None):
+                 short_side: Optional[int] = None, offset: int = 0):
         self.frame_dir = frame_dir
         self.num_frames = num_frames
         self.filename_tmpl = filename_tmpl
         self.start_index = start_index
         self.short_side = short_side
+        # clip-in-long-video file-index shift (reference RawFrameDecode
+        # loading.py:1157 `offset = results.get('offset', 0)`; produced by
+        # RawframeDataset(with_offset=True) annotations)
+        self.offset = offset
 
     def get_frames(self, indices: Sequence[int]) -> np.ndarray:
         import cv2
@@ -146,7 +150,7 @@ class RawFrameReader(VideoReader):
         imgs = []
         for fi in uniq:
             path = os.path.join(self.frame_dir,
-                                self.filename_tmpl.format(int(fi)))
+                                self.filename_tmpl.format(int(fi) + self.offset))
             img = cv2.imread(path, cv2.IMREAD_COLOR)
             if img is None:
                 raise IOError(f"cannot read frame {path}")
@@ -230,12 +234,13 @@ class FlowFrameReader(VideoReader):
 
     def __init__(self, frame_dir: str, num_frames: int,
                  filename_tmpl: str = "{}_{:05d}.jpg", start_index: int = 1,
-                 short_side: Optional[int] = None):
+                 short_side: Optional[int] = None, offset: int = 0):
         self.frame_dir = frame_dir
         self.num_frames = num_frames
         self.filename_tmpl = filename_tmpl
         self.start_index = start_index
         self.short_side = short_side
+        self.offset = offset  # see RawFrameReader.offset
 
     def get_frames(self, indices: Sequence[int]) -> np.ndarray:
         import cv2
@@ -245,7 +250,7 @@ class FlowFrameReader(VideoReader):
         last = self.start_index + self.num_frames - 2
         imgs = []
         for fi in uniq:
-            fi = min(int(fi), last)
+            fi = min(int(fi), last) + self.offset
             chans = []
             for axis in ("x", "y"):
                 path = os.path.join(

@@ -29,6 +29,14 @@ _TORCHVISION = {
     "resnet101": ("ResNet", dict(depth=101)),
     "resnet152": ("ResNet", dict(depth=152)),
     "mobilenet_v2": ("MobileNetV2", dict()),
+    "densenet121": ("DenseNet", dict(depth=121)),
+    "densenet161": ("DenseNet", dict(depth=161)),
+    "densenet169": ("DenseNet", dict(depth=169)),
+    "densenet201": ("DenseNet", dict(depth=201)),
+    "resnext101_32x8d": ("ResNeXt", dict(depth=101, groups=32,
+                                         width_per_group=8)),
+    "resnext50_32x4d": ("ResNeXt", dict(depth=50, groups=32,
+                                        width_per_group=4)),
 }
 
 # timm model name -> (registered type, arch kwargs)

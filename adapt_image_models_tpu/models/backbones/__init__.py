@@ -11,8 +11,9 @@ from adapt_image_models_tpu.models.backbones.swin2d_adapter import (
     SwinTransformer2D_Adapter,
 )
 from adapt_image_models_tpu.models.backbones.resnet import (
-    ResNet, ResNetTSM, temporal_shift,
+    ResNet, ResNeXt, ResNetTSM, temporal_shift,
 )
+from adapt_image_models_tpu.models.backbones.densenet import DenseNet
 from adapt_image_models_tpu.models.backbones.resnet3d import (
     ResNet3d, ResNet3dSlowOnly, ResNet3dCSN, ResNetAudio, C3D,
 )

@@ -88,20 +88,27 @@ class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     tsm_frames: Optional[int] = None
+    # grouped 3x3 (ResNeXt, mmcls resnext.py Bottleneck): mid width =
+    # planes * width_per_group // 64 * groups
+    groups: int = 1
+    width_per_group: int = 64
     compute_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         cdt = self.compute_dtype
+        mid = (self.planes if self.groups == 1 else
+               self.planes * self.width_per_group // 64 * self.groups)
         identity = x
         h = x
         if self.tsm_frames:
             h = temporal_shift(h, self.tsm_frames)
-        h = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=cdt,
+        h = nn.Conv(mid, (1, 1), use_bias=False, dtype=cdt,
                     name="conv1")(h)
         h = nn.relu(nn.BatchNorm(use_running_average=deterministic,
                                  momentum=0.9, name="bn1")(h))
-        h = nn.Conv(self.planes, (3, 3), (self.stride, self.stride),
+        h = nn.Conv(mid, (3, 3), (self.stride, self.stride),
+                    feature_group_count=self.groups,
                     use_bias=False, dtype=cdt, name="conv2")(h)
         h = nn.relu(nn.BatchNorm(use_running_average=deterministic,
                                  momentum=0.9, name="bn2")(h))
@@ -146,17 +153,33 @@ class ResNet(nn.Module):
     # stem input channels (flow recipes set 2*clip_len; the conv infers the
     # actual count from the input — kept for reference-config parity)
     in_channels: int = 3
+    # grouped bottlenecks (ResNeXt); reference config surface also carries
+    # num_stages/style (mmcls ResNeXt config) — style='pytorch' (stride on
+    # the 3x3) is the only layout implemented, matching every shipped recipe
+    groups: int = 1
+    width_per_group: int = 64
+    num_stages: int = 4
+    style: str = "pytorch"
+    norm_eval: bool = False  # BN pinned to running stats even in training
     compute_dtype: Dtype = jnp.float32
     pretrained: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        # (reference resnet.py norm_eval: audio recipes set it explicitly)
+        deterministic = deterministic or self.norm_eval
         if self.depth not in ARCH_SETTINGS:
             raise KeyError(f"unsupported ResNet depth {self.depth}")
         kind, stage_blocks = ARCH_SETTINGS[self.depth]
         if self.stage_blocks is not None:
             stage_blocks = tuple(self.stage_blocks)
+        stage_blocks = stage_blocks[:self.num_stages]
+        if self.style != "pytorch":
+            raise NotImplementedError(
+                "only style='pytorch' (stride on the 3x3 conv) is built")
         block_cls = BasicBlock if kind == "basic" else Bottleneck
+        if self.groups != 1 and kind == "basic":
+            raise ValueError("grouped convs need a bottleneck depth (>=50)")
         cdt = self.compute_dtype
 
         h = x.transpose(0, 2, 3, 1).astype(cdt)  # NCHW -> NHWC
@@ -187,12 +210,15 @@ class ResNet(nn.Module):
                 clip, deterministic=deterministic)
             return clip.reshape(feat.shape)
 
+        block_kwargs = ({} if kind == "basic" else
+                        dict(groups=self.groups,
+                             width_per_group=self.width_per_group))
         for i, n_blocks in enumerate(stage_blocks):
             for j in range(n_blocks):
                 stride = 2 if (i > 0 and j == 0) else 1
                 h = block_cls(planes, stride=stride,
                               tsm_frames=frames,
-                              compute_dtype=cdt,
+                              compute_dtype=cdt, **block_kwargs,
                               name=f"layer{i + 1}_{j}")(
                                   h, deterministic=deterministic)
                 nl_stage = (self.non_local[i]
@@ -223,6 +249,17 @@ class ResNet(nn.Module):
         if self.spatial_pool:
             return jnp.mean(h, axis=(1, 2)).astype(jnp.float32)
         return h
+
+
+@BACKBONES.register_module()
+class ResNeXt(ResNet):
+    """Grouped-bottleneck ResNet (the reference TSN custom-backbone recipe
+    builds ``mmcls.ResNeXt`` depth 101, groups 32, width 4 —
+    ``configs/recognition/tsn/custom_backbones/tsn_rn101_32x4d_*.py``;
+    arch: mmcls ``resnext.py`` Bottleneck mid-width formula)."""
+
+    groups: int = 32
+    width_per_group: int = 4
 
 
 @BACKBONES.register_module()

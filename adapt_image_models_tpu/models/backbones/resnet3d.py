@@ -356,6 +356,8 @@ class ResNetAudio(nn.Module):
     depth: int = 50
     base_channels: int = 32
     conv1_kernel: int = 9
+    in_channels: int = 1  # stem infers from input; kept for config parity
+    norm_eval: bool = False
     compute_dtype: Dtype = jnp.float32
     pretrained: Optional[str] = None
 
@@ -365,6 +367,7 @@ class ResNetAudio(nn.Module):
             ARCH_SETTINGS, Bottleneck, BasicBlock,
         )
         from adapt_image_models_tpu.models.common import ConvAudio
+        deterministic = deterministic or self.norm_eval
         kind, stage_blocks = ARCH_SETTINGS[self.depth]
         block_cls = BasicBlock if kind == "basic" else Bottleneck
         cdt = self.compute_dtype

@@ -1,36 +1,34 @@
-# TSN-R50 mini-Kinetics + kineticsraw auxiliary source (parity: reference
-# configs/recognition/omnisource/tsn_r50_1x1x8_100e_minikinetics/
-# tsn_r50_1x1x8_100e_minikinetics_kineticsraw_rgb.py — the kinetics source
-# PAIRED with one extra source, not source-only; per-source batch sizes
-# via omni_videos_per_gpu).
-_base_ = ["./tsn_r50_1x1x8_100e_minikinetics_omnisource_rgb.py"]
+# SlowOnly-R50 mini-Kinetics + insvideo auxiliary source (parity: reference
+# configs/recognition/omnisource/slowonly_r50_8x8x1_256e_minikinetics/
+# slowonly_r50_8x8x1_256e_minikinetics_insvideo_rgb.py — kinetics PAIRED
+# with one extra source; image sources build 8-frame pseudo clips).
+_base_ = ["./slowonly_r50_8x8x1_256e_minikinetics_omnisource_rgb.py"]
 
 img_norm_cfg = dict(mean=[123.675, 116.28, 103.53],
                     std=[58.395, 57.12, 57.375], to_bgr=False)
 
 train_pipeline = [
-    dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=8),
+    dict(type="SampleFrames", clip_len=8, frame_interval=8, num_clips=1),
     dict(type="DecordDecode"),
     dict(type="Resize", scale=(-1, 256)),
     dict(type="RandomResizedCrop"),
     dict(type="Resize", scale=(224, 224), keep_ratio=False),
     dict(type="Flip", flip_ratio=0.5),
     dict(type="Normalize", **img_norm_cfg),
-    dict(type="FormatShape", input_format="NCHW"),
+    dict(type="FormatShape", input_format="NCTHW"),
 ]
 train_aux_pipeline = [
-    dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=8),
+    dict(type="SampleFrames", clip_len=8, frame_interval=8, num_clips=1),
     dict(type="DecordDecode"),
     dict(type="Resize", scale=(-1, 256)),
     dict(type="RandomResizedCrop"),
     dict(type="Resize", scale=(224, 224), keep_ratio=False),
     dict(type="Flip", flip_ratio=0.5),
     dict(type="Normalize", **img_norm_cfg),
-    dict(type="FormatShape", input_format="NCHW"),
+    dict(type="FormatShape", input_format="NCTHW"),
 ]
 
 data = dict(
-    _delete_=False,
     omni_videos_per_gpu=[12, 12],
     train_ratio=[2, 1],
     train=[
@@ -38,13 +36,14 @@ data = dict(
              ann_file="data/OmniSource/annotations/kinetics_200/k200_train.txt",
              data_prefix="data/OmniSource/kinetics_200_train",
              pipeline=train_pipeline),
-        dict(type="RawVideoDataset",
-             ann_file="data/OmniSource/annotations/kinetics_raw_200/tsn_8seg_kinetics_raw_200.txt",
-             data_prefix="data/OmniSource/kinetics_raw_200_train",
+        dict(type="VideoDataset",
+             ann_file="data/OmniSource/annotations/insvideo_200/slowonly_8x8_insvideo_200_wodup.txt",
+             data_prefix="data/OmniSource/insvideo_200",
              pipeline=train_aux_pipeline,
-             clipname_tmpl="part_{}.mp4",
-             sampling_strategy="positive"),
+             num_classes=200,
+             sample_by_class=True,
+             power=0.5),
     ],
 )
 
-work_dir = "./work_dirs/tsn_r50_1x1x8_100e_minikinetics_kineticsraw_rgb"
+work_dir = "./work_dirs/slowonly_r50_8x8x1_256e_minikinetics_insvideo_rgb"

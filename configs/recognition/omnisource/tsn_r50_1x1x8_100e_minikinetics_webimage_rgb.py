@@ -1,50 +1,51 @@
-# tsn_r50_1x1x8_100e_minikinetics_webimage_rgb (parity: reference configs/recognition/omnisource/
-# tsn_r50_1x1x8_100e_minikinetics/tsn_r50_1x1x8_100e_minikinetics_webimage_rgb.py — single-source ablation of the
-# omnisource recipe)
-_base_ = "./tsn_r50_1x1x8_100e_minikinetics_omnisource_rgb.py"
+# TSN-R50 mini-Kinetics + webimage auxiliary source (parity: reference
+# configs/recognition/omnisource/tsn_r50_1x1x8_100e_minikinetics/
+# tsn_r50_1x1x8_100e_minikinetics_webimage_rgb.py — the kinetics source
+# PAIRED with one extra source, not source-only; per-source batch sizes
+# via omni_videos_per_gpu).
+_base_ = ["./tsn_r50_1x1x8_100e_minikinetics_omnisource_rgb.py"]
+
+img_norm_cfg = dict(mean=[123.675, 116.28, 103.53],
+                    std=[58.395, 57.12, 57.375], to_bgr=False)
+
+train_pipeline = [
+    dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=8),
+    dict(type="DecordDecode"),
+    dict(type="Resize", scale=(-1, 256)),
+    dict(type="RandomResizedCrop"),
+    dict(type="Resize", scale=(224, 224), keep_ratio=False),
+    dict(type="Flip", flip_ratio=0.5),
+    dict(type="Normalize", **img_norm_cfg),
+    dict(type="FormatShape", input_format="NCHW"),
+]
+train_aux_pipeline = [
+    dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=8),
+    dict(type="ImageDecode"),
+    dict(type="Resize", scale=(-1, 256)),
+    dict(type="RandomResizedCrop"),
+    dict(type="Resize", scale=(224, 224), keep_ratio=False),
+    dict(type="Flip", flip_ratio=0.5),
+    dict(type="Normalize", **img_norm_cfg),
+    dict(type="FormatShape", input_format="NCHW"),
+]
 
 data = dict(
-    _delete_=True,
-    videos_per_gpu=12,
-    workers_per_gpu=2,
-    train=dict(type="ImageDataset", ann_file="data/omnisource/webimage_list.txt",
-               data_prefix="data/omnisource/webimage", pipeline=[
-        dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=8),
-        dict(type="ImageDecode"),
-        dict(type="BuildPseudoClip", clip_len=8),
-        dict(type="Resize", scale=(-1, 256)),
-        dict(type="RandomResizedCrop"),
-        dict(type="Resize", scale=(224, 224), keep_ratio=False),
-        dict(type="Flip", flip_ratio=0.5),
-        dict(type="Normalize", mean=[123.675, 116.28, 103.53],
-             std=[58.395, 57.12, 57.375]),
-        dict(type="FormatShape", input_format="NCHW"),
-    ]),
-    val=dict(type="VideoDataset",
-             ann_file="data/omnisource/minikinetics_val_list.txt",
-             data_prefix="data/omnisource/minikinetics_val", pipeline=[
-        dict(type="SampleFrames", clip_len=1, frame_interval=1,
-             num_clips=8, test_mode=True),
-        dict(type="DecordInit"),
-        dict(type="DecordDecode"),
-        dict(type="Resize", scale=(-1, 256)),
-        dict(type="CenterCrop", crop_size=224),
-        dict(type="Normalize", mean=[123.675, 116.28, 103.53],
-             std=[58.395, 57.12, 57.375]),
-        dict(type="FormatShape", input_format="NCHW"),
-    ]),
-    test=dict(type="VideoDataset",
-              ann_file="data/omnisource/minikinetics_val_list.txt",
-              data_prefix="data/omnisource/minikinetics_val", pipeline=[
-        dict(type="SampleFrames", clip_len=1, frame_interval=1,
-             num_clips=25, test_mode=True),
-        dict(type="DecordInit"),
-        dict(type="DecordDecode"),
-        dict(type="Resize", scale=(-1, 256)),
-        dict(type="TenCrop", crop_size=224),
-        dict(type="Normalize", mean=[123.675, 116.28, 103.53],
-             std=[58.395, 57.12, 57.375]),
-        dict(type="FormatShape", input_format="NCHW"),
-    ]),
+    _delete_=False,
+    omni_videos_per_gpu=[12, 64],
+    train_ratio=[2, 1],
+    train=[
+        dict(type="VideoDataset",
+             ann_file="data/OmniSource/annotations/kinetics_200/k200_train.txt",
+             data_prefix="data/OmniSource/kinetics_200_train",
+             pipeline=train_pipeline),
+        dict(type="ImageDataset",
+             ann_file="data/OmniSource/annotations/webimage_200/tsn_8seg_webimage_200_wodup.txt",
+             data_prefix="data/OmniSource/webimage_200",
+             pipeline=train_aux_pipeline,
+             num_classes=200,
+             sample_by_class=True,
+             power=0.5),
+    ],
 )
+
 work_dir = "./work_dirs/tsn_r50_1x1x8_100e_minikinetics_webimage_rgb"

@@ -1,0 +1,15 @@
+# TSN-R18 on HVU, scene category (parity: reference
+# configs/recognition/tsn/hvu/tsn_r18_1x1x8_100e_hvu_scene_rgb.py — the
+# per-category sibling of the action recipe; only the tag category,
+# class count and annotation files change).
+_base_ = ["./tsn_r18_1x1x8_100e_hvu_action_rgb.py"]
+
+model = dict(cls_head=dict(num_classes=248))
+
+data = dict(
+    train=dict(ann_file="data/hvu/hvu_scene_train.json", num_classes=248),
+    val=dict(ann_file="data/hvu/hvu_scene_val.json", num_classes=248),
+    test=dict(ann_file="data/hvu/hvu_scene_val.json", num_classes=248),
+)
+
+work_dir = "./work_dirs/tsn_r18_hvu_scene"

@@ -1,0 +1,15 @@
+# ActivityNet CLIP-annotation flow variant (parity: reference
+# configs/recognition/tsn/tsn_r50_320p_1x1x8_150e_activitynet_clip_flow.py
+# — the video_flow recipe over with_offset clip annotations).
+_base_ = ["./tsn_r50_320p_1x1x8_150e_activitynet_video_flow.py"]
+
+data = dict(
+    train=dict(ann_file="data/ActivityNet/anet_train_clip.txt",
+               with_offset=True),
+    val=dict(ann_file="data/ActivityNet/anet_val_clip.txt",
+             with_offset=True),
+    test=dict(ann_file="data/ActivityNet/anet_val_clip.txt",
+              with_offset=True),
+)
+
+work_dir = "./work_dirs/tsn_r50_320p_1x1x8_150e_activitynet_clip_flow"

@@ -1,0 +1,59 @@
+# ActivityNet CLIP-annotation variant: rawframe clips cut from long videos
+# with per-clip frame offsets (parity: reference
+# configs/recognition/tsn/tsn_r50_320p_1x1x8_50e_activitynet_clip_rgb.py —
+# RawframeDataset(with_offset=True, start_index=0,
+# filename_tmpl='image_{:05d}.jpg')).
+_base_ = ["./tsn_r50_320p_1x1x8_50e_activitynet_video_rgb.py"]
+
+img_norm_cfg = dict(mean=[123.675, 116.28, 103.53],
+                    std=[58.395, 57.12, 57.375], to_bgr=False)
+
+train_pipeline = [
+    dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=8),
+    dict(type="RawFrameDecode"),
+    dict(type="Resize", scale=(-1, 320)),
+    dict(type="MultiScaleCrop", input_size=224,
+         scales=(1, 0.875, 0.75, 0.66), random_crop=False,
+         max_wh_scale_gap=1),
+    dict(type="Resize", scale=(224, 224), keep_ratio=False),
+    dict(type="Flip", flip_ratio=0.5),
+    dict(type="Normalize", **img_norm_cfg),
+    dict(type="FormatShape", input_format="NCHW"),
+]
+val_pipeline = [
+    dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=8,
+         test_mode=True),
+    dict(type="RawFrameDecode"),
+    dict(type="Resize", scale=(-1, 320)),
+    dict(type="CenterCrop", crop_size=224),
+    dict(type="Normalize", **img_norm_cfg),
+    dict(type="FormatShape", input_format="NCHW"),
+]
+test_pipeline = [
+    dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=25,
+         test_mode=True),
+    dict(type="RawFrameDecode"),
+    dict(type="Resize", scale=(-1, 320)),
+    dict(type="ThreeCrop", crop_size=256),
+    dict(type="Normalize", **img_norm_cfg),
+    dict(type="FormatShape", input_format="NCHW"),
+]
+
+_clip_ds = dict(
+    type="RawframeDataset",
+    data_prefix="data/ActivityNet/rawframes",
+    with_offset=True,
+    start_index=0,
+    filename_tmpl="image_{:05d}.jpg",
+)
+
+data = dict(
+    train=dict(_delete_=True, ann_file="data/ActivityNet/anet_train_clip.txt",
+               pipeline=train_pipeline, **_clip_ds),
+    val=dict(_delete_=True, ann_file="data/ActivityNet/anet_val_clip.txt",
+             pipeline=val_pipeline, **_clip_ds),
+    test=dict(_delete_=True, ann_file="data/ActivityNet/anet_val_clip.txt",
+              pipeline=test_pipeline, **_clip_ds),
+)
+
+work_dir = "./work_dirs/tsn_r50_320p_1x1x8_50e_activitynet_clip_rgb"

@@ -1,0 +1,31 @@
+# Inference-only TSN over video files (parity: reference
+# configs/recognition/tsn/
+# tsn_r50_video_inference_1x1x3_100e_kinetics400_rgb.py).
+model = dict(
+    type="Recognizer2D",
+    backbone=dict(type="ResNet", depth=50),
+    cls_head=dict(type="TSNHead", num_classes=400, in_channels=2048,
+                  dropout_ratio=0.4),
+    test_cfg=dict(average_clips=None),
+)
+
+img_norm_cfg = dict(mean=[123.675, 116.28, 103.53],
+                    std=[58.395, 57.12, 57.375], to_bgr=False)
+
+test_pipeline = [
+    dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=25,
+         test_mode=True),
+    dict(type="DecordInit"),
+    dict(type="DecordDecode"),
+    dict(type="Resize", scale=(-1, 256)),
+    dict(type="TenCrop", crop_size=224),
+    dict(type="Normalize", **img_norm_cfg),
+    dict(type="FormatShape", input_format="NCHW"),
+]
+
+data = dict(
+    test=dict(type="VideoDataset",
+              ann_file="data/kinetics400/kinetics400_val_list_videos.txt",
+              data_prefix="data/kinetics400/videos_val",
+              pipeline=test_pipeline),
+)

@@ -184,3 +184,35 @@ def test_sample_by_class_loader(tmp_path):
     first = np.concatenate([b["label"] for b in loader])
     again = np.concatenate([b["label"] for b in loader])
     np.testing.assert_array_equal(first, again)
+
+
+def test_rawframe_with_offset(tmp_path):
+    """with_offset annotations: `<dir> <offset> <total> <label>` lines shift
+    file indices by offset (reference rawframe_dataset.py:133-135 +
+    RawFrameDecode loading.py:1157 — the ActivityNet clip recipes)."""
+    import cv2
+    d = tmp_path / "clips" / "v0"
+    d.mkdir(parents=True)
+    # frames 11..14 on disk; clip offset 10, total_frames 4, start_index 1
+    for i in range(11, 15):
+        img = np.full((8, 8, 3), i, np.uint8)
+        cv2.imwrite(str(d / f"image_{i:05d}.jpg"), img)
+    ann = tmp_path / "ann.txt"
+    ann.write_text("v0 10 4 2\n")
+    ds = RawframeDataset(str(ann), [
+        dict(type="SampleFrames", clip_len=4, frame_interval=1, num_clips=1,
+             test_mode=True),
+        dict(type="Resize", scale=(8, 8), keep_ratio=False),
+        dict(type="FormatShape", input_format="NCTHW"),
+    ], data_prefix=str(tmp_path / "clips"), with_offset=True,
+        filename_tmpl="image_{:05d}.jpg")
+    assert ds.video_infos[0]["offset"] == 10
+    assert ds.video_infos[0]["total_frames"] == 4
+    assert ds.video_infos[0]["label"] == 2
+    loader = VideoLoader(ds, ds.pipeline, batch_size=1, shuffle=False,
+                         num_workers=1)
+    batch = next(iter(loader))
+    # sampled frame indices 1..4 + offset 10 -> pixel values 11..14
+    got = sorted(int(v) for v in
+                 np.unique(batch["imgs"].reshape(-1, 3).mean(-1).round()))
+    assert got == [11, 12, 13, 14]

@@ -32,13 +32,58 @@ def test_explicit_keys_override_arch_table():
 def test_mmcls_prefix_uses_registry():
     assert resolve_backbone_source(
         dict(type="mmcls.ResNet", depth=18)) == dict(type="ResNet", depth=18)
-    with pytest.raises(KeyError, match="mmcls.ResNeXt"):
-        resolve_backbone_source(dict(type="mmcls.ResNeXt"))
+    # the rn101_32x4d recipe's backbone (reference
+    # tsn_rn101_32x4d_320p_1x1x3_100e_kinetics400_rgb.py)
+    out = resolve_backbone_source(
+        dict(type="mmcls.ResNeXt", depth=101, groups=32, width_per_group=4,
+             num_stages=4, out_indices=(3,), style="pytorch"))
+    assert out["type"] == "ResNeXt" and out["groups"] == 32
+    with pytest.raises(KeyError, match="mmcls.NoSuchNet"):
+        resolve_backbone_source(dict(type="mmcls.NoSuchNet"))
 
 
 def test_unknown_name_lists_supported():
     with pytest.raises(KeyError, match="densenet161"):
-        resolve_backbone_source(dict(type="torchvision.densenet161"))
+        resolve_backbone_source(dict(type="torchvision.densenet999"))
+
+
+def test_torchvision_densenet161_resolves():
+    out = resolve_backbone_source(dict(type="torchvision.densenet161"))
+    assert out == dict(type="DenseNet", depth=161)
+
+
+def test_resnext_mid_widths_and_features():
+    """ResNeXt-101 32x4d: stage-1 bottleneck mid width 128, trunk out 2048
+    (mmcls resnext.py Bottleneck; torchvision parity)."""
+    from flax import traverse_util
+    from adapt_image_models_tpu.models.builder import build_backbone
+    bb = build_backbone(dict(type="ResNeXt", depth=101, groups=32,
+                             width_per_group=4, stage_blocks=(1, 1, 1, 1)))
+    x = jnp.ones((2, 3, 32, 32))
+    v = bb.init(jax.random.PRNGKey(0), x)
+    flat = traverse_util.flatten_dict(v["params"])
+    # grouped 3x3: kernel (3, 3, mid/groups, mid) with mid = 128 in stage 1
+    k = flat[("layer1_0", "conv2", "kernel")]
+    assert k.shape == (3, 3, 128 // 32, 128)
+    out = bb.apply(v, x)
+    assert out.shape == (2, 2048)
+
+
+def test_densenet161_tiny_forward_and_full_channels():
+    import functools
+    from adapt_image_models_tpu.models.builder import build_backbone
+    bb = build_backbone(dict(type="DenseNet", depth=161,
+                             stage_blocks=(1, 1, 1, 1)))
+    x = jnp.ones((2, 3, 32, 32))
+    v = bb.init(jax.random.PRNGKey(0), x)
+    assert bb.apply(v, x).shape == (2, 102)
+    # full densenet161 trunk emits the reference's 2208 channels
+    full = build_backbone(dict(type="DenseNet", depth=161))
+    spec = jax.ShapeDtypeStruct((1, 3, 64, 64), jnp.float32)
+    vs = jax.eval_shape(functools.partial(full.init, jax.random.PRNGKey(0)),
+                        spec)
+    o = jax.eval_shape(full.apply, vs, spec)
+    assert o.shape == (1, 2208)
 
 
 def test_pretrained_true_rejected():

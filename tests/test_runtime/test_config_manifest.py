@@ -73,3 +73,21 @@ def test_family_coverage():
                          recursive=True) + glob.glob(
             osp.join(REPO, "configs", "**", needle, "*"), recursive=True)
         assert hits, f"no config found for family {needle}"
+
+
+def test_every_reference_config_has_same_named_equivalent():
+    """Round-3 closure: EVERY reference recipe basename (outside _base_)
+    exists here under the same name — full config-surface parity."""
+    ref = "/root/reference/configs"
+    if not osp.isdir(ref):
+        import pytest
+        pytest.skip("reference tree not available")
+    ref_names = {osp.basename(p)
+                 for p in glob.glob(osp.join(ref, "**", "*.py"),
+                                    recursive=True)
+                 if "_base_" not in p.split(osp.sep)}
+    present = {osp.basename(p)
+               for p in glob.glob(osp.join(REPO, "configs", "**", "*.py"),
+                                  recursive=True)}
+    missing = sorted(ref_names - present)
+    assert not missing, f"reference configs without a same-named repo config: {missing}"
