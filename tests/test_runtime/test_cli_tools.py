@@ -88,3 +88,28 @@ def test_profile_tool_writes_trace(tmp_path):
     for root, _, files in os.walk(tmp_path / "trace"):
         found.extend(files)
     assert found, "no trace files written"
+
+
+def test_dataset_prep_shell_wrappers():
+    """Every reference tools/data/<ds>/*.sh has a repo wrapper that parses
+    (bash -n) and whose python invocations point at real in-repo tools
+    (round-3 closure of the per-dataset prep-script surface)."""
+    import glob
+    import re
+    import subprocess
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    ref = "/root/reference/tools/data"
+    if os.path.isdir(ref):
+        ref_sh = {os.path.relpath(p, ref)
+                  for p in glob.glob(os.path.join(ref, "*", "*.sh"))}
+        mine = {os.path.relpath(p, os.path.join(repo, "tools", "data"))
+                for p in glob.glob(os.path.join(repo, "tools", "data",
+                                                "*", "*.sh"))}
+        assert ref_sh <= mine, f"missing wrappers: {sorted(ref_sh - mine)}"
+    for sh in glob.glob(os.path.join(repo, "tools", "data", "*", "*.sh")):
+        subprocess.run(["bash", "-n", sh], check=True)
+        text = open(sh).read()
+        for m in re.finditer(r'python "\$REPO/([^"]+)"', text):
+            assert os.path.exists(os.path.join(repo, m.group(1))), \
+                f"{sh} calls missing tool {m.group(1)}"

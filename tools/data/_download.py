@@ -65,3 +65,39 @@ def youtube_download(video_id: str, output_file: str,
             err = str(e)
     ok = osp.exists(output_file)
     return ok, "Downloaded" if ok else f"Fail: {err}"
+
+
+def _main():
+    """CLI used by the per-dataset download_*.sh wrappers: fetch one or
+    more direct URLs into a directory (wget analog), optionally unzipping
+    archives afterwards."""
+    import argparse
+    import zipfile
+    import tarfile
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("urls", nargs="+")
+    parser.add_argument("--out-dir", default=".")
+    parser.add_argument("--jobs", type=int, default=4)
+    parser.add_argument("--extract", action="store_true",
+                        help="unpack downloaded .zip/.tar[.gz] archives "
+                             "into --out-dir")
+    args = parser.parse_args()
+    os.makedirs(args.out_dir, exist_ok=True)
+    results = fetch_urls(args.urls, args.out_dir, num_jobs=args.jobs)
+    failed = False
+    for url, (ok, msg) in zip(args.urls, results):
+        print(("ok   " if ok else "FAIL ") + f"{url}: {msg}")
+        failed |= not ok
+        name = osp.join(args.out_dir, osp.basename(url))
+        if ok and args.extract and osp.exists(name):
+            if name.endswith(".zip"):
+                with zipfile.ZipFile(name) as z:
+                    z.extractall(args.out_dir)
+            elif name.endswith((".tar", ".tar.gz", ".tgz")):
+                with tarfile.open(name) as t:
+                    t.extractall(args.out_dir)
+    raise SystemExit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    _main()

@@ -1,0 +1,10 @@
+#!/usr/bin/env bash
+# Video filelists from the official jsons
+# (reference tools/data/sthv2/generate_videos_filelist.sh — re-expressed over this repo's
+# native prep tools).
+set -euo pipefail
+REPO="$(cd "$(dirname "${BASH_SOURCE[0]}")/../../.." && pwd)"
+DATA="$REPO/data/sthv2"
+mkdir -p "$DATA"
+python "$REPO/tools/data/parse_file_list.py" sthv2 "$DATA/annotations" "$DATA" --format videos --level 1
+echo "videos filelists written to $DATA"

@@ -1,0 +1,10 @@
+#!/usr/bin/env bash
+# Extract both rawframes (OpenCV decode in this repo)
+# (reference tools/data/ucf101/extract_frames.sh — re-expressed over this repo's
+# native prep tools).
+set -euo pipefail
+REPO="$(cd "$(dirname "${BASH_SOURCE[0]}")/../../.." && pwd)"
+DATA="$REPO/data/ucf101"
+mkdir -p "$DATA"
+python "$REPO/tools/data/build_rawframes.py" "$DATA/videos" "$DATA/rawframes" --task both --level 2
+echo "RGB + Farneback flow frames written to $DATA/rawframes"
