@@ -151,8 +151,18 @@ class AVADataset:
                 self.std = tuple(step.get("std", self.std))
                 self.to_bgr = step.get("to_bgr", False)
             elif t in ("RawFrameDecode", "FormatShape", "Collect", "ToTensor",
-                       "Rename", "ToDataContainer"):
+                       "Rename", "ToDataContainer",
+                       # box-aware geometry is applied unconditionally in
+                       # prepare_sample (the gt/proposal scale/shift/flip
+                       # math) — the reference's explicit EntityBox* steps
+                       # (augmentations.py Flip/RandomCrop branches in old
+                       # mmaction2 recipes) are subsumed, accepted as no-ops
+                       "EntityBoxRescale", "EntityBoxCrop", "EntityBoxFlip",
+                       "EntityBoxClip", "EntityBoxPad",
+                       "DecordInit", "DecordDecode"):
                 continue
+            else:
+                raise KeyError(f"unsupported AVA pipeline step {t}")
 
     def output_size(self):
         if self.crop_size:
