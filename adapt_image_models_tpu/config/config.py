@@ -36,9 +36,16 @@ def _merge_dict(base: Dict, new: Dict) -> Dict:
     """Deep-merge ``new`` over ``base`` (mmcv semantics incl. _delete_)."""
     out = copy.deepcopy(base)
     for k, v in new.items():
-        if isinstance(v, dict) and v.get(DELETE_KEY):
+        if isinstance(v, dict) and DELETE_KEY in v:
+            # the marker never survives the merge, whatever its value
+            # (a stray _delete_=False must not leak into built modules)
             v = {kk: vv for kk, vv in v.items() if kk != DELETE_KEY}
-            out[k] = copy.deepcopy(v)
+            if new[k].get(DELETE_KEY):
+                out[k] = copy.deepcopy(v)
+            elif isinstance(out.get(k), dict):
+                out[k] = _merge_dict(out[k], v)
+            else:
+                out[k] = copy.deepcopy(v)
         elif isinstance(v, dict) and isinstance(out.get(k), dict):
             out[k] = _merge_dict(out[k], v)
         else:

@@ -30,7 +30,6 @@ train_aux_pipeline = [
 ]
 
 data = dict(
-    _delete_=False,
     omni_videos_per_gpu=[12, 64],
     train_ratio=[2, 1],
     train=[

@@ -91,3 +91,21 @@ def test_every_reference_config_has_same_named_equivalent():
                                   recursive=True)}
     missing = sorted(ref_names - present)
     assert not missing, f"reference configs without a same-named repo config: {missing}"
+
+
+def test_delete_marker_never_leaks(tmp_path):
+    """_delete_ is a merge directive, not config content: whatever its
+    value, it must not survive into the merged dict (a stray
+    _delete_=False previously leaked into data dicts)."""
+    from adapt_image_models_tpu.config import Config
+    base = tmp_path / "base.py"
+    base.write_text("d = dict(a=1, sub=dict(x=1))\n")
+    child = tmp_path / "child.py"
+    child.write_text(
+        "_base_ = ['./base.py']\n"
+        "d = dict(_delete_=False, b=2, sub=dict(_delete_=True, y=3))\n")
+    cfg = Config.fromfile(str(child))
+    d = cfg["d"]
+    assert "_delete_" not in d and "_delete_" not in d["sub"]
+    assert d["a"] == 1 and d["b"] == 2          # False marker -> plain merge
+    assert d["sub"] == dict(y=3)                # True marker -> replace
