@@ -46,3 +46,6 @@ data = dict(
 )
 
 work_dir = "./work_dirs/slowonly_r50_8x8x1_256e_minikinetics_kineticsraw_rgb"
+
+# reference minikinetics slowonly schedule: lr 0.15 for 8 gpus, batch 12 each
+optimizer = dict(lr=0.15)
