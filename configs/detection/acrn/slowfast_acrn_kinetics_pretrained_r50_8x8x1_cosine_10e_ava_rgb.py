@@ -35,11 +35,12 @@ val_pipeline = [
          std=[58.395, 57.12, 57.375], to_bgr=False),
     dict(type="FormatShape", input_format="NCTHW", collapse=True),
 ]
-data = dict(train=dict(pipeline=train_pipeline),
+data = dict(videos_per_gpu=6,  # reference batch
+            train=dict(pipeline=train_pipeline),
             val=dict(pipeline=val_pipeline),
             test=dict(pipeline=val_pipeline))
 
-optimizer = dict(lr=0.1, weight_decay=1e-5)
+optimizer = dict(lr=0.075, weight_decay=1e-5)
 lr_config = dict(_delete_=True, policy="CosineAnnealing", min_lr=0,
                  warmup="linear", warmup_by_epoch=True, warmup_iters=2,
                  warmup_ratio=0.1)

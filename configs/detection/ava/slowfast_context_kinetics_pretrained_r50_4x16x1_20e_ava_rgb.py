@@ -10,13 +10,13 @@ model = dict(
         beta_inv=8,
         fusion_kernel=5),
     roi_head=dict(
-        bbox_roi_extractor=dict(temporal_pool_mode="avg"),
-        bbox_head=dict(in_channels=2304)))
-
-model = dict(roi_head=dict(bbox_roi_extractor=dict(with_global=True),
-                           bbox_head=dict(in_channels=4608)))
+        bbox_roi_extractor=dict(temporal_pool_mode="avg",
+                                with_global=True),
+        # global context doubles the RoI feature channels
+        bbox_head=dict(in_channels=4608)))
 
 data = dict(
+    videos_per_gpu=9,
     train=dict(pipeline=[
         dict(type="SampleAVAFrames", clip_len=32, frame_interval=2),
         dict(type="RawFrameDecode"),
@@ -37,3 +37,5 @@ data = dict(
     ]),
 )
 work_dir = "./work_dirs/slowfast_context_kinetics_pretrained_r50_4x16x1_20e_ava_rgb"
+
+optimizer = dict(lr=0.1125)  # reference schedule

@@ -13,6 +13,7 @@ model = dict(
         bbox_head=dict(in_channels=2304)))
 
 data = dict(
+    videos_per_gpu=9,
     train=dict(pipeline=[
         dict(type="SampleAVAFrames", clip_len=32, frame_interval=2),
         dict(type="RawFrameDecode"),
@@ -33,3 +34,5 @@ data = dict(
     ]),
 )
 work_dir = "./work_dirs/slowfast_kinetics_pretrained_r50_4x16x1_20e_ava_rgb"
+
+optimizer = dict(lr=0.1125)  # reference schedule

@@ -13,6 +13,7 @@ model = dict(
         bbox_head=dict(in_channels=2304)))
 
 data = dict(
+    videos_per_gpu=6,
     train=dict(pipeline=[
         dict(type="SampleAVAFrames", clip_len=32, frame_interval=2),
         dict(type="RawFrameDecode"),
@@ -33,16 +34,20 @@ data = dict(
     ]),
 )
 
-data = dict(
-    train=dict(ann_file="data/ava/annotations/ava_train_v2.2.csv",
-               exclude_file="data/ava/annotations/ava_train_excluded_timestamps_v2.2.csv",
-               label_file="data/ava/annotations/ava_action_list_v2.2.pbtxt"),
-    val=dict(ann_file="data/ava/annotations/ava_val_v2.2.csv",
-             exclude_file="data/ava/annotations/ava_val_excluded_timestamps_v2.2.csv",
-             label_file="data/ava/annotations/ava_action_list_v2.2.pbtxt"),
-)
+# ava2.2 annotation swap folds into the same data dict (a second
+# `data = dict(...)` binding would discard the pipelines above)
+data["train"].update(
+    ann_file="data/ava/annotations/ava_train_v2.2.csv",
+    exclude_file="data/ava/annotations/ava_train_excluded_timestamps_v2.2.csv",
+    label_file="data/ava/annotations/ava_action_list_v2.2.pbtxt")
+data["val"].update(
+    ann_file="data/ava/annotations/ava_val_v2.2.csv",
+    exclude_file="data/ava/annotations/ava_val_excluded_timestamps_v2.2.csv",
+    label_file="data/ava/annotations/ava_action_list_v2.2.pbtxt")
 lr_config = dict(policy="CosineAnnealing", min_lr=0,
                  warmup="linear", warmup_by_epoch=True, warmup_iters=2)
 total_epochs = 10
 
 work_dir = "./work_dirs/slowfast_kinetics_pretrained_r50_8x8x1_cosine_10e_ava22_rgb"
+
+optimizer = dict(lr=0.075)  # reference schedule

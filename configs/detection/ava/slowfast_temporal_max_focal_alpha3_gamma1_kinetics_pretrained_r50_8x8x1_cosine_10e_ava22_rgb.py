@@ -4,3 +4,5 @@ _base_ = "./slowfast_temporal_max_kinetics_pretrained_r50_8x8x1_cosine_10e_ava22
 model = dict(roi_head=dict(bbox_head=dict(focal_alpha=3.0,
                                           focal_gamma=1.0)))
 work_dir = "./work_dirs/slowfast_temporal_max_focal_alpha3_gamma1_kinetics_pretrained_r50_8x8x1_cosine_10e_ava22_rgb"
+
+data = dict(videos_per_gpu=6)  # reference batch

@@ -4,6 +4,7 @@ _base_ = "./slowonly_kinetics_pretrained_r50_4x16x1_20e_ava_rgb.py"
 model = dict(backbone=dict(depth=101, stage_blocks=(3, 4, 23, 3)))
 
 data = dict(
+    videos_per_gpu=6,
     train=dict(pipeline=[
         dict(type="SampleAVAFrames", clip_len=8, frame_interval=8),
         dict(type="RawFrameDecode"),
@@ -24,3 +25,5 @@ data = dict(
     ]),
 )
 work_dir = "./work_dirs/slowonly_kinetics_pretrained_r101_8x8x1_20e_ava_rgb"
+
+optimizer = dict(lr=0.075)  # reference schedule

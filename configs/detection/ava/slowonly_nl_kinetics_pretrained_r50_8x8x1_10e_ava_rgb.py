@@ -7,6 +7,7 @@ model = dict(backbone=dict(
 ))
 
 data = dict(
+    videos_per_gpu=6,
     train=dict(pipeline=[
         dict(type="SampleAVAFrames", clip_len=8, frame_interval=8),
         dict(type="RawFrameDecode"),
@@ -28,3 +29,5 @@ data = dict(
 )
 total_epochs = 10
 work_dir = "./work_dirs/slowonly_nl_kinetics_pretrained_r50_8x8x1_10e_ava_rgb"
+
+optimizer = dict(lr=0.15)  # reference schedule

@@ -34,3 +34,5 @@ model = dict(
 optimizer = dict(lr=0.15, weight_decay=1e-5)
 total_epochs = 20
 work_dir = "./work_dirs/ava/lfb_nl_slowonly_r50_4x16"
+
+data = dict(videos_per_gpu=12)  # reference batch

@@ -16,6 +16,6 @@ model = dict(
             use_half_precision=True)),
 )
 
-data = dict(train=None)
+data = dict(train=None, videos_per_gpu=1)  # reference infer batch
 optimizer = None
 total_epochs = None

@@ -2,6 +2,7 @@
 _base_ = "./r2plus1d_r34_8x8x1_180e_kinetics400_rgb.py"
 
 data = dict(
+    videos_per_gpu=6,
     train=dict(pipeline=[
         dict(type="SampleFrames", clip_len=32, frame_interval=2,
              num_clips=1),
@@ -36,3 +37,5 @@ data = dict(
     ]),
 )
 work_dir = "./work_dirs/r2plus1d_r34_32x2x1_180e_kinetics400_rgb"
+
+optimizer = dict(lr=0.075)  # reference schedule

@@ -2,6 +2,7 @@
 _base_ = "./r2plus1d_r34_8x8x1_180e_kinetics400_rgb.py"
 
 data = dict(
+    videos_per_gpu=16,
     train=dict(type="VideoDataset",
                ann_file="data/kinetics400/kinetics400_train_list_videos.txt",
                data_prefix="data/kinetics400/videos_train",
@@ -48,3 +49,5 @@ data = dict(
               ]),
 )
 work_dir = "./work_dirs/r2plus1d_r34_video_8x8x1_180e_kinetics400_rgb"
+
+optimizer = dict(lr=0.2)  # reference schedule

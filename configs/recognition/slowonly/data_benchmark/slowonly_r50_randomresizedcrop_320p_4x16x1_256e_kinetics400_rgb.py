@@ -18,6 +18,7 @@ train_pipeline = [
 ]
 
 data = dict(
+    videos_per_gpu=16,
     train=dict(
         ann_file="data/kinetics400/kinetics400_train_list_rawframes_320p.txt",
         data_prefix="data/kinetics400/rawframes_train_320p",
@@ -26,3 +27,5 @@ data = dict(
 
 work_dir = ("./work_dirs/"
             "slowonly_r50_randomresizedcrop_320p_4x16x1_256e_kinetics400_rgb")
+
+optimizer = dict(lr=0.6)  # reference schedule

@@ -18,6 +18,7 @@ train_pipeline = [
 ]
 
 data = dict(
+    videos_per_gpu=16,
     train=dict(
         ann_file="data/kinetics400/kinetics400_train_list_rawframes.txt",
         data_prefix="data/kinetics400/rawframes_train",
@@ -26,3 +27,5 @@ data = dict(
 
 work_dir = ("./work_dirs/"
             "slowonly_r50_randomresizedcrop_340x256_4x16x1_256e_kinetics400_rgb")
+
+optimizer = dict(lr=0.6)  # reference schedule

@@ -6,6 +6,7 @@ model = dict(backbone=dict(pretrained="torchvision://resnet50",
              cls_head=dict(num_classes=99))
 
 data = dict(
+    videos_per_gpu=24,
     train=dict(ann_file="data/gym/gym99_train_list.txt",
                data_prefix="data/gym/subaction_frames"),
     val=dict(ann_file="data/gym/gym99_val_list.txt",
@@ -15,3 +16,5 @@ data = dict(
 )
 total_epochs = 120
 work_dir = "./work_dirs/slowonly_imagenet_pretrained_r50_4x16x1_120e_gym99_rgb"
+
+optimizer = dict(lr=0.03)  # reference schedule

@@ -7,6 +7,7 @@ model = dict(backbone=dict(pretrained="checkpoints/slowonly_r50_4x16x1_k400.npz"
              cls_head=dict(num_classes=99))
 
 data = dict(
+    videos_per_gpu=24,
     train=dict(ann_file="data/gym/gym99_train_list.txt",
                data_prefix="data/gym/subaction_frames",
                modality="Flow", filename_tmpl="{}_{:05d}.jpg"),
@@ -19,3 +20,5 @@ data = dict(
 )
 total_epochs = 120
 work_dir = "./work_dirs/slowonly_kinetics_pretrained_r50_4x16x1_120e_gym99_flow"
+
+optimizer = dict(lr=0.03)  # reference schedule

@@ -7,3 +7,5 @@ model = dict(backbone=dict(
 ))
 total_epochs = 150
 work_dir = "./work_dirs/slowonly_nl_embedded_gaussian_r50_4x16x1_150e_kinetics400_rgb"
+
+optimizer = dict(lr=0.01)  # reference schedule

@@ -48,7 +48,7 @@ test_pipeline = [
 ]
 
 data = dict(
-    videos_per_gpu=8,
+    videos_per_gpu=24,
     workers_per_gpu=4,
     test_dataloader=dict(videos_per_gpu=1),
     train=dict(type=dataset_type, ann_file=ann_file_train,
@@ -61,7 +61,7 @@ data = dict(
 evaluation = dict(interval=5,
                   metrics=["top_k_accuracy", "mean_class_accuracy"])
 
-optimizer = dict(type="SGD", lr=0.1, momentum=0.9, weight_decay=1e-4)
+optimizer = dict(type="SGD", lr=0.06, momentum=0.9, weight_decay=1e-4)
 optimizer_config = dict(grad_clip=dict(max_norm=40))
 lr_config = dict(policy="CosineAnnealing", min_lr=0)
 total_epochs = 256

@@ -2,6 +2,7 @@
 _base_ = "./slowonly_r50_4x16x1_256e_kinetics400_flow.py"
 
 data = dict(
+    videos_per_gpu=12,
     train=dict(pipeline=[
         dict(type="SampleFrames", clip_len=8, frame_interval=8, num_clips=1),
         dict(type="RawFrameDecode"),
@@ -32,3 +33,5 @@ data = dict(
     ]),
 )
 work_dir = "./work_dirs/slowonly_r50_8x8x1_256e_kinetics400_flow"
+
+total_epochs = 196  # reference schedule

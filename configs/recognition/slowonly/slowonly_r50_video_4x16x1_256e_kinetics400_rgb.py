@@ -2,6 +2,7 @@
 _base_ = "./slowonly_r50_4x16x1_256e_kinetics400_rgb.py"
 
 data = dict(
+    videos_per_gpu=24,
     train=dict(type="VideoDataset",
                ann_file="data/kinetics400/kinetics400_train_list_videos.txt",
                data_prefix="data/kinetics400/videos_train",
@@ -48,3 +49,5 @@ data = dict(
               ]),
 )
 work_dir = "./work_dirs/slowonly_r50_video_4x16x1_256e_kinetics400_rgb"
+
+optimizer = dict(lr=0.3)  # reference schedule

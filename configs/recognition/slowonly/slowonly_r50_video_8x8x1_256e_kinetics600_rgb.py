@@ -4,6 +4,7 @@ _base_ = "./slowonly_r50_4x16x1_256e_kinetics400_rgb.py"
 model = dict(cls_head=dict(num_classes=600))
 
 data = dict(
+    videos_per_gpu=12,
     train=dict(type="VideoDataset",
                ann_file="data/kinetics600/kinetics600_train_list_videos.txt",
                data_prefix="data/kinetics600/videos_train",
@@ -50,3 +51,5 @@ data = dict(
               ]),
 )
 work_dir = "./work_dirs/slowonly_r50_video_8x8x1_256e_kinetics600_rgb"
+
+optimizer = dict(lr=0.15)  # reference schedule

@@ -4,6 +4,7 @@ _base_ = "./slowonly_r50_4x16x1_256e_kinetics400_rgb.py"
 model = dict(cls_head=dict(num_classes=700))
 
 data = dict(
+    videos_per_gpu=12,
     train=dict(type="VideoDataset",
                ann_file="data/kinetics700/kinetics700_train_list_videos.txt",
                data_prefix="data/kinetics700/videos_train",
@@ -50,3 +51,5 @@ data = dict(
               ]),
 )
 work_dir = "./work_dirs/slowonly_r50_video_8x8x1_256e_kinetics700_rgb"
+
+optimizer = dict(lr=0.15)  # reference schedule

@@ -14,3 +14,5 @@ data = dict(
               data_prefix="data/sthv2/videos"),
 )
 work_dir = "./work_dirs/swin2d_adapter_patch244_window7_sthv2_1k"
+
+total_epochs = 60  # reference schedule

@@ -71,14 +71,14 @@ data = dict(
 evaluation = dict(interval=5,
                   metrics=["top_k_accuracy", "mean_class_accuracy"])
 
-optimizer = dict(type="AdamW", lr=1e-3, weight_decay=0.05,
+optimizer = dict(type="AdamW", lr=0.0003, weight_decay=0.05,
                  paramwise_cfg=dict(custom_keys={
                      "norm": dict(decay_mult=0.0),
                      "relative_position_bias": dict(decay_mult=0.0)}))
 optimizer_config = dict(grad_clip=dict(max_norm=40))
 lr_config = dict(policy="CosineAnnealing", min_lr=0, warmup="linear",
                  warmup_by_epoch=True, warmup_iters=2.5)
-total_epochs = 30
+total_epochs = 60
 checkpoint_config = dict(interval=1)
 log_config = dict(interval=20)
 

@@ -72,7 +72,7 @@ data = dict(
 evaluation = dict(interval=5,
                   metrics=["top_k_accuracy", "mean_class_accuracy"])
 
-optimizer = dict(type="AdamW", lr=1e-3, weight_decay=0.05,
+optimizer = dict(type="AdamW", lr=0.0003, weight_decay=0.05,
                  paramwise_cfg=dict(custom_keys={
                      "norm": dict(decay_mult=0.0),
                      "relative_position_bias": dict(decay_mult=0.0)}))

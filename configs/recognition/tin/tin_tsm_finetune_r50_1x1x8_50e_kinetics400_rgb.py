@@ -17,6 +17,6 @@ data = dict(
               data_prefix="data/kinetics400/rawframes_val",
               filename_tmpl="img_{:05}.jpg"),
 )
-optimizer = dict(lr=0.001)
+optimizer = dict(lr=0.01)
 total_epochs = 50
 work_dir = "./work_dirs/tin_tsm_finetune_r50_1x1x8_50e_kinetics400_rgb"

@@ -80,7 +80,7 @@ data = dict(
 evaluation = dict(interval=5,
                   metrics=["top_k_accuracy", "mean_class_accuracy"])
 
-optimizer = dict(type="SGD", lr=0.02, momentum=0.9, weight_decay=5e-4)
+optimizer = dict(type="SGD", lr=0.01, momentum=0.9, weight_decay=5e-4)
 optimizer_config = dict(grad_clip=dict(max_norm=20))
 lr_config = dict(policy="step", step=[75, 125])
 total_epochs = 150

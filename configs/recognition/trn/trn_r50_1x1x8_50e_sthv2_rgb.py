@@ -53,7 +53,7 @@ test_pipeline = [
 ]
 
 data = dict(
-    videos_per_gpu=8,
+    videos_per_gpu=16,
     workers_per_gpu=4,
     train=dict(type=dataset_type, ann_file=ann_file_train,
                data_prefix=data_root, pipeline=train_pipeline),
@@ -65,7 +65,7 @@ data = dict(
 evaluation = dict(interval=5,
                   metrics=["top_k_accuracy", "mean_class_accuracy"])
 
-optimizer = dict(type="SGD", lr=0.01, momentum=0.9, weight_decay=5e-4)
+optimizer = dict(type="SGD", lr=0.002, momentum=0.9, weight_decay=5e-4)
 optimizer_config = dict(grad_clip=dict(max_norm=20))
 lr_config = dict(policy="step", step=[20, 40])
 total_epochs = 50

@@ -50,7 +50,7 @@ data = dict(
               filename_tmpl="{:05}.jpg", pipeline=test_pipeline),
 )
 
-optimizer = dict(type="SGD", lr=0.02,
+optimizer = dict(type="SGD", lr=0.01,
                  momentum=0.9, weight_decay=5e-4)
 lr_config = dict(policy="step", step=[20, 40])
 total_epochs = 50

@@ -5,6 +5,7 @@ model = dict(backbone=dict(num_frames=16),
              cls_head=dict(num_segments=16))
 
 data = dict(
+    videos_per_gpu=6,
     train=dict(pipeline=[
         dict(type="SampleFrames", clip_len=1, frame_interval=1,
              num_clips=16),
@@ -41,5 +42,5 @@ data = dict(
     ]),
 )
 
-optimizer = dict(type="SGD", lr=0.01, momentum=0.9, weight_decay=5e-4)
+optimizer = dict(type="SGD", lr=0.0075, momentum=0.9, weight_decay=5e-4)
 work_dir = "./work_dirs/tsm_r50_1x1x16_50e_kinetics400_rgb"

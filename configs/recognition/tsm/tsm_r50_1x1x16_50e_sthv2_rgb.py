@@ -39,6 +39,7 @@ test_pipeline = [
 ]
 
 data = dict(
+    videos_per_gpu=6,
     train=dict(ann_file="data/sthv2/sthv2_train_list_rawframes.txt",
                data_prefix="data/sthv2/rawframes",
                filename_tmpl="{:05}.jpg", pipeline=train_pipeline),
@@ -50,7 +51,7 @@ data = dict(
               filename_tmpl="{:05}.jpg", pipeline=test_pipeline),
 )
 
-optimizer = dict(type="SGD", lr=0.01,
+optimizer = dict(type="SGD", lr=0.0075,
                  momentum=0.9, weight_decay=5e-4)
 lr_config = dict(policy="step", step=[20, 40])
 total_epochs = 50

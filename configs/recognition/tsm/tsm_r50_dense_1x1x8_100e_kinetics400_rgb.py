@@ -19,3 +19,5 @@ data = dict(
 )
 total_epochs = 100
 work_dir = "./work_dirs/tsm_r50_dense_1x1x8_100e_kinetics400_rgb"
+
+optimizer = dict(lr=0.02)  # reference schedule

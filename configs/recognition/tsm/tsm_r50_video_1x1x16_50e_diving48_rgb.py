@@ -5,6 +5,7 @@ model = dict(backbone=dict(num_frames=16),
              cls_head=dict(num_classes=48, num_segments=16))
 
 data = dict(
+    videos_per_gpu=4,
     train=dict(ann_file="data/diving48/diving48_train_list_videos.txt",
                data_prefix="data/diving48/videos"),
     val=dict(ann_file="data/diving48/diving48_val_list_videos.txt",
@@ -12,5 +13,5 @@ data = dict(
     test=dict(ann_file="data/diving48/diving48_val_list_videos.txt",
               data_prefix="data/diving48/videos"),
 )
-optimizer = dict(lr=0.0025)
+optimizer = dict(lr=0.005)
 work_dir = "./work_dirs/tsm_r50_video_1x1x16_50e_diving48_rgb"

@@ -12,5 +12,5 @@ data = dict(
     test=dict(ann_file="data/diving48/diving48_val_list_videos.txt",
               data_prefix="data/diving48/videos"),
 )
-optimizer = dict(lr=0.0025)
+optimizer = dict(lr=0.01)
 work_dir = "./work_dirs/tsm_r50_video_1x1x8_50e_diving48_rgb"

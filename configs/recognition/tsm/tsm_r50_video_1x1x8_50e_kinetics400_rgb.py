@@ -53,3 +53,5 @@ data = dict(
               pipeline=test_pipeline),
 )
 work_dir = "./work_dirs/tsm_r50_video_1x1x8_50e_kinetics400_rgb"
+
+optimizer = dict(lr=0.02)  # reference schedule

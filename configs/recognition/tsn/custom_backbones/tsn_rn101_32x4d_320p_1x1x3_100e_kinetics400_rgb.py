@@ -22,3 +22,5 @@ model = dict(
 optimizer = dict(lr=0.005)  # reference lr for 8 gpus, batch 16 each
 
 work_dir = "./work_dirs/tsn_rn101_32x4d_320p_1x1x3_100e_kinetics400_rgb"
+
+data = dict(videos_per_gpu=16)  # reference batch

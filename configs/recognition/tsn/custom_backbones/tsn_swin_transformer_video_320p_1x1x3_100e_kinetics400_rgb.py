@@ -14,3 +14,7 @@ model = dict(
 
 work_dir = ("./work_dirs/"
             "tsn_swin_transformer_video_320p_1x1x3_100e_kinetics400_rgb")
+
+optimizer = dict(lr=0.0075)  # reference schedule
+
+data = dict(videos_per_gpu=24)  # reference batch

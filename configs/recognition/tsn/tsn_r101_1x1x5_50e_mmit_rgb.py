@@ -43,6 +43,7 @@ test_pipeline = [
 ]
 
 data = dict(
+    videos_per_gpu=16,
     train=dict(ann_file="data/mmit/mmit_train_list.txt",
                data_prefix="data/mmit/rawframes",
                multi_class=True, num_classes=313, pipeline=train_pipeline),

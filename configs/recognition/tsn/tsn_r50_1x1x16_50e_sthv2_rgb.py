@@ -36,6 +36,7 @@ test_pipeline = [
 ]
 
 data = dict(
+    videos_per_gpu=4,
     train=dict(type="RawframeDataset", ann_file="data/sthv2/sthv2_train_list.txt",
                data_prefix="data/sthv2/rawframes/train", pipeline=train_pipeline, filename_tmpl="{:05}.jpg"),
     val=dict(type="RawframeDataset", ann_file="data/sthv2/sthv2_val_list.txt",
@@ -44,7 +45,7 @@ data = dict(
               data_prefix="data/sthv2/rawframes/val", pipeline=test_pipeline, filename_tmpl="{:05}.jpg"),
 )
 
-optimizer = dict(type="SGD", lr=0.01, momentum=0.9, weight_decay=1e-4)
+optimizer = dict(type="SGD", lr=0.005, momentum=0.9, weight_decay=1e-4)
 lr_config = dict(policy="step", step=[20, 40])
 total_epochs = 50
 work_dir = "./work_dirs/tsn_r50_1x1x16_50e_sthv2_rgb"

@@ -38,6 +38,7 @@ test_pipeline = [
 ]
 
 data = dict(
+    videos_per_gpu=16,
     train=dict(ann_file="data/mit/mit_train_list.txt",
                data_prefix="data/mit/rawframes", pipeline=train_pipeline),
     val=dict(ann_file="data/mit/mit_val_list.txt",

@@ -36,6 +36,7 @@ test_pipeline = [
 ]
 
 data = dict(
+    videos_per_gpu=16,
     train=dict(type="RawframeDataset", ann_file="data/sthv1/sthv1_train_list.txt",
                data_prefix="data/sthv1/rawframes/train", pipeline=train_pipeline, filename_tmpl="{:05}.jpg"),
     val=dict(type="RawframeDataset", ann_file="data/sthv1/sthv1_val_list.txt",

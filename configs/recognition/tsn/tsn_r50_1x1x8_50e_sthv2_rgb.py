@@ -36,6 +36,7 @@ test_pipeline = [
 ]
 
 data = dict(
+    videos_per_gpu=16,
     train=dict(type="RawframeDataset", ann_file="data/sthv2/sthv2_train_list.txt",
                data_prefix="data/sthv2/rawframes/train", pipeline=train_pipeline, filename_tmpl="{:05}.jpg"),
     val=dict(type="RawframeDataset", ann_file="data/sthv2/sthv2_val_list.txt",

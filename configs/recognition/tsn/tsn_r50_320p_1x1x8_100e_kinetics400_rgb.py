@@ -36,6 +36,7 @@ test_pipeline = [
 ]
 
 data = dict(
+    videos_per_gpu=12,
     train=dict(data_prefix="data/kinetics400/rawframes_train_320p",
                pipeline=train_pipeline),
     val=dict(data_prefix="data/kinetics400/rawframes_val_320p",
@@ -46,3 +47,5 @@ data = dict(
 
 total_epochs = 100
 work_dir = "./work_dirs/tsn_r50_320p_1x1x8_100e_kinetics400_rgb"
+
+optimizer = dict(lr=0.00375)  # reference schedule

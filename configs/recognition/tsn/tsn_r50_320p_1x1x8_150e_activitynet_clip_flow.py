@@ -4,6 +4,7 @@
 _base_ = ["./tsn_r50_320p_1x1x8_150e_activitynet_video_flow.py"]
 
 data = dict(
+    videos_per_gpu=8,
     train=dict(ann_file="data/ActivityNet/anet_train_clip.txt",
                with_offset=True),
     val=dict(ann_file="data/ActivityNet/anet_val_clip.txt",
@@ -13,3 +14,5 @@ data = dict(
 )
 
 work_dir = "./work_dirs/tsn_r50_320p_1x1x8_150e_activitynet_clip_flow"
+
+optimizer = dict(lr=0.001)  # reference schedule

@@ -40,6 +40,7 @@ test_pipeline = [
 ]
 
 data = dict(
+    videos_per_gpu=8,
     train=dict(type="RawframeDataset", ann_file="data/ActivityNet/flow_train_list.txt",
                data_prefix="data/ActivityNet/rawframes_flow", pipeline=train_pipeline,
                modality="Flow", filename_tmpl="{}_{:05d}.jpg"),
@@ -51,6 +52,6 @@ data = dict(
               modality="Flow", filename_tmpl="{}_{:05d}.jpg"),
 )
 
-optimizer = dict(type="SGD", lr=0.005, momentum=0.9, weight_decay=1e-4)
+optimizer = dict(type="SGD", lr=0.001, momentum=0.9, weight_decay=1e-4)
 total_epochs = 150
 work_dir = "./work_dirs/tsn_r50_320p_1x1x8_150e_activitynet_video_flow"

@@ -48,6 +48,7 @@ _clip_ds = dict(
 )
 
 data = dict(
+    videos_per_gpu=8,
     train=dict(_delete_=True, ann_file="data/ActivityNet/anet_train_clip.txt",
                pipeline=train_pipeline, **_clip_ds),
     val=dict(_delete_=True, ann_file="data/ActivityNet/anet_val_clip.txt",

@@ -41,6 +41,7 @@ test_pipeline = [
 ]
 
 data = dict(
+    videos_per_gpu=8,
     train=dict(type="VideoDataset",
                ann_file="data/ActivityNet/anet_train_video.txt",
                data_prefix="data/ActivityNet/videos", pipeline=train_pipeline),

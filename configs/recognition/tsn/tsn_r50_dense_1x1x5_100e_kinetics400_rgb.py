@@ -34,6 +34,7 @@ test_pipeline = [
 ]
 
 data = dict(
+    videos_per_gpu=16,
     train=dict(pipeline=train_pipeline),
     val=dict(pipeline=val_pipeline),
     test=dict(pipeline=test_pipeline),

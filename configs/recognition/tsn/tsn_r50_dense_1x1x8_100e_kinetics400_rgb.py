@@ -34,12 +34,13 @@ test_pipeline = [
 ]
 
 data = dict(
+    videos_per_gpu=12,
     train=dict(pipeline=train_pipeline),
     val=dict(pipeline=val_pipeline),
     test=dict(pipeline=test_pipeline),
 )
 
-optimizer = dict(type="SGD", lr=0.03, momentum=0.9,
+optimizer = dict(type="SGD", lr=0.005, momentum=0.9,
                  weight_decay=1e-4)
 total_epochs = 100
 work_dir = "./work_dirs/tsn_r50_dense_1x1x8_100e_kinetics400_rgb"

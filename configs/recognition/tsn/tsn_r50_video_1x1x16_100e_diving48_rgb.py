@@ -39,6 +39,7 @@ test_pipeline = [
 ]
 
 data = dict(
+    videos_per_gpu=4,
     train=dict(type="VideoDataset", ann_file="data/diving48/diving48_train_list_videos.txt",
                data_prefix="data/diving48/videos_train", pipeline=train_pipeline),
     val=dict(type="VideoDataset", ann_file="data/diving48/diving48_val_list_videos.txt",
@@ -47,6 +48,6 @@ data = dict(
               data_prefix="data/diving48/videos_val", pipeline=test_pipeline),
 )
 
-optimizer = dict(type="SGD", lr=0.0025, momentum=0.9, weight_decay=1e-4)
+optimizer = dict(type="SGD", lr=0.00125, momentum=0.9, weight_decay=1e-4)
 total_epochs = 100
 work_dir = "./work_dirs/tsn_r50_video_1x1x16_100e_diving48_rgb"

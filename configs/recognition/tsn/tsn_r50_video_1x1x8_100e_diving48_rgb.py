@@ -39,6 +39,7 @@ test_pipeline = [
 ]
 
 data = dict(
+    videos_per_gpu=8,
     train=dict(type="VideoDataset", ann_file="data/diving48/diving48_train_list_videos.txt",
                data_prefix="data/diving48/videos_train", pipeline=train_pipeline),
     val=dict(type="VideoDataset", ann_file="data/diving48/diving48_val_list_videos.txt",

@@ -39,6 +39,7 @@ test_pipeline = [
 ]
 
 data = dict(
+    videos_per_gpu=12,
     train=dict(type="VideoDataset", ann_file="data/kinetics700/kinetics700_train_list_videos.txt",
                data_prefix="data/kinetics700/videos_train", pipeline=train_pipeline),
     val=dict(type="VideoDataset", ann_file="data/kinetics700/kinetics700_val_list_videos.txt",
@@ -47,6 +48,6 @@ data = dict(
               data_prefix="data/kinetics700/videos_val", pipeline=test_pipeline),
 )
 
-optimizer = dict(type="SGD", lr=0.01, momentum=0.9, weight_decay=1e-4)
+optimizer = dict(type="SGD", lr=0.00375, momentum=0.9, weight_decay=1e-4)
 total_epochs = 100
 work_dir = "./work_dirs/tsn_r50_video_1x1x8_100e_kinetics700_rgb"

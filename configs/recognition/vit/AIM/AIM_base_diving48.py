@@ -10,3 +10,7 @@ model = dict(
     cls_head=dict(num_classes=48),
 )
 work_dir = "./work_dirs/AIM_base_diving48"
+
+optimizer = dict(lr=0.000225)  # reference schedule
+
+data = dict(videos_per_gpu=48)  # reference batch

@@ -10,3 +10,9 @@ model = dict(
     cls_head=dict(num_classes=51),
 )
 work_dir = "./work_dirs/AIM_base_hmdb51"
+
+optimizer = dict(lr=0.000225)  # reference schedule
+
+data = dict(videos_per_gpu=48)  # reference batch
+
+total_epochs = 30  # reference schedule (the vitclip hmdb51 base uses 20)

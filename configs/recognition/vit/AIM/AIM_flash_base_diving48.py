@@ -24,3 +24,5 @@ model = dict(
     cls_head=dict(num_classes=48),
 )
 work_dir = "./work_dirs/AIM_flash_base_diving48"
+
+data = dict(videos_per_gpu=64)  # reference batch

@@ -23,3 +23,5 @@ model = dict(
     cls_head=dict(num_classes=48),
 )
 work_dir = "./work_dirs/AIM_flash_win_base_diving48"
+
+data = dict(videos_per_gpu=8)  # reference batch

@@ -51,6 +51,7 @@ test_pipeline = [
     dict(type="FormatShape", input_format="NCTHW"),
 ]
 data = dict(
+    videos_per_gpu=32,
     train=dict(pipeline=train_pipeline),
     val=dict(pipeline=test_pipeline),
     test=dict(pipeline=test_pipeline),

@@ -23,3 +23,7 @@ model = dict(
     cls_head=dict(num_classes=101),
 )
 work_dir = "./work_dirs/AIM_flash_win_base_ucf101"
+
+data = dict(videos_per_gpu=32)  # reference batch
+
+total_epochs = 30  # reference schedule (the vitclip hmdb51 base uses 20)

@@ -21,3 +21,7 @@ model = dict(
     test_cfg=dict(max_testing_views=4),
 )
 work_dir = "./work_dirs/vitclip_flash_restuning_base_diving48"
+
+optimizer = dict(lr=0.000225)  # reference schedule
+
+data = dict(videos_per_gpu=48)  # reference batch

@@ -21,3 +21,5 @@ model = dict(
     test_cfg=dict(max_testing_views=4),
 )
 work_dir = "./work_dirs/vitclip_flash_restuning_base_hmdb51"
+
+total_epochs = 30  # reference schedule

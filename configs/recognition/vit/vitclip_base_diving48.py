@@ -36,6 +36,7 @@ test_pipeline = [
 ]
 
 data = dict(
+    videos_per_gpu=64,
     train=dict(ann_file=ann_file_train, data_prefix=data_root,
                pipeline=train_pipeline),
     val=dict(ann_file=ann_file_val, data_prefix=data_root,

@@ -35,6 +35,7 @@ test_pipeline = [
 ]
 
 data = dict(
+    videos_per_gpu=64,
     train=dict(ann_file=ann_file_train, data_prefix=data_root,
                pipeline=train_pipeline),
     val=dict(ann_file=ann_file_val, data_prefix=data_root,
@@ -42,5 +43,5 @@ data = dict(
     test=dict(ann_file=ann_file_val, data_prefix=data_root,
               pipeline=test_pipeline),
 )
-total_epochs = 30
+total_epochs = 20
 work_dir = "./work_dirs/vitclip_base_hmdb51"

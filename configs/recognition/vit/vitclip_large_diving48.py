@@ -35,3 +35,5 @@ optimizer = dict(paramwise_cfg=dict(custom_keys={
     "backbone_module": dict(lr_mult=0.1),
 }))
 work_dir = "./work_dirs/vitclip_large_diving48"
+
+data = dict(videos_per_gpu=8)  # reference batch

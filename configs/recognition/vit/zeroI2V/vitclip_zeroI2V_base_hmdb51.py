@@ -23,3 +23,5 @@ model = dict(
     cls_head=dict(num_classes=51),
 )
 work_dir = "./work_dirs/vitclip_zeroI2V_base_hmdb51"
+
+total_epochs = 30  # reference schedule
