@@ -140,6 +140,10 @@ class ResNet(nn.Module):
     # reference 2D ResNet derives counts from depth only — this TPU-build
     # extension exists for tiny test/bench geometries)
     stage_blocks: Optional[Sequence[int]] = None
+    # stem/stage-0 width (mirrors resnet3d's base_channels and the mmcls
+    # ResNet knob; the reference mmaction 2D ResNet is fixed at 64 — this
+    # override exists for tiny test/bench geometries)
+    base_channels: int = 64
     # non-local blocks over the folded (B, S, H, W, C) clip — per-stage int
     # or per-block sequence like the reference tsm_nl configs'
     # ((0,)*3, (1,0,1,0), ...) (resnet_tsm.py make_non_local); needs
@@ -183,13 +187,13 @@ class ResNet(nn.Module):
         cdt = self.compute_dtype
 
         h = x.transpose(0, 2, 3, 1).astype(cdt)  # NCHW -> NHWC
-        h = nn.Conv(64, (7, 7), (2, 2), use_bias=False, dtype=cdt,
-                    name="conv1")(h)
+        h = nn.Conv(self.base_channels, (7, 7), (2, 2), use_bias=False,
+                    dtype=cdt, name="conv1")(h)
         h = nn.relu(nn.BatchNorm(use_running_average=deterministic,
                                  momentum=0.9, name="bn1")(h))
         h = nn.max_pool(h, (3, 3), (2, 2), padding="SAME")
 
-        planes = 64
+        planes = self.base_channels
         stage_outs = []
         frames = self.num_frames
         nl_kwargs = dict(self.non_local_cfg or {})

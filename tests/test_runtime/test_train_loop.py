@@ -163,8 +163,8 @@ def test_bn_model_trains_and_evals_end_to_end(tmp_path, ann):
     cfg["model"] = dict(
         type="Recognizer3D",
         backbone=dict(type="ResNet3dSlowOnly", stage_blocks=(1, 1),
-                      inflate=(0, 1)),
-        cls_head=dict(type="I3DHead", num_classes=3, in_channels=512),
+                      inflate=(0, 1), base_channels=16),
+        cls_head=dict(type="I3DHead", num_classes=3, in_channels=128),
         test_cfg=dict(average_clips="prob"),
     )
     cfg["total_epochs"] = 1
@@ -395,8 +395,8 @@ def test_train_model_2d_recognizer_end_to_end(tmp_path, ann):
     cfg["model"] = dict(
         type="Recognizer2D",
         backbone=dict(type="ResNetTSM", depth=18, num_frames=4,
-                      stage_blocks=(1, 1, 1, 1)),
-        cls_head=dict(type="TSMHead", num_classes=3, in_channels=512,
+                      stage_blocks=(1, 1, 1, 1), base_channels=16),
+        cls_head=dict(type="TSMHead", num_classes=3, in_channels=128,
                       num_segments=4, dropout_ratio=0.0),
         test_cfg=dict(average_clips="prob"),
     )
