@@ -93,6 +93,67 @@ def test_every_reference_config_has_same_named_equivalent():
     assert not missing, f"reference configs without a same-named repo config: {missing}"
 
 
+def _get(d, path):
+    cur = d
+    for k in path.split("."):
+        if isinstance(cur, dict) and k in cur:
+            cur = cur[k]
+        else:
+            return None
+    return cur
+
+
+def test_reference_config_hyperparameter_fidelity():
+    """Round-3 closure, part 2: shared-basename configs carry the
+    REFERENCE's training hyperparameters — batch size, optimizer, lr
+    schedule, epochs, grad clip, and headline model fields. The reference
+    configs parse through this repo's own Config (same mmcv dict format),
+    so the comparison reads the reference's merged values directly.
+
+    Known skip: the reference's vit/zeroI2V/vitclip_zeroI2V_base_sthv2.py
+    has a broken ``_base_`` path (``../../_base_`` from three levels deep;
+    its siblings correctly use ``../../../``) and cannot be parsed even by
+    the reference's own tooling."""
+    from adapt_image_models_tpu.config import Config
+    ref = "/root/reference/configs"
+    if not osp.isdir(ref):
+        import pytest
+        pytest.skip("reference tree not available")
+    repo_by_base = {}
+    for p in glob.glob(osp.join(REPO, "configs", "**", "*.py"),
+                       recursive=True):
+        repo_by_base.setdefault(osp.basename(p), p)
+    keys = ("data.videos_per_gpu", "optimizer.type", "optimizer.lr",
+            "optimizer.momentum", "optimizer.weight_decay", "total_epochs",
+            "lr_config.policy", "lr_config.step", "lr_config.min_lr",
+            "lr_config.warmup", "lr_config.warmup_iters",
+            "optimizer_config.grad_clip.max_norm",
+            "model.backbone.type", "model.backbone.depth",
+            "model.cls_head.num_classes", "model.cls_head.in_channels")
+    mismatches, ref_parse_skips, compared = [], [], 0
+    for rp in sorted(glob.glob(osp.join(ref, "**", "*.py"), recursive=True)):
+        if "_base_" in rp.split(osp.sep):
+            continue
+        mp = repo_by_base.get(osp.basename(rp))
+        assert mp is not None, f"no same-named repo config for {rp}"
+        try:
+            rc = Config.fromfile(rp)
+        except FileNotFoundError:
+            ref_parse_skips.append(osp.basename(rp))
+            continue
+        mc = Config.fromfile(mp)
+        compared += 1
+        for key in keys:
+            rv, mv = _get(rc, key), _get(mc, key)
+            if rv is not None and rv != mv:
+                mismatches.append(
+                    f"{osp.basename(rp)}: {key} ref={rv!r} repo={mv!r}")
+    assert compared > 200, f"only compared {compared} configs"
+    assert ref_parse_skips == ["vitclip_zeroI2V_base_sthv2.py"], \
+        f"unexpected reference parse skips: {ref_parse_skips}"
+    assert not mismatches, "\n".join(mismatches)
+
+
 def test_delete_marker_never_leaks(tmp_path):
     """_delete_ is a merge directive, not config content: whatever its
     value, it must not survive into the merged dict (a stray
