@@ -77,6 +77,45 @@ def test_check_videos(tmp_path):
     assert "bad.avi" in bad and "ok.avi" not in bad
 
 
+def test_check_videos_config_tool(tmp_path):
+    """The config-driven integrity checker (reference
+    tools/analysis/check_videos.py): probes first+last+3 random frames per
+    video, appends failures to --output-file, exits 1 when any are bad,
+    and --remove-corrupted-videos deletes them."""
+    cv2 = pytest.importorskip("cv2")
+    ok_path = tmp_path / "ok.avi"
+    w = cv2.VideoWriter(str(ok_path), cv2.VideoWriter_fourcc(*"MJPG"),
+                        30, (32, 32))
+    for _ in range(5):
+        w.write(np.zeros((32, 32, 3), np.uint8))
+    w.release()
+    (tmp_path / "bad.avi").write_bytes(b"not a video")
+    ann = tmp_path / "list.txt"
+    ann.write_text("ok.avi 0\nbad.avi 1\n")
+    cfg = tmp_path / "cfg.py"
+    cfg.write_text(
+        "data = dict(train=dict(type='VideoDataset', "
+        f"ann_file={str(ann)!r}, data_prefix={str(tmp_path)!r}, "
+        "pipeline=[]))\n")
+    out = tmp_path / "invalid.txt"
+    r = run_tool("tools/analysis/check_videos.py", str(cfg),
+                 "--output-file", str(out), "--num-processes", "1",
+                 "--remove-corrupted-videos", ok=False)
+    assert r.returncode == 1, r.stderr[-800:]
+    assert "1 are corrupted/missing" in r.stdout
+    bad = out.read_text()
+    assert "bad.avi" in bad and "ok.avi" not in bad
+    assert not (tmp_path / "bad.avi").exists()      # deleted
+    assert ok_path.exists()                          # kept
+
+    # all-clean run exits 0 and leaves no output file
+    ann.write_text("ok.avi 0\n")
+    r = run_tool("tools/analysis/check_videos.py", str(cfg),
+                 "--output-file", str(out), "--num-processes", "1")
+    assert "none are corrupted/missing" in r.stdout
+    assert not out.exists() or out.read_text() == ""
+
+
 @pytest.mark.slow
 def test_profile_tool_writes_trace(tmp_path):
     r = run_tool("tools/analysis/profile.py",
