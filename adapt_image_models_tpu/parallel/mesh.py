@@ -35,6 +35,39 @@ def make_mesh(data: Optional[int] = None, model: int = 1,
     return Mesh(dev_array, axis_names=("data", "model"))
 
 
+def make_hybrid_mesh(model: int = 1,
+                     devices: Optional[Sequence] = None) -> Mesh:
+    """(data, model) mesh for multi-slice pods: data parallelism spans DCN
+    (slice boundaries), the model axis stays inside a slice on ICI.
+
+    The reference scales only via NCCL DDP inside one node
+    (``tools/dist_train.sh:8``); the TPU equivalent of its multi-node
+    story is multi-slice. ``mesh_utils.create_hybrid_device_mesh`` orders
+    devices so the slowest-varying data coordinate is the DCN (slice)
+    axis — model-axis collectives (the latency-sensitive ones) never
+    cross DCN, and the per-step gradient psum crosses it exactly once.
+
+    Single-slice (or CPU test) environments fall back to ``make_mesh``.
+    """
+    if devices is None:
+        devices = jax.devices()
+    slice_ids = {getattr(d, "slice_index", 0) for d in devices}
+    num_slices = len(slice_ids)
+    if num_slices <= 1:
+        return make_mesh(model=model, devices=devices)
+    per_slice = len(devices) // num_slices
+    if per_slice % model:
+        raise ValueError(
+            f"model={model} must divide the {per_slice} devices of a slice "
+            "(the model axis may not straddle a DCN boundary)")
+    from jax.experimental import mesh_utils
+    dev_array = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(per_slice // model, model),
+        dcn_mesh_shape=(num_slices, 1),
+        devices=devices)
+    return Mesh(dev_array, axis_names=("data", "model"))
+
+
 def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
     """Shard the leading (batch) axis over the data axis."""
     spec = P(*(("data",) + (None,) * (ndim - 1)))

@@ -11,6 +11,16 @@ from adapt_image_models_tpu.models.backbone_sources import (
 )
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _optimized_convs():
+    """DenseNet/ResNeXt forwards are conv-execution-bound on this host;
+    optimized compiles (persistently cached) beat
+    jax_disable_most_optimizations (see test_cnn_backbones.py)."""
+    jax.config.update("jax_disable_most_optimizations", False)
+    yield
+    jax.config.update("jax_disable_most_optimizations", True)
+
+
 def test_torchvision_resnet_resolves():
     out = resolve_backbone_source(dict(type="torchvision.resnet50"))
     assert out == dict(type="ResNet", depth=50)

@@ -90,10 +90,11 @@ def test_tpn_tsm_2d_path():
     axis (reference ``_base_/models/tpn_tsm_r50.py``)."""
     model = build_model(dict(
         type="Recognizer2D",
-        backbone=dict(type="ResNetTSM", depth=18, num_frames=8,
-                      stage_blocks=(1, 1, 1, 1), out_indices=(2, 3)),
-        neck=dict(type="TPN", in_channels=(256, 512), out_channels=32,
-                  temporal_modulation_cfg=dict(downsample_scales=(8, 8)),
+        backbone=dict(type="ResNetTSM", depth=18, num_frames=4,
+                      base_channels=16, stage_blocks=(1, 1, 1, 1),
+                      out_indices=(2, 3)),
+        neck=dict(type="TPN", in_channels=(64, 128), out_channels=32,
+                  temporal_modulation_cfg=dict(downsample_scales=(4, 4)),
                   level_fusion_cfg=dict(mid_channels=(32, 32),
                                         out_channels=64,
                                         downsample_scales=((1, 1, 1),
@@ -101,7 +102,7 @@ def test_tpn_tsm_2d_path():
                   aux_head_cfg=dict(out_channels=5, loss_weight=0.5)),
         cls_head=dict(type="TPNHead", num_classes=5, in_channels=64),
     ), test_cfg=dict(average_clips="prob"))
-    imgs = jnp.zeros((2, 8, 3, 32, 32))  # (B, S, C, H, W)
+    imgs = jnp.zeros((2, 4, 3, 32, 32))  # (B, S, C, H, W)
     variables = model.init(jax.random.PRNGKey(0), imgs)
     logits = model.apply(variables, imgs, deterministic=True)
     assert logits.shape == (2, 5)

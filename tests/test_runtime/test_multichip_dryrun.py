@@ -247,6 +247,49 @@ def test_dp_train_step_with_fused_kernels_shard_map_interpret():
         assert int(state2.step) == 1
 
 
+def test_hybrid_mesh_single_slice_falls_back():
+    """CPU devices carry no slice_index -> plain (data, model) mesh."""
+    from adapt_image_models_tpu.parallel.mesh import make_hybrid_mesh
+    mesh = make_hybrid_mesh(model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+
+
+def test_hybrid_mesh_multi_slice_layout(monkeypatch):
+    """Multi-slice: data spans DCN (slices slowest-varying), the model axis
+    stays inside a slice — verified through the mesh_utils call contract
+    (real multi-slice hardware is not constructible in CI)."""
+    from jax.experimental import mesh_utils
+    from adapt_image_models_tpu.parallel.mesh import make_hybrid_mesh
+
+    class FakeSliced:
+        """Stand-in exposing slice_index (set on TPU devices by the PJRT
+        multi-slice runtime, absent on CPU)."""
+        def __init__(self, dev, slice_index):
+            self.dev = dev
+            self.slice_index = slice_index
+
+    devices = [FakeSliced(d, i // 4) for i, d in enumerate(jax.devices())]
+    seen = {}
+
+    def fake_hybrid(mesh_shape, dcn_mesh_shape, devices):
+        seen["mesh_shape"] = tuple(mesh_shape)
+        seen["dcn_mesh_shape"] = tuple(dcn_mesh_shape)
+        # emulate mesh_utils: per-axis sizes multiply elementwise
+        return np.array([d.dev for d in devices]).reshape(
+            tuple(m * d for m, d in zip(mesh_shape, dcn_mesh_shape)))
+
+    monkeypatch.setattr(mesh_utils, "create_hybrid_device_mesh", fake_hybrid)
+    mesh = make_hybrid_mesh(model=2, devices=devices)
+    # 2 slices x 4 devices, model=2: per-slice data 2, DCN multiplies data
+    assert seen["mesh_shape"] == (2, 2)
+    assert seen["dcn_mesh_shape"] == (2, 1)
+    assert mesh.shape == {"data": 4, "model": 2}
+
+    # the model axis may not straddle a DCN boundary
+    with pytest.raises(ValueError, match="divide"):
+        make_hybrid_mesh(model=3, devices=devices)
+
+
 def test_mesh_sharded_multiview_eval(dp_tp_setup):
     """Multi-view eval over the mesh: batch sharded on 'data', on-device
     softmax-mean over views (supersedes the reference's pickled all_gather,
