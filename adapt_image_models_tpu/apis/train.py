@@ -41,7 +41,9 @@ from adapt_image_models_tpu.data.transforms import (
     init_sample_shape, layout_from_pipeline, make_prepare_fn,
 )
 from adapt_image_models_tpu.models import build_model
-from adapt_image_models_tpu.parallel.mesh import make_mesh, shard_batch
+from adapt_image_models_tpu.parallel.mesh import (
+    make_hybrid_mesh, shard_batch,
+)
 from adapt_image_models_tpu.utils.logger import get_root_logger
 
 
@@ -86,7 +88,9 @@ def train_model(cfg: Dict[str, Any], work_dir: Optional[str] = None,
     train_ds = build_dataset({**train_ds_cfg, "pipeline": train_pipeline})
 
     if mesh is None:
-        mesh = make_mesh()
+        # multi-slice pods get the DCN-aware layout (data across slices,
+        # any model axis inside one); single-slice/CPU is a plain dp mesh
+        mesh = make_hybrid_mesh()
     n_data = mesh.devices.shape[0]
 
     # grad accumulation divides the loader batch (reference apis/train.py:53);

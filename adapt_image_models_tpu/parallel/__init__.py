@@ -3,5 +3,6 @@ from adapt_image_models_tpu.parallel.partition import (
     count_params,
 )
 from adapt_image_models_tpu.parallel.mesh import (
-    make_mesh, batch_sharding, replicated_sharding, shard_batch,
+    make_mesh, make_hybrid_mesh, batch_sharding, replicated_sharding,
+    shard_batch,
 )
