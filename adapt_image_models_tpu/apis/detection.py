@@ -26,7 +26,7 @@ from adapt_image_models_tpu.core.train_state import (
 from adapt_image_models_tpu.data.datasets import build_dataset
 from adapt_image_models_tpu.data.loader import VideoLoader
 from adapt_image_models_tpu.models import build_model
-from adapt_image_models_tpu.parallel.mesh import make_mesh, shard_batch
+from adapt_image_models_tpu.parallel.mesh import make_hybrid_mesh, shard_batch
 from adapt_image_models_tpu.parallel.partition import merge_params, partition_params
 from adapt_image_models_tpu.utils.logger import get_root_logger
 
@@ -124,7 +124,7 @@ def train_detector(cfg: Dict[str, Any], work_dir: Optional[str] = None,
     dataset = build_dataset(ds_cfg)
 
     if mesh is None:
-        mesh = make_mesh()
+        mesh = make_hybrid_mesh()
     n_data = mesh.devices.shape[0]
     batch = int(data_cfg.get("videos_per_gpu", 2)) * n_data
     loader = VideoLoader(dataset, dataset.pipeline, batch_size=batch,
@@ -231,7 +231,7 @@ def run_detection_evaluation(cfg: Dict[str, Any], model=None, params=None,
 
     dataset = build_dataset(dict(cfg["data"][split]))
     if mesh is None:
-        mesh = make_mesh()
+        mesh = make_hybrid_mesh()
     n_dev = mesh.devices.size
     dl_cfg = cfg["data"].get(f"{split}_dataloader", {}) or {}
     bs = (batch_size

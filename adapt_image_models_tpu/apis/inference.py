@@ -15,7 +15,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from adapt_image_models_tpu.data.pipeline import build_sample_processor
-from adapt_image_models_tpu.data.transforms import make_prepare_fn
+from adapt_image_models_tpu.data.transforms import (
+    init_sample_shape, layout_from_pipeline, make_prepare_fn,
+)
 from adapt_image_models_tpu.models import build_model
 
 
@@ -29,7 +31,6 @@ def init_recognizer(cfg: Dict[str, Any], checkpoint: Optional[str] = None,
 
     pipeline = cfg["data"]["test"]["pipeline"]
     proc = build_sample_processor(pipeline)
-    from adapt_image_models_tpu.data.transforms import init_sample_shape
     variables = model.init(jax.random.PRNGKey(seed),
                            jnp.zeros(init_sample_shape(pipeline, proc),
                                      jnp.float32))
@@ -56,7 +57,6 @@ def inference_recognizer(model, params, cfg: Dict[str, Any], video: str,
     clips, _ = proc(video, label=0)
     imgs = clips[None]  # (1, V, T, H, W, C)
 
-    from adapt_image_models_tpu.data.transforms import layout_from_pipeline
     layout = layout_from_pipeline(pipeline)
     prepare = make_prepare_fn(proc.mean, proc.std, layout=layout)
     views = prepare(jnp.asarray(imgs))

@@ -45,6 +45,14 @@ def make_chunked_eval_step(model, prepare_fn, average_clips: str = "prob",
     (B, S, C, H, W) contract — crops/clips/frames folded into consensus
     segments by the prepare fn (reference ``recognizer2d.py`` forward_test:
     num_segs = total rows / batch, consensus averages them all)."""
+    if segment_layout and max_testing_views is not None:
+        # the 2D consensus needs every segment in one apply; silently
+        # dropping the chunking contract would unbound memory instead
+        # (max_testing_views is a Recognizer3D-only test_cfg option in the
+        # reference too, recognizer3d.py forward_test)
+        raise ValueError("max_testing_views is not supported for 2D segment "
+                         "recipes (FormatShape NCHW*): the consensus head "
+                         "consumes all segments in one pass")
 
     def eval_step(variables, imgs_uint8):
         params, model_state = split_variables(variables)

@@ -32,6 +32,13 @@ def _exec_py_config(path: str) -> Dict[str, Any]:
             if not k.startswith("__") and not isinstance(v, types.ModuleType)}
 
 
+def _strip_delete(v: Any) -> Any:
+    """Deep-copy ``v`` with every nested ``_delete_`` marker removed."""
+    if isinstance(v, dict):
+        return {k: _strip_delete(x) for k, x in v.items() if k != DELETE_KEY}
+    return copy.deepcopy(v)
+
+
 def _merge_dict(base: Dict, new: Dict) -> Dict:
     """Deep-merge ``new`` over ``base`` (mmcv semantics incl. _delete_)."""
     out = copy.deepcopy(base)
@@ -39,15 +46,17 @@ def _merge_dict(base: Dict, new: Dict) -> Dict:
         if isinstance(v, dict) and DELETE_KEY in v:
             # the marker never survives the merge, whatever its value
             # (a stray _delete_=False must not leak into built modules)
-            v = {kk: vv for kk, vv in v.items() if kk != DELETE_KEY}
-            if new[k].get(DELETE_KEY):
-                out[k] = copy.deepcopy(v)
-            elif isinstance(out.get(k), dict):
-                out[k] = _merge_dict(out[k], v)
+            stripped = {kk: vv for kk, vv in v.items() if kk != DELETE_KEY}
+            if v.get(DELETE_KEY) or not isinstance(out.get(k), dict):
+                # replace branches must strip markers RECURSIVELY — a
+                # nested _delete_ would otherwise reach module builders
+                out[k] = _strip_delete(stripped)
             else:
-                out[k] = copy.deepcopy(v)
+                out[k] = _merge_dict(out[k], stripped)
         elif isinstance(v, dict) and isinstance(out.get(k), dict):
             out[k] = _merge_dict(out[k], v)
+        elif isinstance(v, dict):
+            out[k] = _strip_delete(v)
         else:
             out[k] = copy.deepcopy(v)
     return out

@@ -69,7 +69,8 @@ def resize_short_side(img, short_side):
 class OpenCVVideoReader(VideoReader):
     """cv2.VideoCapture-based reader (reference OpenCVInit/Decode parity)."""
 
-    def __init__(self, path: str, short_side: Optional[int] = None):
+    def __init__(self, path: str, short_side: Optional[int] = None,
+                 strict: bool = False):
         import cv2
         self._cv2 = cv2
         if not os.path.exists(path):
@@ -81,6 +82,9 @@ class OpenCVVideoReader(VideoReader):
         self.num_frames = int(self.cap.get(cv2.CAP_PROP_FRAME_COUNT))
         self.avg_fps = float(self.cap.get(cv2.CAP_PROP_FPS) or 30.0)
         self.short_side = short_side
+        # strict: any failed decode raises instead of substituting the last
+        # good frame — integrity checkers need truncated tails to surface
+        self.strict = strict
 
     def _maybe_resize(self, img: np.ndarray) -> np.ndarray:
         if self.short_side is None:
@@ -110,7 +114,8 @@ class OpenCVVideoReader(VideoReader):
             ok, img = self.cap.read()
             if not ok:
                 # tolerate container metadata over-reporting frame count
-                if frames:
+                # (training path); strict readers surface corrupt tails
+                if frames and not self.strict:
                     img = frames[max(frames)][:, :, ::-1].copy()
                 else:
                     raise IOError(f"decode failed at frame {fi} of {self.path}")
@@ -191,12 +196,16 @@ class SyntheticVideoReader(VideoReader):
 
 
 def open_video(source, short_side: Optional[int] = None,
-               backend: str = "auto") -> VideoReader:
+               backend: str = "auto", strict: bool = False) -> VideoReader:
     """Open a video file / frame dir / synthetic spec with the best backend.
 
     ``backend``: 'auto' | 'cpp' | 'opencv' | 'synthetic'.
     'auto' prefers the in-repo C++ FFmpeg reader when its shared library has
     been built, falling back to OpenCV.
+
+    ``strict``: failed decodes raise instead of substituting the last good
+    frame (the C++ reader is always strict — it errors on any failed
+    decode; the flag matters for the OpenCV fallback).
     """
     if isinstance(source, VideoReader):
         return source
@@ -221,7 +230,7 @@ def open_video(source, short_side: Optional[int] = None,
         except ImportError:
             if backend == "cpp":
                 raise
-    return OpenCVVideoReader(source, short_side=short_side)
+    return OpenCVVideoReader(source, short_side=short_side, strict=strict)
 
 
 class FlowFrameReader(VideoReader):

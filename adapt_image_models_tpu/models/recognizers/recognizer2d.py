@@ -57,6 +57,21 @@ class Recognizer2D(nn.Module):
         feat = feat.reshape(b, s_out, -1)
         return self.head_module(feat, deterministic=deterministic)
 
+    def extract_feat(self, imgs: jax.Array,
+                     deterministic: bool = True) -> jax.Array:
+        """(B, S, C, H, W) -> (B, S_out, D) pooled per-segment features
+        (the reference's ``feature_extraction`` branch,
+        ``recognizer2d.py:75-83``: spatial average pool per segment)."""
+        b, s = imgs.shape[:2]
+        x = imgs.reshape((b * s,) + imgs.shape[2:])
+        feat = self.backbone_module(x, deterministic=deterministic)
+        if isinstance(feat, tuple):
+            feat = feat[-1]
+        if feat.ndim > 2:  # spatial map (B*S, H, W, C): pool it
+            feat = feat.mean(axis=tuple(range(1, feat.ndim - 1)))
+        s_out = feat.shape[0] // b
+        return feat.reshape(b, s_out, -1)
+
     def forward_test(self, imgs: jax.Array) -> jax.Array:
         logits = self(imgs, deterministic=True)
         avg = (self.test_cfg or {}).get("average_clips", "prob")

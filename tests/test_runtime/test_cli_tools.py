@@ -90,8 +90,13 @@ def test_check_videos_config_tool(tmp_path):
         w.write(np.zeros((32, 32, 3), np.uint8))
     w.release()
     (tmp_path / "bad.avi").write_bytes(b"not a video")
+    # corrupt TAIL: opens fine and frame 0 decodes, but the last-frame probe
+    # must fail (strict reader — the training path's last-good-frame
+    # substitution would otherwise hide it)
+    blob = ok_path.read_bytes()
+    (tmp_path / "trunc.avi").write_bytes(blob[:int(len(blob) * 0.5)])
     ann = tmp_path / "list.txt"
-    ann.write_text("ok.avi 0\nbad.avi 1\n")
+    ann.write_text("ok.avi 0\nbad.avi 1\ntrunc.avi 0\n")
     cfg = tmp_path / "cfg.py"
     cfg.write_text(
         "data = dict(train=dict(type='VideoDataset', "
@@ -102,10 +107,11 @@ def test_check_videos_config_tool(tmp_path):
                  "--output-file", str(out), "--num-processes", "1",
                  "--remove-corrupted-videos", ok=False)
     assert r.returncode == 1, r.stderr[-800:]
-    assert "1 are corrupted/missing" in r.stdout
+    assert "2 are corrupted/missing" in r.stdout
     bad = out.read_text()
-    assert "bad.avi" in bad and "ok.avi" not in bad
+    assert "bad.avi" in bad and "trunc.avi" in bad and "ok.avi" not in bad
     assert not (tmp_path / "bad.avi").exists()      # deleted
+    assert not (tmp_path / "trunc.avi").exists()    # deleted
     assert ok_path.exists()                          # kept
 
     # all-clean run exits 0 and leaves no output file
@@ -114,6 +120,101 @@ def test_check_videos_config_tool(tmp_path):
                  "--output-file", str(out), "--num-processes", "1")
     assert "none are corrupted/missing" in r.stdout
     assert not out.exists() or out.read_text() == ""
+
+
+def test_bsn_pgm_tool_split_picks_matching_cfg(tmp_path):
+    """--config + --split train must read pgm_features_train_cfg and
+    ann_file_train (the reference generates the PEM training set with
+    top_k=500, not the test cfg's 1000)."""
+    for split in ("train", "val"):
+        (tmp_path / f"anno_{split}.json").write_text(json.dumps({
+            f"v_{split}": dict(duration_second=10.0, duration_frame=300,
+                               feature_frame=300,
+                               annotations=[dict(segment=[2.0, 6.0])])}))
+    tem_dir = tmp_path / "tem"
+    tem_dir.mkdir()
+    rng = np.random.default_rng(0)
+    tem = np.concatenate([rng.uniform(0.1, 0.9, (20, 3)),
+                          np.linspace(0, 1, 20)[:, None],
+                          np.linspace(0, 1, 20)[:, None]], axis=1)
+    for name in ("v_train", "v_val"):
+        np.savetxt(tem_dir / f"{name}.csv", tem, delimiter=",",
+                   header="action,start,end,tmin,tmax", comments="")
+    cfgp = tmp_path / "pgm.py"
+    cfgp.write_text(f"""
+ann_file_train = {str(tmp_path / 'anno_train.json')!r}
+ann_file_val = {str(tmp_path / 'anno_val.json')!r}
+tem_results_dir = {str(tem_dir)!r}
+pgm_proposals_dir = {str(tmp_path / 'props')!r}
+pgm_features_dir = {str(tmp_path / 'feats')!r}
+pgm_proposals_cfg = dict(temporal_scale=20, peak_threshold=0.5)
+pgm_features_test_cfg = dict(top_k=1000, num_sample_start=8,
+                             num_sample_end=8, num_sample_action=16,
+                             num_sample_interp=3, bsp_boundary_ratio=0.2)
+pgm_features_train_cfg = dict(top_k=500, num_sample_start=8,
+                              num_sample_end=8, num_sample_action=4,
+                              num_sample_interp=3, bsp_boundary_ratio=0.2)
+""")
+    run_tool("tools/misc/bsn_proposal_generation.py", "--config", str(cfgp),
+             "--split", "train")
+    run_tool("tools/misc/bsn_proposal_generation.py", "--config", str(cfgp))
+    f_train = np.load(tmp_path / "feats" / "v_train.npy")
+    f_val = np.load(tmp_path / "feats" / "v_val.npy")
+    # dim = start + end + action samples: train cfg 8+8+4, test cfg 8+8+16
+    assert f_train.shape[1] == 20, f_train.shape
+    assert f_val.shape[1] == 32, f_val.shape
+
+
+def test_clip_feature_extraction_both_layouts(tmp_path):
+    """The feature-extraction tool must speak both FormatShape contracts of
+    its own recipes (NCHW 2D segments, NCTHW 3D) and force --batch 1 for
+    UntrimmedSampleFrames (per-video clip counts differ)."""
+    cv2 = pytest.importorskip("cv2")
+    root = tmp_path / "rawframes"
+    lines = []
+    rng = np.random.default_rng(0)
+    for v, frames in enumerate((40, 56)):  # different clip counts
+        d = root / f"vid{v}"
+        d.mkdir(parents=True)
+        for i in range(0, frames + 1):
+            cv2.imwrite(str(d / f"img_{i:05d}.jpg"),
+                        rng.integers(0, 255, (32, 32, 3), np.uint8))
+        lines.append(f"vid{v} {frames} {v % 2}")
+    ann = tmp_path / "ann.txt"
+    ann.write_text("\n".join(lines))
+
+    recipes = [
+        ("recognition/tsn/tsn_r50_clip_feature_extraction_1x1x3_rgb.py",
+         1, "NCHW"),
+        ("recognition/slowonly/"
+         "slowonly_r50_clip_feature_extraction_4x16x1_rgb.py", 4, "NCTHW"),
+    ]
+    for base, clip_len, fmt in recipes:
+        cfgp = tmp_path / ("cfg_" + fmt + ".py")
+        cfgp.write_text(f"""
+_base_ = ["{REPO}/configs/{base}"]
+model = dict(backbone=dict(depth=18, base_channels=8),
+             cls_head=dict(in_channels=64))
+data = dict(test=dict(
+    ann_file={str(ann)!r}, data_prefix={str(root)!r},
+    pipeline=[
+        dict(type="UntrimmedSampleFrames", clip_len={clip_len},
+             frame_interval=16),
+        dict(type="RawFrameDecode"),
+        dict(type="Resize", scale=(32, 32), keep_ratio=False),
+        dict(type="Normalize", mean=[123.675, 116.28, 103.53],
+             std=[58.395, 57.12, 57.375]),
+        dict(type="FormatShape", input_format="{fmt}"),
+    ]))
+""")
+        out = tmp_path / f"feats_{fmt}.npz"
+        r = run_tool("tools/misc/clip_feature_extraction.py", str(cfgp),
+                     str(out), "--batch", "4")
+        assert "forcing --batch 1" in r.stderr
+        data = np.load(out)
+        assert data["features"].shape == (2, 64), data["features"].shape
+        assert np.isfinite(data["features"]).all()
+        assert list(data["labels"]) == [0, 1]
 
 
 @pytest.mark.slow

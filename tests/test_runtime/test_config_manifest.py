@@ -170,3 +170,13 @@ def test_delete_marker_never_leaks(tmp_path):
     assert "_delete_" not in d and "_delete_" not in d["sub"]
     assert d["a"] == 1 and d["b"] == 2          # False marker -> plain merge
     assert d["sub"] == dict(y=3)                # True marker -> replace
+
+    # markers nested INSIDE a replace branch (and under keys absent from
+    # the base) must be stripped recursively too
+    child.write_text(
+        "_base_ = ['./base.py']\n"
+        "d = dict(_delete_=True, sub=dict(_delete_=True, z=4))\n"
+        "e = dict(sub=dict(_delete_=True, w=5))\n")
+    cfg = Config.fromfile(str(child))
+    assert cfg["d"] == dict(sub=dict(z=4))
+    assert cfg["e"] == dict(sub=dict(w=5))

@@ -113,3 +113,13 @@ def test_inference_recognizer_synthetic_video():
                                            "synthetic://7", topk=1,
                                            return_features=True)
     assert feats.shape[0] == 2  # num_clips views
+
+
+def test_max_testing_views_rejected_for_segment_layout():
+    """max_testing_views is a 3D-only test_cfg option (reference
+    recognizer3d.py); the 2D consensus head needs all segments at once, so
+    the combination must raise instead of silently dropping the chunking."""
+    from adapt_image_models_tpu.apis.test import make_chunked_eval_step
+    with pytest.raises(ValueError, match="segment"):
+        make_chunked_eval_step(None, lambda x: x, max_testing_views=2,
+                               segment_layout=True)

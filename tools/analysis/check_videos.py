@@ -39,7 +39,10 @@ def check_one(item):
     idx, filename = item
     from adapt_image_models_tpu.data.video_reader import open_video
     try:
-        with open_video(filename, backend=_WORKER_CFG["backend"]) as reader:
+        # strict: a truncated/corrupt tail must FAIL the probe, not be
+        # papered over by the training path's last-good-frame substitution
+        with open_video(filename, backend=_WORKER_CFG["backend"],
+                        strict=True) as reader:
             if reader.num_frames <= 0:
                 raise ValueError(f"no frames in {filename}")
             rng = np.random.default_rng(idx)

@@ -37,6 +37,12 @@ def parse_args():
     p.add_argument("--top-k", type=int, default=None)
     p.add_argument("--mode", choices=["proposals", "features", "both"],
                    default="both")
+    p.add_argument("--split", choices=["train", "val", "test"],
+                   default="val",
+                   help="with --config: pick ann_file_<split> and the "
+                        "matching pgm_features cfg (the reference generates "
+                        "train BSP features with pgm_features_train_cfg — "
+                        "top_k 500 vs the test cfg's 1000)")
     args = p.parse_args()
 
     defaults = dict(peak_threshold=0.5, bsp_boundary_ratio=0.2,
@@ -46,7 +52,9 @@ def parse_args():
         from adapt_image_models_tpu.config import Config
         cfg = Config.fromfile(args.config)
         pp = dict(cfg.get("pgm_proposals_cfg", {}))
-        pf = dict(cfg.get("pgm_features_test_cfg", {}))
+        feat_key = ("pgm_features_train_cfg" if args.split == "train"
+                    else "pgm_features_test_cfg")
+        pf = dict(cfg.get(feat_key, {}))
         defaults.update(peak_threshold=pp.get(
             "peak_threshold", defaults["peak_threshold"]))
         for k in ("bsp_boundary_ratio", "num_sample_start",
@@ -54,7 +62,7 @@ def parse_args():
                   "num_sample_interp", "top_k"):
             if k in pf:
                 defaults[k] = pf[k]
-        args.ann_file = args.ann_file or cfg.get("ann_file_val")
+        args.ann_file = args.ann_file or cfg.get(f"ann_file_{args.split}")
         args.tem_results_dir = (args.tem_results_dir
                                 or cfg.get("tem_results_dir"))
         args.pgm_proposals_dir = (args.pgm_proposals_dir
