@@ -9,7 +9,7 @@ img_norm_cfg = dict(mean=[123.675, 116.28, 103.53],
 train_pipeline = [
     dict(type="SampleFrames", clip_len=4, frame_interval=16, num_clips=1),
     dict(type="RawFrameDecode"),
-    dict(type="Resize", scale=(-1, 320)),
+    dict(type="Resize", scale=(-1, 256)),
     dict(type="RandomResizedCrop"),
     dict(type="Resize", scale=(224, 224), keep_ratio=False),
     dict(type="Flip", flip_ratio=0.5),

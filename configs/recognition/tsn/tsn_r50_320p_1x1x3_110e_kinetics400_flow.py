@@ -8,7 +8,7 @@ img_norm_cfg = dict(mean=[128, 128], std=[128, 128])
 train_pipeline = [
     dict(type="SampleFrames", clip_len=5, frame_interval=1, num_clips=3),
     dict(type="RawFrameDecode"),
-    dict(type="Resize", scale=(-1, 320)),
+    dict(type="Resize", scale=(-1, 256)),
     dict(type="MultiScaleCrop", input_size=224,
          scales=(1, 0.875, 0.75, 0.66), random_crop=False,
          max_wh_scale_gap=1),
@@ -21,7 +21,7 @@ val_pipeline = [
     dict(type="SampleFrames", clip_len=5, frame_interval=1, num_clips=3,
          test_mode=True),
     dict(type="RawFrameDecode"),
-    dict(type="Resize", scale=(-1, 320)),
+    dict(type="Resize", scale=(-1, 256)),
     dict(type="CenterCrop", crop_size=224),
     dict(type="Normalize", **img_norm_cfg),
     dict(type="FormatShape", input_format="NCHW_Flow"),

@@ -11,7 +11,7 @@ img_norm_cfg = dict(mean=[128, 128], std=[128, 128])
 train_pipeline = [
     dict(type="SampleFrames", clip_len=5, frame_interval=1, num_clips=8),
     dict(type="RawFrameDecode"),
-    dict(type="Resize", scale=(-1, 320)),
+    dict(type="Resize", scale=(-1, 256)),
     dict(type="MultiScaleCrop", input_size=224,
          scales=(1, 0.875, 0.75, 0.66), random_crop=False,
          max_wh_scale_gap=1),
@@ -24,7 +24,7 @@ val_pipeline = [
     dict(type="SampleFrames", clip_len=5, frame_interval=1, num_clips=8,
          test_mode=True),
     dict(type="RawFrameDecode"),
-    dict(type="Resize", scale=(-1, 320)),
+    dict(type="Resize", scale=(-1, 256)),
     dict(type="CenterCrop", crop_size=224),
     dict(type="Normalize", **img_norm_cfg),
     dict(type="FormatShape", input_format="NCHW_Flow"),
@@ -33,7 +33,7 @@ test_pipeline = [
     dict(type="SampleFrames", clip_len=5, frame_interval=1, num_clips=25,
          test_mode=True),
     dict(type="RawFrameDecode"),
-    dict(type="Resize", scale=(-1, 320)),
+    dict(type="Resize", scale=(-1, 256)),
     dict(type="ThreeCrop", crop_size=256),
     dict(type="Normalize", **img_norm_cfg),
     dict(type="FormatShape", input_format="NCHW_Flow"),

@@ -10,7 +10,7 @@ train_pipeline = [
     dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=8),
     dict(type="DecordInit"),
     dict(type="DecordDecode"),
-    dict(type="Resize", scale=(-1, 320)),
+    dict(type="Resize", scale=(-1, 256)),
     dict(type="MultiScaleCrop", input_size=224,
          scales=(1, 0.875, 0.75, 0.66), random_crop=False,
          max_wh_scale_gap=1),
@@ -24,7 +24,7 @@ val_pipeline = [
          test_mode=True),
     dict(type="DecordInit"),
     dict(type="DecordDecode"),
-    dict(type="Resize", scale=(-1, 320)),
+    dict(type="Resize", scale=(-1, 256)),
     dict(type="CenterCrop", crop_size=224),
     dict(type="Normalize", **img_norm_cfg),
     dict(type="FormatShape", input_format="NCHW"),
@@ -34,7 +34,7 @@ test_pipeline = [
          test_mode=True),
     dict(type="DecordInit"),
     dict(type="DecordDecode"),
-    dict(type="Resize", scale=(-1, 320)),
+    dict(type="Resize", scale=(-1, 256)),
     dict(type="ThreeCrop", crop_size=256),
     dict(type="Normalize", **img_norm_cfg),
     dict(type="FormatShape", input_format="NCHW"),

@@ -136,3 +136,69 @@ def test_tiny_config_model_forward(path):
     params = model.init(jax.random.PRNGKey(0), x)
     out = model.apply(params, x)
     assert out.shape[0] == 1
+
+
+def test_every_video_pipeline_executes_on_synthetic_sample():
+    """Beyond compiling (the sweep above), every video/rawframe recipe's
+    pipeline must RUN: one synthetic sample through each compiled
+    processor, output contract (V, T, H, W, 3) uint8 at the processor's
+    own advertised geometry. Catches step combinations that build but
+    fail on data (one pytest item to keep the suite's wall time flat)."""
+    import numpy as np
+
+    def leaf_dataset(ds_cfg):
+        ds_cfg = dict(ds_cfg)
+        while ds_cfg.get("type") in ("RepeatDataset",):
+            ds_cfg = dict(ds_cfg["dataset"])
+        return ds_cfg
+
+    failures, ran, seen = [], 0, set()
+    for path in CONFIGS:
+        cfg = Config.fromfile(path)
+        if cfg.get("model") is None or cfg.get("data") is None:
+            continue
+        for split in ("train", "val", "test"):
+            split_cfgs = cfg["data"].get(split)
+            if split_cfgs is None:
+                continue
+            if not isinstance(split_cfgs, (list, tuple)):
+                split_cfgs = [split_cfgs]
+            for raw_cfg in split_cfgs:
+                ds_cfg = leaf_dataset(raw_cfg)
+                if ds_cfg.get("type") not in ("VideoDataset",
+                                              "RawframeDataset"):
+                    continue
+                pipeline = ds_cfg["pipeline"]
+                fmts = [s.get("input_format", "") for s in pipeline
+                        if s.get("type") == "FormatShape"]
+                if any("Flow" in f for f in fmts):
+                    continue  # flow needs 2-channel frame dirs
+                if ds_cfg.get("modality") == "Flow":
+                    continue
+                # many recipes share a pipeline verbatim: execute each
+                # unique (pipeline, mode) once
+                key = (repr(pipeline), split != "train")
+                if key in seen:
+                    continue
+                seen.add(key)
+                try:
+                    proc = build_sample_processor(
+                        pipeline, test_mode=(split != "train"))
+                    clips, label = proc("synthetic://1", label=3,
+                                        rng=np.random.default_rng(0),
+                                        total_frames=64)
+                    h, w = proc.output_size()
+                    assert clips.dtype == np.uint8, clips.dtype
+                    assert clips.shape[-3:] == (h, w, 3), \
+                        (clips.shape, (h, w))
+                    assert clips.shape[1] == proc.sampler.clip_len, \
+                        (clips.shape, proc.sampler.clip_len)
+                    if proc.num_views is not None:
+                        assert clips.shape[0] == proc.num_views, \
+                            (clips.shape, proc.num_views)
+                    ran += 1
+                except Exception as e:  # noqa: BLE001 — aggregate report
+                    failures.append(
+                        f"{os.path.basename(path)}[{split}]: {e!r}")
+    assert ran > 100, f"only {ran} unique pipelines executed"
+    assert not failures, "\n".join(failures[:25])
