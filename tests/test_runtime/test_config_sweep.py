@@ -165,8 +165,51 @@ def test_every_video_pipeline_executes_on_synthetic_sample():
                 split_cfgs = [split_cfgs]
             for raw_cfg in split_cfgs:
                 ds_cfg = leaf_dataset(raw_cfg)
-                if ds_cfg.get("type") not in ("VideoDataset",
-                                              "RawframeDataset"):
+                dtype = ds_cfg.get("type")
+                if dtype == "PoseDataset":
+                    key = ("pose", repr(ds_cfg["pipeline"]), split)
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    try:
+                        from adapt_image_models_tpu.data.pose import (
+                            PoseSampleProcessor,
+                        )
+                        pproc = PoseSampleProcessor(ds_cfg["pipeline"])
+                        prng = np.random.default_rng(0)
+                        heat, _ = pproc(dict(
+                            total_frames=12, label=1, img_shape=(64, 64),
+                            keypoint=prng.uniform(
+                                8, 56, (1, 12, 17, 2)).astype(np.float32),
+                            keypoint_score=prng.uniform(
+                                size=(1, 12, 17)).astype(np.float32)), prng)
+                        assert np.isfinite(heat).all() and heat.ndim >= 4
+                        ran += 1
+                    except Exception as e:  # noqa: BLE001
+                        failures.append(
+                            f"{os.path.basename(path)}[{split}]: {e!r}")
+                    continue
+                if dtype == "AudioFeatureDataset":
+                    key = ("audio", repr(ds_cfg["pipeline"]), split)
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    try:
+                        from adapt_image_models_tpu.data.audio import (
+                            AudioSampleProcessor,
+                        )
+                        aproc = AudioSampleProcessor(ds_cfg["pipeline"])
+                        out = aproc(dict(
+                            total_frames=200, label=1,
+                            audio_path="/nonexistent/a.npy"),
+                            np.random.default_rng(0))  # (S, 1, T, F)
+                        assert out.ndim == 4 and np.isfinite(out).all()
+                        ran += 1
+                    except Exception as e:  # noqa: BLE001
+                        failures.append(
+                            f"{os.path.basename(path)}[{split}]: {e!r}")
+                    continue
+                if dtype not in ("VideoDataset", "RawframeDataset"):
                     continue
                 pipeline = ds_cfg["pipeline"]
                 fmts = [s.get("input_format", "") for s in pipeline
