@@ -289,6 +289,10 @@ class SampleProcessor:
                     from adapt_image_models_tpu.data.randaugment import rand_augment
                     new_views.append(rand_augment(rng, v, n=kw.get("n", 4),
                                                   m=kw.get("m", 7)))
+                elif name == "ImgaugOps":
+                    from adapt_image_models_tpu.data.randaugment import imgaug_ops
+                    new_views.append(imgaug_ops(
+                        rng, v, [dict(s) for s in kw["specs"]]))
                 elif name == "RandomErasing":
                     from adapt_image_models_tpu.data.randaugment import random_erasing
                     new_views.append(random_erasing(
@@ -476,12 +480,20 @@ def build_sample_processor(pipeline_cfg: Sequence[Dict[str, Any]],
             if transforms == "default":
                 steps.append(("RandAugment", dict(n=2, m=9)))
                 continue
+            imgaug_specs = []
             for tr in transforms:
                 if tr.get("type") == "RandAugment":
                     steps.append(("RandAugment", dict(n=tr.get("n", 4),
                                                       m=tr.get("m", 7))))
+                elif tr.get("type") in ("Fliplr", "Rotate", "Dropout"):
+                    # the reference's custom imgaug lists
+                    # (i3d_r50_video_imgaug...py:25-30)
+                    imgaug_specs.append(dict(tr))
                 else:
                     raise ValueError(f"unsupported Imgaug transform {tr}")
+            if imgaug_specs:
+                steps.append(("ImgaugOps", dict(specs=tuple(
+                    tuple(sorted(s.items())) for s in imgaug_specs))))
             continue
         if t == "RandomErasing":
             # NOTE: reference erases after Normalize (float noise); we erase

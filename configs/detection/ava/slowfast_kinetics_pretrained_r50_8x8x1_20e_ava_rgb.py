@@ -36,3 +36,21 @@ data = dict(
 work_dir = "./work_dirs/slowfast_kinetics_pretrained_r50_8x8x1_20e_ava_rgb"
 
 optimizer = dict(lr=0.075)  # reference schedule
+
+# Reference pipeline fidelity overrides: the merged
+# reference slowfast_kinetics_pretrained_r50_8x8x1_20e_ava_rgb.py pipelines (values regenerated; the
+# device-stage Normalize is kept where the reference
+# normalizes in the model instead)
+_d = globals().get("data") or {}
+data = dict(_d)
+data["test"] = dict(_d.get("test") or {}, pipeline=[
+    dict(type="SampleAVAFrames", clip_len=32, frame_interval=2),
+    dict(type="RawFrameDecode"),
+    dict(type="Resize", scale=(-1, 256)),
+    dict(type="Normalize", mean=[123.675, 116.28, 103.53], std=[58.395,
+         57.12, 57.375], to_bgr=False),
+    dict(type="FormatShape", input_format="NCTHW", collapse=True),
+    dict(type="Rename", mapping=dict(imgs="img")),
+    dict(type="ToDataContainer", fields=[dict(key="proposals", stack=False)]),
+])
+del _d

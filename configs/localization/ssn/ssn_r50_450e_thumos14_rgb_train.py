@@ -43,12 +43,11 @@ train_pipeline = [
     dict(type="SampleProposalFrames", clip_len=1, body_segments=5,
          aug_segments=(2, 2), aug_ratio=0.5),
     dict(type="RawFrameDecode"),
-    dict(type="Resize", scale=(340, 256), keep_ratio=False),
-    dict(type="RandomResizedCrop"),
-    dict(type="Resize", scale=(224, 224), keep_ratio=False),
-    dict(type="Flip", flip_ratio=0.5),
-    dict(type="Normalize", **img_norm_cfg),
-    dict(type="FormatShape", input_format="NCHW"),
+    dict(type="Resize", scale=(340, 256), keep_ratio=True),
+    dict(type="CenterCrop", crop_size=224),
+    dict(type="Flip", flip_ratio=0),
+    dict(type="Normalize", mean=[104, 117, 128], std=[1, 1, 1], to_bgr=True),
+    dict(type="FormatShape", input_format="NPTCHW"),
 ]
 test_pipeline = [
     dict(type="SampleProposalFrames", clip_len=1, body_segments=5,
@@ -81,3 +80,21 @@ lr_config = dict(policy="step", step=[200, 400])
 total_epochs = 450
 checkpoint_config = dict(interval=5)
 work_dir = "./work_dirs/ssn_r50_450e_thumos14_rgb"
+
+# Reference pipeline fidelity overrides: the merged
+# reference ssn_r50_450e_thumos14_rgb_train.py pipelines (values regenerated; the
+# device-stage Normalize is kept where the reference
+# normalizes in the model instead)
+_d = globals().get("data") or {}
+data = dict(_d)
+data["val"] = dict(_d.get("val") or {}, pipeline=[
+    dict(type="SampleProposalFrames", clip_len=1, body_segments=5,
+         aug_segments=(2, 2), aug_ratio=0.5),
+    dict(type="RawFrameDecode"),
+    dict(type="Resize", scale=(340, 256), keep_ratio=True),
+    dict(type="CenterCrop", crop_size=224),
+    dict(type="Flip", flip_ratio=0.5),
+    dict(type="Normalize", mean=[104, 117, 128], std=[1, 1, 1], to_bgr=True),
+    dict(type="FormatShape", input_format="NPTCHW"),
+])
+del _d

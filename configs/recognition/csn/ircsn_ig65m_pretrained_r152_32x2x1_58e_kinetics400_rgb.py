@@ -20,30 +20,35 @@ img_norm_cfg = dict(mean=[110.2008, 100.63983, 95.99475],
 
 train_pipeline = [
     dict(type="SampleFrames", clip_len=32, frame_interval=2, num_clips=1),
-    dict(type="RawFrameDecode"),
+    dict(type="FrameSelector"),
     dict(type="Resize", scale=(-1, 256)),
     dict(type="RandomResizedCrop"),
     dict(type="Resize", scale=(224, 224), keep_ratio=False),
     dict(type="Flip", flip_ratio=0.5),
-    dict(type="Normalize", **img_norm_cfg),
+    dict(type="Normalize", mean=[123.675, 116.28, 103.53], std=[58.395,
+         57.12, 57.375], to_bgr=False),
     dict(type="FormatShape", input_format="NCTHW"),
 ]
 val_pipeline = [
     dict(type="SampleFrames", clip_len=32, frame_interval=2, num_clips=1,
          test_mode=True),
-    dict(type="RawFrameDecode"),
+    dict(type="FrameSelector"),
     dict(type="Resize", scale=(-1, 256)),
     dict(type="CenterCrop", crop_size=224),
-    dict(type="Normalize", **img_norm_cfg),
+    dict(type="Flip", flip_ratio=0),
+    dict(type="Normalize", mean=[123.675, 116.28, 103.53], std=[58.395,
+         57.12, 57.375], to_bgr=False),
     dict(type="FormatShape", input_format="NCTHW"),
 ]
 test_pipeline = [
-    dict(type="SampleFrames", clip_len=32, frame_interval=2, num_clips=10,
-         test_mode=True),
-    dict(type="RawFrameDecode"),
+    dict(type="SampleFrames", clip_len=32, frame_interval=2,
+         num_clips=10, test_mode=True),
+    dict(type="FrameSelector"),
     dict(type="Resize", scale=(-1, 256)),
     dict(type="ThreeCrop", crop_size=256),
-    dict(type="Normalize", **img_norm_cfg),
+    dict(type="Flip", flip_ratio=0),
+    dict(type="Normalize", mean=[123.675, 116.28, 103.53], std=[58.395,
+         57.12, 57.375], to_bgr=False),
     dict(type="FormatShape", input_format="NCTHW"),
 ]
 

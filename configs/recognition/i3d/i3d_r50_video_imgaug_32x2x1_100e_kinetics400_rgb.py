@@ -19,3 +19,26 @@ data = dict(
     ]),
 )
 work_dir = "./work_dirs/i3d_r50_video_imgaug_32x2x1_100e_kinetics400_rgb"
+
+# Reference pipeline fidelity overrides: the merged
+# reference i3d_r50_video_imgaug_32x2x1_100e_kinetics400_rgb.py pipelines (values regenerated; the
+# device-stage Normalize is kept where the reference
+# normalizes in the model instead)
+_d = globals().get("data") or {}
+data = dict(_d)
+data["train"] = dict(_d.get("train") or {}, pipeline=[
+    dict(type="DecordInit"),
+    dict(type="SampleFrames", clip_len=32, frame_interval=2, num_clips=1),
+    dict(type="DecordDecode"),
+    dict(type="Resize", scale=(-1, 256)),
+    dict(type="MultiScaleCrop", input_size=224, scales=(1, 0.8),
+         random_crop=False, max_wh_scale_gap=0),
+    dict(type="Resize", scale=(224, 224), keep_ratio=False),
+    dict(type="Imgaug", transforms=[dict(type="Fliplr", p=0.5),
+         dict(type="Rotate", rotate=(-20, 20)), dict(type="Dropout",
+         p=(0, 0.05))]),
+    dict(type="Normalize", mean=[123.675, 116.28, 103.53], std=[58.395,
+         57.12, 57.375], to_bgr=False),
+    dict(type="FormatShape", input_format="NCTHW"),
+])
+del _d

@@ -11,14 +11,14 @@ model = dict(
 )
 
 test_pipeline = [
-    dict(type="SampleFrames", clip_len=32, frame_interval=2, num_clips=10,
+    dict(type="DecordInit", num_threads=1),
+    dict(type="SampleFrames", clip_len=32, frame_interval=2, num_clips=1,
          test_mode=True),
-    dict(type="DecordInit"),
     dict(type="DecordDecode"),
     dict(type="Resize", scale=(-1, 256)),
     dict(type="ThreeCrop", crop_size=256),
-    dict(type="Normalize", mean=[123.675, 116.28, 103.53],
-         std=[58.395, 57.12, 57.375]),
+    dict(type="Normalize", mean=[123.675, 116.28, 103.53], std=[58.395,
+         57.12, 57.375], to_bgr=False),
     dict(type="FormatShape", input_format="NCTHW"),
 ]
 

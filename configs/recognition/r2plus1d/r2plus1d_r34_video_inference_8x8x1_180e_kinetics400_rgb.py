@@ -8,14 +8,14 @@ model = dict(
 )
 
 test_pipeline = [
+    dict(type="DecordInit"),
     dict(type="SampleFrames", clip_len=8, frame_interval=8, num_clips=10,
          test_mode=True),
-    dict(type="DecordInit"),
     dict(type="DecordDecode"),
     dict(type="Resize", scale=(-1, 256)),
     dict(type="ThreeCrop", crop_size=256),
-    dict(type="Normalize", mean=[110.2008, 100.63983, 95.99475],
-         std=[58.14765, 56.46975, 55.332195]),
+    dict(type="Normalize", mean=[123.675, 116.28, 103.53], std=[58.395,
+         57.12, 57.375], to_bgr=False),
     dict(type="FormatShape", input_format="NCTHW"),
 ]
 

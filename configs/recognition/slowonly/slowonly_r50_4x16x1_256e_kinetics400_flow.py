@@ -33,8 +33,9 @@ val_pipeline = [
          test_mode=True),
     dict(type="RawFrameDecode"),
     dict(type="Resize", scale=(-1, 256)),
-    dict(type="CenterCrop", crop_size=224),
-    dict(type="Normalize", **img_norm_cfg),
+    dict(type="CenterCrop", crop_size=256),
+    dict(type="Flip", flip_ratio=0),
+    dict(type="Normalize", mean=[128, 128], std=[128, 128]),
     dict(type="FormatShape", input_format="NCTHW"),
 ]
 test_pipeline = [

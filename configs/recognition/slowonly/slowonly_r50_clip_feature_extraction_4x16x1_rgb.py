@@ -9,12 +9,14 @@ model = dict(
 )
 
 test_pipeline = [
-    dict(type="UntrimmedSampleFrames", clip_len=4, frame_interval=16),
-    dict(type="RawFrameDecode"),
+    dict(type="DecordInit"),
+    dict(type="SampleFrames", clip_len=4, frame_interval=16,
+         num_clips=10, test_mode=True),
+    dict(type="DecordDecode"),
     dict(type="Resize", scale=(-1, 256)),
     dict(type="CenterCrop", crop_size=256),
-    dict(type="Normalize", mean=[123.675, 116.28, 103.53],
-         std=[58.395, 57.12, 57.375]),
+    dict(type="Normalize", mean=[123.675, 116.28, 103.53], std=[58.395,
+         57.12, 57.375], to_bgr=False),
     dict(type="FormatShape", input_format="NCTHW"),
 ]
 

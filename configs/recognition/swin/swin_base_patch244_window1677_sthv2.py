@@ -21,33 +21,41 @@ img_norm_cfg = dict(mean=[123.675, 116.28, 103.53],
 
 train_pipeline = [
     dict(type="DecordInit"),
-    dict(type="SampleFrames", clip_len=32, frame_interval=2, num_clips=1),
+    dict(type="SampleFrames", clip_len=32, frame_interval=2, num_clips=1,
+         frame_uniform=True),
     dict(type="DecordDecode"),
     dict(type="Resize", scale=(-1, 256)),
     dict(type="RandomResizedCrop"),
     dict(type="Resize", scale=(224, 224), keep_ratio=False),
-    dict(type="Flip", flip_ratio=0.5),
-    dict(type="Normalize", **img_norm_cfg),
+    dict(type="Flip", flip_ratio=0),
+    dict(type="Imgaug", transforms=[dict(type="RandAugment", n=4, m=7)]),
+    dict(type="Normalize", mean=[123.675, 116.28, 103.53], std=[58.395,
+         57.12, 57.375], to_bgr=False),
+    dict(type="RandomErasing", probability=0.25),
     dict(type="FormatShape", input_format="NCTHW"),
 ]
 val_pipeline = [
     dict(type="DecordInit"),
     dict(type="SampleFrames", clip_len=32, frame_interval=2, num_clips=1,
-         test_mode=True),
+         frame_uniform=True, test_mode=True),
     dict(type="DecordDecode"),
-    dict(type="Resize", scale=(-1, 224)),
+    dict(type="Resize", scale=(-1, 256)),
     dict(type="CenterCrop", crop_size=224),
-    dict(type="Normalize", **img_norm_cfg),
+    dict(type="Flip", flip_ratio=0),
+    dict(type="Normalize", mean=[123.675, 116.28, 103.53], std=[58.395,
+         57.12, 57.375], to_bgr=False),
     dict(type="FormatShape", input_format="NCTHW"),
 ]
 test_pipeline = [
     dict(type="DecordInit"),
-    dict(type="SampleFrames", clip_len=32, frame_interval=2, num_clips=4,
-         test_mode=True),
+    dict(type="SampleFrames", clip_len=32, frame_interval=2, num_clips=1,
+         frame_uniform=True, test_mode=True),
     dict(type="DecordDecode"),
     dict(type="Resize", scale=(-1, 224)),
     dict(type="ThreeCrop", crop_size=224),
-    dict(type="Normalize", **img_norm_cfg),
+    dict(type="Flip", flip_ratio=0),
+    dict(type="Normalize", mean=[123.675, 116.28, 103.53], std=[58.395,
+         57.12, 57.375], to_bgr=False),
     dict(type="FormatShape", input_format="NCTHW"),
 ]
 

@@ -35,9 +35,11 @@ val_pipeline = [
     dict(type="SampleFrames", clip_len=32, frame_interval=2, num_clips=1,
          test_mode=True),
     dict(type="DecordDecode"),
-    dict(type="Resize", scale=(-1, 224)),
+    dict(type="Resize", scale=(-1, 256)),
     dict(type="CenterCrop", crop_size=224),
-    dict(type="Normalize", **img_norm_cfg),
+    dict(type="Flip", flip_ratio=0),
+    dict(type="Normalize", mean=[123.675, 116.28, 103.53], std=[58.395,
+         57.12, 57.375], to_bgr=False),
     dict(type="FormatShape", input_format="NCTHW"),
 ]
 test_pipeline = [

@@ -20,3 +20,23 @@ data = dict(
 optimizer = dict(lr=0.01)
 total_epochs = 50
 work_dir = "./work_dirs/tin_tsm_finetune_r50_1x1x8_50e_kinetics400_rgb"
+
+# Reference pipeline fidelity overrides: the merged
+# reference tin_tsm_finetune_r50_1x1x8_50e_kinetics400_rgb.py pipelines (values regenerated; the
+# device-stage Normalize is kept where the reference
+# normalizes in the model instead)
+_d = globals().get("data") or {}
+data = dict(_d)
+data["train"] = dict(_d.get("train") or {}, pipeline=[
+    dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=8),
+    dict(type="RawFrameDecode"),
+    dict(type="Resize", scale=(-1, 256)),
+    dict(type="MultiScaleCrop", input_size=224, scales=(1, 0.875, 0.75,
+         0.66), random_crop=False, max_wh_scale_gap=1),
+    dict(type="Resize", scale=(224, 224), keep_ratio=False),
+    dict(type="Flip", flip_ratio=0.5),
+    dict(type="Normalize", mean=[123.675, 116.28, 103.53], std=[58.395,
+         57.12, 57.375], to_bgr=False),
+    dict(type="FormatShape", input_format="NCHW"),
+])
+del _d

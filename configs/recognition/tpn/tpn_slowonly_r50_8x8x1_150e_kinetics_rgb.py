@@ -39,22 +39,24 @@ img_norm_cfg = dict(mean=[123.675, 116.28, 103.53],
 
 train_pipeline = [
     dict(type="SampleFrames", clip_len=8, frame_interval=8, num_clips=1),
-    dict(type="RawFrameDecode"),
-    dict(type="Resize", scale=(-1, 256)),
+    dict(type="FrameSelector"),
     dict(type="RandomResizedCrop"),
     dict(type="Resize", scale=(224, 224), keep_ratio=False),
     dict(type="Flip", flip_ratio=0.5),
-    dict(type="ColorJitter"),
-    dict(type="Normalize", **img_norm_cfg),
+    dict(type="ColorJitter", color_space_aug=True),
+    dict(type="Normalize", mean=[123.675, 116.28, 103.53], std=[58.395,
+         57.12, 57.375], to_bgr=False),
     dict(type="FormatShape", input_format="NCTHW"),
 ]
 val_pipeline = [
     dict(type="SampleFrames", clip_len=8, frame_interval=8, num_clips=1,
          test_mode=True),
-    dict(type="RawFrameDecode"),
+    dict(type="FrameSelector"),
     dict(type="Resize", scale=(-1, 256)),
     dict(type="CenterCrop", crop_size=224),
-    dict(type="Normalize", **img_norm_cfg),
+    dict(type="ColorJitter", color_space_aug=True),
+    dict(type="Normalize", mean=[123.675, 116.28, 103.53], std=[58.395,
+         57.12, 57.375], to_bgr=False),
     dict(type="FormatShape", input_format="NCTHW"),
 ]
 test_pipeline = [

@@ -56,11 +56,12 @@ val_pipeline = [
 ]
 test_pipeline = [
     dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=8,
-         test_mode=True),
-    dict(type="RawFrameDecode"),
+         twice_sample=True, test_mode=True),
+    dict(type="FrameSelector"),
     dict(type="Resize", scale=(-1, 256)),
-    dict(type="CenterCrop", crop_size=224),
-    dict(type="Normalize", **img_norm_cfg),
+    dict(type="ThreeCrop", crop_size=256),
+    dict(type="Normalize", mean=[123.675, 116.28, 103.53], std=[58.395,
+         57.12, 57.375], to_bgr=False),
     dict(type="FormatShape", input_format="NCHW"),
 ]
 

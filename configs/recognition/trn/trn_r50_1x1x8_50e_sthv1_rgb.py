@@ -47,8 +47,9 @@ test_pipeline = [
          twice_sample=True, test_mode=True),
     dict(type="RawFrameDecode"),
     dict(type="Resize", scale=(-1, 256)),
-    dict(type="CenterCrop", crop_size=224),
-    dict(type="Normalize", **img_norm_cfg),
+    dict(type="ThreeCrop", crop_size=256),
+    dict(type="Normalize", mean=[123.675, 116.28, 103.53], std=[58.395,
+         57.12, 57.375], to_bgr=False),
     dict(type="FormatShape", input_format="NCHW"),
 ]
 

@@ -23,7 +23,7 @@ train_pipeline = [
     dict(type="Resize", scale=(-1, 256)),
     dict(type="MultiScaleCrop", input_size=224,
          scales=(1, 0.875, 0.75, 0.66), random_crop=False,
-         max_wh_scale_gap=1),
+         max_wh_scale_gap=1, num_fixed_crops=13),
     dict(type="Resize", scale=(224, 224), keep_ratio=False),
     dict(type="Flip", flip_ratio=0.5),
     dict(type="Normalize", **img_norm_cfg),
@@ -40,11 +40,13 @@ val_pipeline = [
 ]
 test_pipeline = [
     dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=8,
-         twice_sample=True, test_mode=True),
+         test_mode=True),
     dict(type="RawFrameDecode"),
     dict(type="Resize", scale=(-1, 256)),
     dict(type="CenterCrop", crop_size=224),
-    dict(type="Normalize", **img_norm_cfg),
+    dict(type="Flip", flip_ratio=0),
+    dict(type="Normalize", mean=[123.675, 116.28, 103.53], std=[58.395,
+         57.12, 57.375], to_bgr=False),
     dict(type="FormatShape", input_format="NCHW"),
 ]
 

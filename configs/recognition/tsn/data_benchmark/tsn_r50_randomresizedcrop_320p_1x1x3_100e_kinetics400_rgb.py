@@ -25,3 +25,33 @@ data = dict(
 )
 
 work_dir = "./work_dirs/tsn_r50_randomresizedcrop_320p_1x1x3_100e_kinetics400_rgb"
+
+# Reference pipeline fidelity overrides: the merged
+# reference tsn_r50_randomresizedcrop_320p_1x1x3_100e_kinetics400_rgb.py pipelines (values regenerated; the
+# device-stage Normalize is kept where the reference
+# normalizes in the model instead)
+_d = globals().get("data") or {}
+data = dict(_d)
+data["val"] = dict(_d.get("val") or {}, pipeline=[
+    dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=3,
+         test_mode=True),
+    dict(type="RawFrameDecode"),
+    dict(type="Resize", scale=(-1, 256)),
+    dict(type="CenterCrop", crop_size=256),
+    dict(type="Flip", flip_ratio=0),
+    dict(type="Normalize", mean=[123.675, 116.28, 103.53], std=[58.395,
+         57.12, 57.375], to_bgr=False),
+    dict(type="FormatShape", input_format="NCHW"),
+])
+data["test"] = dict(_d.get("test") or {}, pipeline=[
+    dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=25,
+         test_mode=True),
+    dict(type="RawFrameDecode"),
+    dict(type="Resize", scale=(-1, 256)),
+    dict(type="ThreeCrop", crop_size=256),
+    dict(type="Flip", flip_ratio=0),
+    dict(type="Normalize", mean=[123.675, 116.28, 103.53], std=[58.395,
+         57.12, 57.375], to_bgr=False),
+    dict(type="FormatShape", input_format="NCHW"),
+])
+del _d

@@ -40,23 +40,25 @@ train_pipeline = [
     dict(type="FormatShape", input_format="NCHW"),
 ]
 val_pipeline = [
-    dict(type="DecordInit"),
     dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=8,
          test_mode=True),
-    dict(type="DecordDecode"),
+    dict(type="RawFrameDecode"),
     dict(type="Resize", scale=(-1, 256)),
-    dict(type="CenterCrop", crop_size=224),
-    dict(type="Normalize", **img_norm_cfg),
+    dict(type="CenterCrop", crop_size=256),
+    dict(type="Flip", flip_ratio=0),
+    dict(type="Normalize", mean=[123.675, 116.28, 103.53], std=[58.395,
+         57.12, 57.375], to_bgr=False),
     dict(type="FormatShape", input_format="NCHW"),
 ]
 test_pipeline = [
-    dict(type="DecordInit"),
     dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=25,
          test_mode=True),
-    dict(type="DecordDecode"),
+    dict(type="RawFrameDecode"),
     dict(type="Resize", scale=(-1, 256)),
-    dict(type="TenCrop", crop_size=224),
-    dict(type="Normalize", **img_norm_cfg),
+    dict(type="ThreeCrop", crop_size=256),
+    dict(type="Flip", flip_ratio=0),
+    dict(type="Normalize", mean=[123.675, 116.28, 103.53], std=[58.395,
+         57.12, 57.375], to_bgr=False),
     dict(type="FormatShape", input_format="NCHW"),
 ]
 

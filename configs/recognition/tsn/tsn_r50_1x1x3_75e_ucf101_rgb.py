@@ -10,28 +10,33 @@ train_pipeline = [
     dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=3),
     dict(type="RawFrameDecode"),
     dict(type="Resize", scale=(-1, 256)),
-    dict(type="MultiScaleCrop", input_size=224,
-         scales=(1, 0.875, 0.75, 0.66), random_crop=False,
-         max_wh_scale_gap=1),
+    dict(type="RandomResizedCrop"),
     dict(type="Resize", scale=(224, 224), keep_ratio=False),
     dict(type="Flip", flip_ratio=0.5),
-    dict(type="Normalize", **img_norm_cfg),
+    dict(type="Normalize", mean=[123.675, 116.28, 103.53], std=[58.395,
+         57.12, 57.375], to_bgr=False),
     dict(type="FormatShape", input_format="NCHW"),
 ]
 val_pipeline = [
-    dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=25, test_mode=True),
+    dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=3,
+         test_mode=True),
     dict(type="RawFrameDecode"),
     dict(type="Resize", scale=(-1, 256)),
-    dict(type="CenterCrop", crop_size=224),
-    dict(type="Normalize", **img_norm_cfg),
+    dict(type="CenterCrop", crop_size=256),
+    dict(type="Flip", flip_ratio=0),
+    dict(type="Normalize", mean=[123.675, 116.28, 103.53], std=[58.395,
+         57.12, 57.375], to_bgr=False),
     dict(type="FormatShape", input_format="NCHW"),
 ]
 test_pipeline = [
-    dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=25, test_mode=True),
+    dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=25,
+         test_mode=True),
     dict(type="RawFrameDecode"),
     dict(type="Resize", scale=(-1, 256)),
-    dict(type="TenCrop", crop_size=224),
-    dict(type="Normalize", **img_norm_cfg),
+    dict(type="ThreeCrop", crop_size=256),
+    dict(type="Flip", flip_ratio=0),
+    dict(type="Normalize", mean=[123.675, 116.28, 103.53], std=[58.395,
+         57.12, 57.375], to_bgr=False),
     dict(type="FormatShape", input_format="NCHW"),
 ]
 

@@ -10,14 +10,12 @@ img_norm_cfg = dict(mean=[128, 128], std=[128, 128])
 
 train_pipeline = [
     dict(type="SampleFrames", clip_len=5, frame_interval=1, num_clips=8),
-    dict(type="RawFrameDecode"),
+    dict(type="FrameSelector"),
     dict(type="Resize", scale=(-1, 256)),
-    dict(type="MultiScaleCrop", input_size=224,
-         scales=(1, 0.875, 0.75, 0.66), random_crop=False,
-         max_wh_scale_gap=1),
+    dict(type="RandomResizedCrop"),
     dict(type="Resize", scale=(224, 224), keep_ratio=False),
     dict(type="Flip", flip_ratio=0.5),
-    dict(type="Normalize", **img_norm_cfg),
+    dict(type="Normalize", mean=[128, 128], std=[128, 128], to_bgr=False),
     dict(type="FormatShape", input_format="NCHW_Flow"),
 ]
 val_pipeline = [
@@ -32,10 +30,11 @@ val_pipeline = [
 test_pipeline = [
     dict(type="SampleFrames", clip_len=5, frame_interval=1, num_clips=25,
          test_mode=True),
-    dict(type="RawFrameDecode"),
+    dict(type="FrameSelector"),
     dict(type="Resize", scale=(-1, 256)),
-    dict(type="ThreeCrop", crop_size=256),
-    dict(type="Normalize", **img_norm_cfg),
+    dict(type="TenCrop", crop_size=224),
+    dict(type="Flip", flip_ratio=0),
+    dict(type="Normalize", mean=[128, 128], std=[128, 128], to_bgr=False),
     dict(type="FormatShape", input_format="NCHW_Flow"),
 ]
 

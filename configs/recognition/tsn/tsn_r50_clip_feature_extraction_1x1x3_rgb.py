@@ -15,11 +15,14 @@ img_norm_cfg = dict(mean=[123.675, 116.28, 103.53],
                     std=[58.395, 57.12, 57.375], to_bgr=False)
 
 test_pipeline = [
-    dict(type="UntrimmedSampleFrames", clip_len=1, frame_interval=16),
-    dict(type="RawFrameDecode"),
+    dict(type="DecordInit", num_threads=1),
+    dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=25,
+         test_mode=True),
+    dict(type="DecordDecode"),
     dict(type="Resize", scale=(-1, 256)),
     dict(type="CenterCrop", crop_size=256),
-    dict(type="Normalize", **img_norm_cfg),
+    dict(type="Normalize", mean=[123.675, 116.28, 103.53], std=[58.395,
+         57.12, 57.375], to_bgr=False),
     dict(type="FormatShape", input_format="NCHW"),
 ]
 

@@ -7,34 +7,38 @@ img_norm_cfg = dict(mean=[123.675, 116.28, 103.53],
                     std=[58.395, 57.12, 57.375], to_bgr=False)
 
 train_pipeline = [
-    dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=16),
     dict(type="DecordInit"),
+    dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=8),
     dict(type="DecordDecode"),
     dict(type="Resize", scale=(-1, 256)),
-    dict(type="MultiScaleCrop", input_size=224,
-         scales=(1, 0.875, 0.75, 0.66), random_crop=False,
-         max_wh_scale_gap=1),
+    dict(type="MultiScaleCrop", input_size=224, scales=(1, 0.875, 0.75,
+         0.66), random_crop=False, max_wh_scale_gap=1),
     dict(type="Resize", scale=(224, 224), keep_ratio=False),
     dict(type="Flip", flip_ratio=0.5),
-    dict(type="Normalize", **img_norm_cfg),
+    dict(type="Normalize", mean=[123.675, 116.28, 103.53], std=[58.395,
+         57.12, 57.375], to_bgr=False),
     dict(type="FormatShape", input_format="NCHW"),
 ]
 val_pipeline = [
-    dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=16, test_mode=True),
     dict(type="DecordInit"),
+    dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=8,
+         test_mode=True),
     dict(type="DecordDecode"),
     dict(type="Resize", scale=(-1, 256)),
     dict(type="CenterCrop", crop_size=224),
-    dict(type="Normalize", **img_norm_cfg),
+    dict(type="Normalize", mean=[123.675, 116.28, 103.53], std=[58.395,
+         57.12, 57.375], to_bgr=False),
     dict(type="FormatShape", input_format="NCHW"),
 ]
 test_pipeline = [
-    dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=16, test_mode=True),
     dict(type="DecordInit"),
+    dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=8,
+         test_mode=True),
     dict(type="DecordDecode"),
     dict(type="Resize", scale=(-1, 256)),
-    dict(type="TenCrop", crop_size=224),
-    dict(type="Normalize", **img_norm_cfg),
+    dict(type="CenterCrop", crop_size=224),
+    dict(type="Normalize", mean=[123.675, 116.28, 103.53], std=[58.395,
+         57.12, 57.375], to_bgr=False),
     dict(type="FormatShape", input_format="NCHW"),
 ]
 

@@ -29,12 +29,14 @@ val_pipeline = [
     dict(type="FormatShape", input_format="NCHW"),
 ]
 test_pipeline = [
-    dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=8, test_mode=True),
     dict(type="DecordInit"),
+    dict(type="SampleFrames", clip_len=1, frame_interval=1, num_clips=8,
+         test_mode=True),
     dict(type="DecordDecode"),
     dict(type="Resize", scale=(-1, 256)),
-    dict(type="TenCrop", crop_size=224),
-    dict(type="Normalize", **img_norm_cfg),
+    dict(type="CenterCrop", crop_size=224),
+    dict(type="Normalize", mean=[123.675, 116.28, 103.53], std=[58.395,
+         57.12, 57.375], to_bgr=False),
     dict(type="FormatShape", input_format="NCHW"),
 ]
 

@@ -26,3 +26,20 @@ model = dict(
 work_dir = "./work_dirs/AIM_flash_base_diving48"
 
 data = dict(videos_per_gpu=64)  # reference batch
+
+# Reference pipeline fidelity overrides: the merged
+# reference AIM_flash_base_diving48.py pipelines (values regenerated; the
+# device-stage Normalize is kept where the reference
+# normalizes in the model instead)
+_d = globals().get("data") or {}
+data = dict(_d)
+data["val"] = dict(_d.get("val") or {}, pipeline=[
+    dict(type="FusedDecordInit", fast_rcc=True, cc_params=(224,)),
+    dict(type="SampleFrames", clip_len=32, frame_interval=16,
+         num_clips=1, frame_uniform=True, test_mode=True),
+    dict(type="DecordDecode"),
+    dict(type="Normalize", mean=[122.769, 116.74, 104.04], std=[68.493,
+         66.63, 70.321], to_bgr=False),
+    dict(type="FormatShape", input_format="NCTHW"),
+])
+del _d

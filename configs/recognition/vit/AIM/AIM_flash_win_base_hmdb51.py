@@ -27,3 +27,41 @@ work_dir = "./work_dirs/AIM_flash_win_base_hmdb51"
 data = dict(videos_per_gpu=16)  # reference batch
 
 total_epochs = 30  # reference schedule (the vitclip hmdb51 base uses 20)
+
+# Reference pipeline fidelity overrides: the merged
+# reference AIM_flash_win_base_hmdb51.py pipelines (values regenerated; the
+# device-stage Normalize is kept where the reference
+# normalizes in the model instead)
+_d = globals().get("data") or {}
+data = dict(_d)
+data["train"] = dict(_d.get("train") or {}, pipeline=[
+    dict(type="FusedDecordInit", fast_rrc=True, rrc_params=(224, (0.4,
+         1.0)), hflip_prob=0.5),
+    dict(type="SampleFrames", clip_len=16, frame_interval=4, num_clips=1,
+         frame_uniform=True),
+    dict(type="DecordDecode"),
+    dict(type="Normalize", mean=[122.769, 116.74, 104.04], std=[68.493,
+         66.63, 70.321], to_bgr=False),
+    dict(type="FormatShape", input_format="NCTHW"),
+])
+data["val"] = dict(_d.get("val") or {}, pipeline=[
+    dict(type="FusedDecordInit", fast_rcc=True, cc_params=(224,)),
+    dict(type="SampleFrames", clip_len=16, frame_interval=4, num_clips=1,
+         frame_uniform=True, test_mode=True),
+    dict(type="DecordDecode"),
+    dict(type="Normalize", mean=[122.769, 116.74, 104.04], std=[68.493,
+         66.63, 70.321], to_bgr=False),
+    dict(type="FormatShape", input_format="NCTHW"),
+])
+data["test"] = dict(_d.get("test") or {}, pipeline=[
+    dict(type="DecordInit"),
+    dict(type="SampleFrames", clip_len=16, frame_interval=4, num_clips=1,
+         frame_uniform=True, test_mode=True),
+    dict(type="DecordDecode"),
+    dict(type="Resize", scale=(-1, 224)),
+    dict(type="ThreeCrop", crop_size=224),
+    dict(type="Normalize", mean=[122.769, 116.74, 104.04], std=[68.493,
+         66.63, 70.321], to_bgr=False),
+    dict(type="FormatShape", input_format="NCTHW"),
+])
+del _d

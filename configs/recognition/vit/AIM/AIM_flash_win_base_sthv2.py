@@ -29,15 +29,15 @@ model = dict(
 img_norm_cfg = dict(
     mean=[122.769, 116.74, 104.04], std=[68.493, 66.63, 70.321], to_bgr=False)
 train_pipeline = [
-    dict(type="DecordInit"),
+    dict(type="FusedDecordInit", fast_rrc=True, rrc_params=(224, (0.4,
+         1.0)), hflip_prob=0.5),
     dict(type="SampleFrames", clip_len=32, frame_interval=4, num_clips=1,
          frame_uniform=True),
     dict(type="DecordDecode"),
-    dict(type="Resize", scale=(-1, 256)),
-    dict(type="RandomResizedCrop"),
-    dict(type="Resize", scale=(224, 224), keep_ratio=False),
-    dict(type="Flip", flip_ratio=0),
-    dict(type="Normalize", **img_norm_cfg),
+    dict(type="Imgaug", transforms=[dict(type="RandAugment", n=4, m=7)]),
+    dict(type="RandomErasing", probability=0.25),
+    dict(type="Normalize", mean=[122.769, 116.74, 104.04], std=[68.493,
+         66.63, 70.321], to_bgr=False),
     dict(type="FormatShape", input_format="NCTHW"),
 ]
 test_pipeline = [
@@ -57,3 +57,20 @@ data = dict(
     test=dict(pipeline=test_pipeline),
 )
 work_dir = "./work_dirs/AIM_flash_win_base_sthv2"
+
+# Reference pipeline fidelity overrides: the merged
+# reference AIM_flash_win_base_sthv2.py pipelines (values regenerated; the
+# device-stage Normalize is kept where the reference
+# normalizes in the model instead)
+_d = globals().get("data") or {}
+data = dict(_d)
+data["val"] = dict(_d.get("val") or {}, pipeline=[
+    dict(type="FusedDecordInit", fast_rcc=True, cc_params=(224,)),
+    dict(type="SampleFrames", clip_len=32, frame_interval=4, num_clips=1,
+         frame_uniform=True, test_mode=True),
+    dict(type="DecordDecode"),
+    dict(type="Normalize", mean=[122.769, 116.74, 104.04], std=[68.493,
+         66.63, 70.321], to_bgr=False),
+    dict(type="FormatShape", input_format="NCTHW"),
+])
+del _d

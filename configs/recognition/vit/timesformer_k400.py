@@ -48,3 +48,23 @@ data = dict(
 )
 optimizer = dict(weight_decay=5e-6)
 work_dir = "./work_dirs/timesformer_k400"
+
+# Reference pipeline fidelity overrides: the merged
+# reference timesformer_k400.py pipelines (values regenerated; the
+# device-stage Normalize is kept where the reference
+# normalizes in the model instead)
+_d = globals().get("data") or {}
+data = dict(_d)
+data["val"] = dict(_d.get("val") or {}, pipeline=[
+    dict(type="DecordInit"),
+    dict(type="SampleFrames", clip_len=8, frame_interval=16, num_clips=1,
+         test_mode=True),
+    dict(type="DecordDecode"),
+    dict(type="Resize", scale=(-1, 256)),
+    dict(type="CenterCrop", crop_size=224),
+    dict(type="Flip", flip_ratio=0),
+    dict(type="Normalize", mean=[122.769, 116.74, 104.04], std=[68.493,
+         66.63, 70.321], to_bgr=False),
+    dict(type="FormatShape", input_format="NCTHW"),
+])
+del _d

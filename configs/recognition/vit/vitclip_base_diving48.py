@@ -27,11 +27,15 @@ train_pipeline = [
     dict(type="FormatShape", input_format="NCTHW"),
 ]
 test_pipeline = [
-    dict(type="FusedDecordInit", fast_rcc=True, cc_params=(224,)),
-    dict(type="SampleFrames", clip_len=32, frame_interval=16, num_clips=1,
-         frame_uniform=True, test_mode=True),
+    dict(type="DecordInit"),
+    dict(type="SampleFrames", clip_len=32, frame_interval=16,
+         num_clips=1, frame_uniform=True, test_mode=True),
     dict(type="DecordDecode"),
-    dict(type="Normalize", **img_norm_cfg),
+    dict(type="Resize", scale=(-1, 224)),
+    dict(type="ThreeCrop", crop_size=224),
+    dict(type="Flip", flip_ratio=0),
+    dict(type="Normalize", mean=[122.769, 116.74, 104.04], std=[68.493,
+         66.63, 70.321], to_bgr=False),
     dict(type="FormatShape", input_format="NCTHW"),
 ]
 
@@ -46,3 +50,20 @@ data = dict(
 )
 total_epochs = 50
 work_dir = "./work_dirs/vitclip_base_diving48"
+
+# Reference pipeline fidelity overrides: the merged
+# reference vitclip_base_diving48.py pipelines (values regenerated; the
+# device-stage Normalize is kept where the reference
+# normalizes in the model instead)
+_d = globals().get("data") or {}
+data = dict(_d)
+data["val"] = dict(_d.get("val") or {}, pipeline=[
+    dict(type="FusedDecordInit", fast_rcc=True, cc_params=(224,)),
+    dict(type="SampleFrames", clip_len=32, frame_interval=16,
+         num_clips=1, frame_uniform=True, test_mode=True),
+    dict(type="DecordDecode"),
+    dict(type="Normalize", mean=[122.769, 116.74, 104.04], std=[68.493,
+         66.63, 70.321], to_bgr=False),
+    dict(type="FormatShape", input_format="NCTHW"),
+])
+del _d

@@ -15,23 +15,26 @@ img_norm_cfg = dict(
 
 train_pipeline = [
     dict(type="DecordInit"),
-    dict(type="SampleFrames", clip_len=32, frame_interval=16, num_clips=1),
+    dict(type="SampleFrames", clip_len=8, frame_interval=16, num_clips=1),
     dict(type="DecordDecode"),
     dict(type="Resize", scale=(-1, 256)),
     dict(type="RandomResizedCrop"),
     dict(type="Resize", scale=(224, 224), keep_ratio=False),
     dict(type="Flip", flip_ratio=0.5),
-    dict(type="Normalize", **img_norm_cfg),
+    dict(type="Normalize", mean=[122.769, 116.74, 104.04], std=[68.493,
+         66.63, 70.321], to_bgr=False),
     dict(type="FormatShape", input_format="NCTHW"),
 ]
 test_pipeline = [
     dict(type="DecordInit"),
-    dict(type="SampleFrames", clip_len=32, frame_interval=16, num_clips=3,
+    dict(type="SampleFrames", clip_len=8, frame_interval=16, num_clips=3,
          test_mode=True),
     dict(type="DecordDecode"),
-    dict(type="Resize", scale=(-1, 256)),
-    dict(type="ThreeCrop", crop_size=256),
-    dict(type="Normalize", **img_norm_cfg),
+    dict(type="Resize", scale=(-1, 224)),
+    dict(type="ThreeCrop", crop_size=224),
+    dict(type="Flip", flip_ratio=0),
+    dict(type="Normalize", mean=[122.769, 116.74, 104.04], std=[68.493,
+         66.63, 70.321], to_bgr=False),
     dict(type="FormatShape", input_format="NCTHW"),
 ]
 
@@ -44,3 +47,23 @@ data = dict(
               pipeline=test_pipeline),
 )
 work_dir = "./work_dirs/vitclip_base_k700"
+
+# Reference pipeline fidelity overrides: the merged
+# reference vitclip_base_k700.py pipelines (values regenerated; the
+# device-stage Normalize is kept where the reference
+# normalizes in the model instead)
+_d = globals().get("data") or {}
+data = dict(_d)
+data["val"] = dict(_d.get("val") or {}, pipeline=[
+    dict(type="DecordInit"),
+    dict(type="SampleFrames", clip_len=8, frame_interval=16, num_clips=1,
+         test_mode=True),
+    dict(type="DecordDecode"),
+    dict(type="Resize", scale=(-1, 256)),
+    dict(type="CenterCrop", crop_size=224),
+    dict(type="Flip", flip_ratio=0),
+    dict(type="Normalize", mean=[122.769, 116.74, 104.04], std=[68.493,
+         66.63, 70.321], to_bgr=False),
+    dict(type="FormatShape", input_format="NCTHW"),
+])
+del _d

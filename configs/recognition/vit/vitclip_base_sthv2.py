@@ -35,7 +35,10 @@ train_pipeline = [
     dict(type="RandomResizedCrop"),
     dict(type="Resize", scale=(224, 224), keep_ratio=False),
     dict(type="Flip", flip_ratio=0),
-    dict(type="Normalize", **img_norm_cfg),
+    dict(type="Imgaug", transforms=[dict(type="RandAugment", n=4, m=7)]),
+    dict(type="Normalize", mean=[122.769, 116.74, 104.04], std=[68.493,
+         66.63, 70.321], to_bgr=False),
+    dict(type="RandomErasing", probability=0.25),
     dict(type="FormatShape", input_format="NCTHW"),
 ]
 val_pipeline = [

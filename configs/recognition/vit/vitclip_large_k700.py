@@ -64,3 +64,23 @@ optimizer = dict(paramwise_cfg=dict(custom_keys={
     "backbone_module": dict(lr_mult=0.1),
 }))
 work_dir = "./work_dirs/vitclip_large_k700"
+
+# Reference pipeline fidelity overrides: the merged
+# reference vitclip_large_k700.py pipelines (values regenerated; the
+# device-stage Normalize is kept where the reference
+# normalizes in the model instead)
+_d = globals().get("data") or {}
+data = dict(_d)
+data["val"] = dict(_d.get("val") or {}, pipeline=[
+    dict(type="DecordInit"),
+    dict(type="SampleFrames", clip_len=32, frame_interval=4, num_clips=1,
+         test_mode=True),
+    dict(type="DecordDecode"),
+    dict(type="Resize", scale=(-1, 256)),
+    dict(type="CenterCrop", crop_size=224),
+    dict(type="Flip", flip_ratio=0),
+    dict(type="Normalize", mean=[122.769, 116.74, 104.04], std=[68.493,
+         66.63, 70.321], to_bgr=False),
+    dict(type="FormatShape", input_format="NCTHW"),
+])
+del _d

@@ -40,3 +40,21 @@ data = dict(
     ]),
 )
 work_dir = "./work_dirs/x3d_s_13x6x1_facebook_kinetics400_rgb"
+
+# Reference pipeline fidelity overrides: the merged
+# reference x3d_s_13x6x1_facebook_kinetics400_rgb.py pipelines (values regenerated; the
+# device-stage Normalize is kept where the reference
+# normalizes in the model instead)
+_d = globals().get("data") or {}
+data = dict(_d)
+data["test"] = dict(_d.get("test") or {}, pipeline=[
+    dict(type="SampleFrames", clip_len=13, frame_interval=6,
+         num_clips=10, test_mode=True),
+    dict(type="RawFrameDecode"),
+    dict(type="Resize", scale=(-1, 192)),
+    dict(type="CenterCrop", crop_size=192),
+    dict(type="Normalize", mean=[114.75, 114.75, 114.75], std=[57.38,
+         57.38, 57.38], to_bgr=False),
+    dict(type="FormatShape", input_format="NCTHW"),
+])
+del _d

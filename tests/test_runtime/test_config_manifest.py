@@ -180,3 +180,130 @@ def test_delete_marker_never_leaks(tmp_path):
     cfg = Config.fromfile(str(child))
     assert cfg["d"] == dict(sub=dict(z=4))
     assert cfg["e"] == dict(sub=dict(w=5))
+
+
+# pipeline-geometry projection: per step type, the keys that change what
+# the model sees (the 320p recipes shipped Resize(-1, 320) against the
+# reference's (-1, 256) and nothing caught it — values below are compared
+# for every shared-basename recipe)
+_PIPE_KEYS = {
+    "SampleFrames": ("clip_len", "frame_interval", "num_clips",
+                     "twice_sample", "frame_uniform"),
+    "DenseSampleFrames": ("clip_len", "frame_interval", "num_clips",
+                          "sample_range", "num_sample_positions"),
+    "UntrimmedSampleFrames": ("clip_len", "frame_interval"),
+    "SampleAVAFrames": ("clip_len", "frame_interval"),
+    "UniformSampleFrames": ("clip_len", "num_clips"),
+    "SampleProposalFrames": ("clip_len", "body_segments", "aug_segments",
+                             "aug_ratio"),
+    "Resize": ("scale", "keep_ratio"),
+    "RandomResizedCrop": ("area_range", "aspect_ratio_range"),
+    "MultiScaleCrop": ("input_size", "scales", "max_wh_scale_gap",
+                       "random_crop", "num_fixed_crops"),
+    "RandomCrop": ("size",),
+    "CenterCrop": ("crop_size",),
+    "ThreeCrop": ("crop_size",),
+    "TenCrop": ("crop_size",),
+    "Flip": ("flip_ratio", "direction"),
+    "Normalize": ("mean", "std", "to_bgr"),
+    "FormatShape": ("input_format",),
+    "ColorJitter": ("brightness", "contrast", "saturation", "hue"),
+    "RandomErasing": ("erase_prob",),
+}
+
+
+def _norm(v):
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+# defaults filled in when a config omits the key (one side writing the
+# default explicitly must not read as a mismatch)
+_PIPE_DEFAULTS = {
+    ("Normalize", "to_bgr"): False,
+    ("Resize", "keep_ratio"): True,
+    ("Flip", "direction"): "horizontal",
+    ("SampleFrames", "num_clips"): 1,
+    ("SampleFrames", "frame_interval"): 1,
+    ("SampleFrames", "twice_sample"): False,
+    ("SampleFrames", "frame_uniform"): False,
+    ("UntrimmedSampleFrames", "frame_interval"): 16,
+    ("SampleAVAFrames", "frame_interval"): 2,
+    ("UniformSampleFrames", "num_clips"): 1,
+}
+
+
+def _pipe_signature(pipeline):
+    sig = []
+    for step in pipeline or ():
+        t = step.get("type")
+        if t not in _PIPE_KEYS:
+            continue
+        if t == "Flip" and not step.get("flip_ratio", 0.5):
+            continue  # flip_ratio=0 is a no-op step (reference writes it)
+        kv = []
+        for k in _PIPE_KEYS[t]:
+            if (t, k) == ("Resize", "keep_ratio") and isinstance(
+                    step.get("scale"), (tuple, list)) and -1 not in tuple(
+                    step["scale"]):
+                # documented equivalence: the repo's compiled pipeline
+                # resizes fixed (W, H) scales exactly (static shapes);
+                # the reference's keep_ratio=True max-bound rescale
+                # differs by <=1 px on the standard prepared sources
+                continue
+            v = step.get(k, _PIPE_DEFAULTS.get((t, k)))
+            if v is not None:
+                kv.append((k, _norm(v)))
+        sig.append((t, tuple(kv)))
+    return sig
+
+
+def test_reference_config_pipeline_fidelity():
+    """Shared-basename recipes must carry the REFERENCE's pipeline
+    geometry: sampling, resize scales, crop sizes/areas, flip ratio,
+    normalization, FormatShape — projected per step type and compared for
+    all three splits."""
+    from adapt_image_models_tpu.config import Config
+    ref = "/root/reference/configs"
+    if not osp.isdir(ref):
+        import pytest
+        pytest.skip("reference tree not available")
+    repo_by_base = {}
+    for p in glob.glob(osp.join(REPO, "configs", "**", "*.py"),
+                       recursive=True):
+        repo_by_base.setdefault(osp.basename(p), p)
+    mismatches, compared = [], 0
+    for rp in sorted(glob.glob(osp.join(ref, "**", "*.py"), recursive=True)):
+        if "_base_" in rp.split(osp.sep):
+            continue
+        try:
+            rc = Config.fromfile(rp)
+        except FileNotFoundError:
+            continue  # the known broken-_base_ reference file
+        mc = Config.fromfile(repo_by_base[osp.basename(rp)])
+        for split in ("train", "val", "test"):
+            r_ds = (rc.get("data") or {}).get(split)
+            m_ds = (mc.get("data") or {}).get(split)
+            if not isinstance(r_ds, dict) or not isinstance(m_ds, dict):
+                continue
+            rs = _pipe_signature(r_ds.get("pipeline"))
+            ms = _pipe_signature(m_ds.get("pipeline"))
+            if not any(t == "Normalize" for t, _ in rs):
+                # reference recipes that normalize in the MODEL
+                # (GPUNormalize, vitclip_base_diving48.py:13) carry no
+                # pipeline Normalize; this repo always normalizes in the
+                # jitted device stage and documents the stats as an
+                # explicit pipeline step — same place, same math
+                ms = [s for s in ms if s[0] != "Normalize"]
+            if rs != ms:
+                diff = [f"  ref : {a}\n  repo: {b}"
+                        for a, b in zip(rs, ms) if a != b]
+                if len(rs) != len(ms):
+                    diff.append(f"  step counts {len(rs)} vs {len(ms)}")
+                mismatches.append(
+                    f"{osp.basename(rp)}[{split}]:\n" + "\n".join(diff))
+            compared += 1
+    assert compared > 500, f"only compared {compared} split pipelines"
+    assert not mismatches, (f"{len(mismatches)} pipeline mismatches:\n"
+                            + "\n".join(mismatches[:20]))
