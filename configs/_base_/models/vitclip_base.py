@@ -1,10 +1,12 @@
-# Frozen CLIP ViT-B/16 + AIM adapters (parity: reference
-# configs/_base_/models/vitclip_base.py; backbone type AIM = the canonical
-# adapter block, reference mmaction/models/backbones/vitclip_aim.py:341)
+# Frozen CLIP ViT-B/16 base model (parity: reference
+# configs/_base_/models/vitclip_base.py — backbone type ViT_CLIP, the
+# fork's cls-temporal + lambda-blend variant, vit_clip.py:328; the
+# canonical AIM recipes override type='AIM' per file like the reference's
+# configs/recognition/vit/AIM/*.py do)
 model = dict(
     type="Recognizer3D",
     backbone=dict(
-        type="AIM",
+        type="ViT_CLIP",
         input_resolution=224,
         patch_size=16,
         num_frames=32,

@@ -31,3 +31,14 @@ total_epochs = 10
 work_dir = "./work_dirs/slowonly_nl_kinetics_pretrained_r50_4x16x1_10e_ava_rgb"
 
 optimizer = dict(lr=0.3)  # reference schedule
+
+# Reference hyperparameter fidelity overrides (merged
+# reference slowonly_nl_kinetics_pretrained_r50_4x16x1_10e_ava_rgb.py values; generated)
+_t = dict(globals().get('optimizer') or {})
+_t['weight_decay'] = 1e-06
+optimizer = _t
+_t = dict(globals().get('lr_config') or {})
+_t['step'] = [4, 6, 8]
+_t['warmup_iters'] = 800
+lr_config = _t
+del _t

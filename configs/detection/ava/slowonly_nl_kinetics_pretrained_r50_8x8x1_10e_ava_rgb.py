@@ -49,3 +49,14 @@ data["test"] = dict(_d.get("test") or {}, pipeline=[
     dict(type="ToDataContainer", fields=[dict(key="proposals", stack=False)]),
 ])
 del _d
+
+# Reference hyperparameter fidelity overrides (merged
+# reference slowonly_nl_kinetics_pretrained_r50_8x8x1_10e_ava_rgb.py values; generated)
+_t = dict(globals().get('optimizer') or {})
+_t['weight_decay'] = 1e-06
+optimizer = _t
+_t = dict(globals().get('lr_config') or {})
+_t['step'] = [4, 6, 8]
+_t['warmup_iters'] = 1600
+lr_config = _t
+del _t

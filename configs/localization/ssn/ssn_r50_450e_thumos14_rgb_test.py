@@ -17,3 +17,18 @@ data = dict(
 )
 optimizer = None
 total_epochs = None
+
+# Reference hyperparameter fidelity overrides (merged
+# reference ssn_r50_450e_thumos14_rgb_test.py values; generated)
+_t = dict(globals().get('optimizer') or {})
+_t['type'] = 'SGD'
+_t['lr'] = 0.001
+_t['momentum'] = 0.9
+_t['weight_decay'] = 1e-06
+optimizer = _t
+total_epochs = 450
+_t = dict(globals().get('optimizer_config') or {})
+_t['grad_clip'] = dict(_t.get('grad_clip') or {})
+_t['grad_clip']['max_norm'] = 35
+optimizer_config = _t
+del _t

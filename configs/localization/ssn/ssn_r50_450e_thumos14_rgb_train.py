@@ -98,3 +98,11 @@ data["val"] = dict(_d.get("val") or {}, pipeline=[
     dict(type="FormatShape", input_format="NPTCHW"),
 ])
 del _d
+
+# Reference hyperparameter fidelity overrides (merged
+# reference ssn_r50_450e_thumos14_rgb_train.py values; generated)
+_t = dict(globals().get('optimizer_config') or {})
+_t['grad_clip'] = dict(_t.get('grad_clip') or {})
+_t['grad_clip']['max_norm'] = 35
+optimizer_config = _t
+del _t

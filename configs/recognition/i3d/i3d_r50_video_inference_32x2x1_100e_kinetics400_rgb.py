@@ -28,3 +28,10 @@ data = dict(
               data_prefix="data/kinetics400/videos_val",
               pipeline=test_pipeline),
 )
+
+# Reference hyperparameter fidelity overrides (merged
+# reference i3d_r50_video_inference_32x2x1_100e_kinetics400_rgb.py values; generated)
+_t = dict(globals().get('data') or {})
+_t['videos_per_gpu'] = 1
+data = _t
+del _t

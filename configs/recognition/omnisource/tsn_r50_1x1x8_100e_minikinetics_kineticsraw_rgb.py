@@ -47,3 +47,11 @@ data = dict(
 )
 
 work_dir = "./work_dirs/tsn_r50_1x1x8_100e_minikinetics_kineticsraw_rgb"
+
+# Reference hyperparameter fidelity overrides (merged
+# reference tsn_r50_1x1x8_100e_minikinetics_kineticsraw_rgb.py values; generated)
+_t = dict(globals().get('lr_config') or {})
+_t['policy'] = 'step'
+_t['step'] = [40, 80]
+lr_config = _t
+del _t

@@ -80,3 +80,11 @@ data["test"] = dict(_d.get("test") or {}, pipeline=[
     dict(type="FormatShape", input_format="NCTHW"),
 ])
 del _d
+
+# Reference hyperparameter fidelity overrides (merged
+# reference r2plus1d_r34_32x2x1_180e_kinetics400_rgb.py values; generated)
+_t = dict(globals().get('model') or {})
+_t['backbone'] = dict(_t.get('backbone') or {})
+_t['backbone']['depth'] = 34
+model = _t
+del _t

@@ -66,3 +66,11 @@ lr_config = dict(policy="CosineAnnealing", min_lr=0)
 total_epochs = 180
 checkpoint_config = dict(interval=5)
 work_dir = "./work_dirs/r2plus1d_r34_8x8x1_180e_kinetics400_rgb"
+
+# Reference hyperparameter fidelity overrides (merged
+# reference r2plus1d_r34_8x8x1_180e_kinetics400_rgb.py values; generated)
+_t = dict(globals().get('model') or {})
+_t['backbone'] = dict(_t.get('backbone') or {})
+_t['backbone']['depth'] = 34
+model = _t
+del _t

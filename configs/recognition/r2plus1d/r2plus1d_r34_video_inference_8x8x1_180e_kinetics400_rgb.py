@@ -25,3 +25,10 @@ data = dict(
               data_prefix="data/kinetics400/videos_val",
               pipeline=test_pipeline),
 )
+
+# Reference hyperparameter fidelity overrides (merged
+# reference r2plus1d_r34_video_inference_8x8x1_180e_kinetics400_rgb.py values; generated)
+_t = dict(globals().get('data') or {})
+_t['videos_per_gpu'] = 1
+data = _t
+del _t

@@ -18,3 +18,11 @@ total_epochs = 120
 work_dir = "./work_dirs/slowonly_imagenet_pretrained_r50_4x16x1_120e_gym99_rgb"
 
 optimizer = dict(lr=0.03)  # reference schedule
+
+# Reference hyperparameter fidelity overrides (merged
+# reference slowonly_imagenet_pretrained_r50_4x16x1_120e_gym99_rgb.py values; generated)
+_t = dict(globals().get('lr_config') or {})
+_t['policy'] = 'step'
+_t['step'] = [90, 110]
+lr_config = _t
+del _t

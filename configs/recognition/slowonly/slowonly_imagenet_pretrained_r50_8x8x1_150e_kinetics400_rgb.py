@@ -9,3 +9,13 @@ total_epochs = 150
 work_dir = "./work_dirs/slowonly_imagenet_pretrained_r50_8x8x1_150e_kinetics400_rgb"
 
 optimizer = dict(lr=0.01)  # reference schedule
+
+# Reference hyperparameter fidelity overrides (merged
+# reference slowonly_imagenet_pretrained_r50_8x8x1_150e_kinetics400_rgb.py values; generated)
+_t = dict(globals().get('lr_config') or {})
+_t['policy'] = 'step'
+_t['step'] = [90, 130]
+_t['warmup'] = 'linear'
+_t['warmup_iters'] = 10
+lr_config = _t
+del _t

@@ -60,3 +60,11 @@ data["test"] = dict(_d.get("test") or {}, pipeline=[
     dict(type="FormatShape", input_format="NCTHW"),
 ])
 del _d
+
+# Reference hyperparameter fidelity overrides (merged
+# reference slowonly_kinetics_pretrained_r50_4x16x1_120e_gym99_flow.py values; generated)
+_t = dict(globals().get('lr_config') or {})
+_t['policy'] = 'step'
+_t['step'] = [90, 110]
+lr_config = _t
+del _t

@@ -68,3 +68,11 @@ lr_config = dict(policy="CosineAnnealing", min_lr=0)
 total_epochs = 256
 checkpoint_config = dict(interval=4)
 work_dir = "./work_dirs/slowonly_r50_4x16x1_256e_kinetics400_flow"
+
+# Reference hyperparameter fidelity overrides (merged
+# reference slowonly_r50_4x16x1_256e_kinetics400_flow.py values; generated)
+_t = dict(globals().get('lr_config') or {})
+_t['warmup'] = 'linear'
+_t['warmup_iters'] = 34
+lr_config = _t
+del _t

@@ -26,3 +26,10 @@ data = dict(
               data_prefix="data/ActivityNet/rawframes",
               pipeline=test_pipeline),
 )
+
+# Reference hyperparameter fidelity overrides (merged
+# reference slowonly_r50_clip_feature_extraction_4x16x1_rgb.py values; generated)
+_t = dict(globals().get('data') or {})
+_t['videos_per_gpu'] = 1
+data = _t
+del _t

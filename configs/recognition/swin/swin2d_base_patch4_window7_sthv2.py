@@ -91,3 +91,4 @@ checkpoint_config = dict(interval=1)
 log_config = dict(interval=20)
 
 work_dir = "./work_dirs/swin2d_base_patch4_window7_sthv2"
+

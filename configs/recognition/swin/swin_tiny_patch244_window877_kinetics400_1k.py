@@ -86,3 +86,10 @@ checkpoint_config = dict(interval=1)
 log_config = dict(interval=20)
 
 work_dir = "./work_dirs/swin_tiny_patch244_window877_kinetics400_1k"
+
+# Reference hyperparameter fidelity overrides (merged
+# reference swin_tiny_patch244_window877_kinetics400_1k.py values; generated)
+_t = dict(globals().get('optimizer') or {})
+_t['weight_decay'] = 0.02
+optimizer = _t
+del _t

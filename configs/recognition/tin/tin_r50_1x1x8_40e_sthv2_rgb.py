@@ -10,3 +10,10 @@ data = dict(
               data_prefix="data/sthv2/rawframes"),
 )
 work_dir = "./work_dirs/tin_r50_1x1x8_40e_sthv2_rgb"
+
+# Reference hyperparameter fidelity overrides (merged
+# reference tin_r50_1x1x8_40e_sthv2_rgb.py values; generated)
+_t = dict(globals().get('lr_config') or {})
+_t['min_lr'] = 0
+lr_config = _t
+del _t

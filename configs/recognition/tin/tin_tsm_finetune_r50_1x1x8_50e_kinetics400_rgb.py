@@ -40,3 +40,14 @@ data["train"] = dict(_d.get("train") or {}, pipeline=[
     dict(type="FormatShape", input_format="NCHW"),
 ])
 del _d
+
+# Reference hyperparameter fidelity overrides (merged
+# reference tin_tsm_finetune_r50_1x1x8_50e_kinetics400_rgb.py values; generated)
+_t = dict(globals().get('optimizer') or {})
+_t['weight_decay'] = 0.0001
+optimizer = _t
+_t = dict(globals().get('lr_config') or {})
+_t['policy'] = 'step'
+_t['step'] = [20, 40]
+lr_config = _t
+del _t

@@ -72,3 +72,10 @@ lr_config = dict(policy="step", step=[20, 40])
 total_epochs = 50
 checkpoint_config = dict(interval=1)
 work_dir = "./work_dirs/trn_r50_1x1x8_50e_sthv2_rgb"
+
+# Reference hyperparameter fidelity overrides (merged
+# reference trn_r50_1x1x8_50e_sthv2_rgb.py values; generated)
+_t = dict(globals().get('lr_config') or {})
+_t['step'] = [30, 45]
+lr_config = _t
+del _t

@@ -63,3 +63,13 @@ data["test"] = dict(_d.get("test") or {}, pipeline=[
     dict(type="FormatShape", input_format="NCHW"),
 ])
 del _d
+
+# Reference hyperparameter fidelity overrides (merged
+# reference tsm_mobilenetv2_dense_1x1x8_100e_kinetics400_rgb.py values; generated)
+_t = dict(globals().get('optimizer') or {})
+_t['weight_decay'] = 2e-05
+optimizer = _t
+_t = dict(globals().get('lr_config') or {})
+_t['step'] = [40, 80]
+lr_config = _t
+del _t

@@ -29,3 +29,10 @@ data = dict(
               data_prefix="data/kinetics400/videos_val",
               pipeline=test_pipeline),
 )
+
+# Reference hyperparameter fidelity overrides (merged
+# reference tsm_mobilenetv2_video_inference_dense_1x1x8_100e_kinetics400_rgb.py values; generated)
+_t = dict(globals().get('data') or {})
+_t['videos_per_gpu'] = 4
+data = _t
+del _t

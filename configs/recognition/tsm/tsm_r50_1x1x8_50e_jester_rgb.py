@@ -53,3 +53,10 @@ data["test"] = dict(_d.get("test") or {}, pipeline=[
     dict(type="FormatShape", input_format="NCHW"),
 ])
 del _d
+
+# Reference hyperparameter fidelity overrides (merged
+# reference tsm_r50_1x1x8_50e_jester_rgb.py values; generated)
+_t = dict(globals().get('optimizer') or {})
+_t['weight_decay'] = 0.0005
+optimizer = _t
+del _t

@@ -61,3 +61,14 @@ evaluation = dict(interval=5, metrics=["mmit_mean_average_precision"])
 optimizer = dict(type="SGD", lr=0.01, momentum=0.9, weight_decay=1e-4)
 total_epochs = 50
 work_dir = "./work_dirs/tsn_r101_1x1x5_50e_mmit_rgb"
+
+# Reference hyperparameter fidelity overrides (merged
+# reference tsn_r101_1x1x5_50e_mmit_rgb.py values; generated)
+_t = dict(globals().get('lr_config') or {})
+_t['step'] = [20, 40]
+lr_config = _t
+_t = dict(globals().get('optimizer_config') or {})
+_t['grad_clip'] = dict(_t.get('grad_clip') or {})
+_t['grad_clip']['max_norm'] = 20
+optimizer_config = _t
+del _t

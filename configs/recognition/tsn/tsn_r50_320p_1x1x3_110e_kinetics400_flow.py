@@ -37,3 +37,10 @@ data = dict(
 optimizer = dict(lr=0.005)
 
 work_dir = "./work_dirs/tsn_r50_320p_1x1x3_110e_kinetics400_flow"
+
+# Reference hyperparameter fidelity overrides (merged
+# reference tsn_r50_320p_1x1x3_110e_kinetics400_flow.py values; generated)
+_t = dict(globals().get('lr_config') or {})
+_t['step'] = [70, 100]
+lr_config = _t
+del _t

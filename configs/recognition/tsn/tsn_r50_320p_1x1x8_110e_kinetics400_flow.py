@@ -54,3 +54,10 @@ data = dict(
 optimizer = dict(type="SGD", lr=0.001875, momentum=0.9, weight_decay=1e-4)
 total_epochs = 110
 work_dir = "./work_dirs/tsn_r50_320p_1x1x8_110e_kinetics400_flow"
+
+# Reference hyperparameter fidelity overrides (merged
+# reference tsn_r50_320p_1x1x8_110e_kinetics400_flow.py values; generated)
+_t = dict(globals().get('lr_config') or {})
+_t['step'] = [70, 100]
+lr_config = _t
+del _t

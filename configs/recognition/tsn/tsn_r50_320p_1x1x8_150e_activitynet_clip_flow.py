@@ -16,3 +16,10 @@ data = dict(
 work_dir = "./work_dirs/tsn_r50_320p_1x1x8_150e_activitynet_clip_flow"
 
 optimizer = dict(lr=0.001)  # reference schedule
+
+# Reference hyperparameter fidelity overrides (merged
+# reference tsn_r50_320p_1x1x8_150e_activitynet_clip_flow.py values; generated)
+_t = dict(globals().get('lr_config') or {})
+_t['step'] = [60, 120]
+lr_config = _t
+del _t

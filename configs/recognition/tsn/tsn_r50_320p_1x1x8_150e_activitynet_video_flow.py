@@ -54,3 +54,10 @@ data = dict(
 optimizer = dict(type="SGD", lr=0.001, momentum=0.9, weight_decay=1e-4)
 total_epochs = 150
 work_dir = "./work_dirs/tsn_r50_320p_1x1x8_150e_activitynet_video_flow"
+
+# Reference hyperparameter fidelity overrides (merged
+# reference tsn_r50_320p_1x1x8_150e_activitynet_video_flow.py values; generated)
+_t = dict(globals().get('lr_config') or {})
+_t['step'] = [60, 120]
+lr_config = _t
+del _t

@@ -59,3 +59,10 @@ data = dict(
 )
 
 work_dir = "./work_dirs/tsn_r50_320p_1x1x8_50e_activitynet_clip_rgb"
+
+# Reference hyperparameter fidelity overrides (merged
+# reference tsn_r50_320p_1x1x8_50e_activitynet_clip_rgb.py values; generated)
+_t = dict(globals().get('lr_config') or {})
+_t['step'] = [20, 40]
+lr_config = _t
+del _t

@@ -55,3 +55,10 @@ data = dict(
 optimizer = dict(type="SGD", lr=0.001, momentum=0.9, weight_decay=1e-4)
 total_epochs = 50
 work_dir = "./work_dirs/tsn_r50_320p_1x1x8_50e_activitynet_video_rgb"
+
+# Reference hyperparameter fidelity overrides (merged
+# reference tsn_r50_320p_1x1x8_50e_activitynet_video_rgb.py values; generated)
+_t = dict(globals().get('lr_config') or {})
+_t['step'] = [20, 40]
+lr_config = _t
+del _t

@@ -32,3 +32,10 @@ data = dict(
               data_prefix="data/ActivityNet/rawframes",
               pipeline=test_pipeline),
 )
+
+# Reference hyperparameter fidelity overrides (merged
+# reference tsn_r50_clip_feature_extraction_1x1x3_rgb.py values; generated)
+_t = dict(globals().get('data') or {})
+_t['videos_per_gpu'] = 1
+data = _t
+del _t

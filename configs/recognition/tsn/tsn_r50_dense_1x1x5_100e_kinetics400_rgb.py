@@ -47,3 +47,11 @@ optimizer = dict(type="SGD", lr=0.03, momentum=0.9,
                  weight_decay=1e-4)
 total_epochs = 100
 work_dir = "./work_dirs/tsn_r50_dense_1x1x5_100e_kinetics400_rgb"
+
+# Reference hyperparameter fidelity overrides (merged
+# reference tsn_r50_dense_1x1x5_100e_kinetics400_rgb.py values; generated)
+_t = dict(globals().get('optimizer_config') or {})
+_t['grad_clip'] = dict(_t.get('grad_clip') or {})
+_t['grad_clip']['max_norm'] = 20
+optimizer_config = _t
+del _t

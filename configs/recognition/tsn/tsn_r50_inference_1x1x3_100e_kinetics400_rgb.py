@@ -31,3 +31,10 @@ data = dict(
               data_prefix="data/kinetics400/rawframes_val",
               pipeline=test_pipeline),
 )
+
+# Reference hyperparameter fidelity overrides (merged
+# reference tsn_r50_inference_1x1x3_100e_kinetics400_rgb.py values; generated)
+_t = dict(globals().get('data') or {})
+_t['videos_per_gpu'] = 1
+data = _t
+del _t

@@ -43,3 +43,10 @@ data["val"] = dict(_d.get("val") or {}, pipeline=[
     dict(type="FormatShape", input_format="NCTHW"),
 ])
 del _d
+
+# Reference hyperparameter fidelity override (the diving48 AIM recipes
+# warm up for 2.5 epochs; the vitclip base file uses 3)
+_t = dict(globals().get("lr_config") or {})
+_t["warmup_iters"] = 2.5
+lr_config = _t
+del _t

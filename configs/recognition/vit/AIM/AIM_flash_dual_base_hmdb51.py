@@ -55,3 +55,11 @@ data["test"] = dict(_d.get("test") or {}, pipeline=[
     dict(type="FormatShape", input_format="NCTHW"),
 ])
 del _d
+
+# Reference hyperparameter fidelity overrides (merged
+# reference AIM_flash_dual_base_hmdb51.py values; generated)
+_t = dict(globals().get('model') or {})
+_t['backbone'] = dict(_t.get('backbone') or {})
+_t['backbone']['num_frames'] = 32
+model = _t
+del _t

@@ -9,7 +9,7 @@ _base_ = [
 
 num_frames = 16
 model = dict(
-    backbone=dict(drop_path_rate=0.2, adapter_scale=0.5,
+    backbone=dict(type="AIM", drop_path_rate=0.2, adapter_scale=0.5,
                   num_frames=num_frames, wind_attn=True,
                   window_size=(16, 7, 7), not_shift=True, prompt=True),
     cls_head=dict(num_classes=51),

@@ -41,3 +41,14 @@ data["val"] = dict(_d.get("val") or {}, pipeline=[
     dict(type="FormatShape", input_format="NCTHW"),
 ])
 del _d
+
+# Reference hyperparameter fidelity overrides (merged
+# reference vitclip_flash_base_hmdb51.py values; generated)
+_t = dict(globals().get('lr_config') or {})
+_t['warmup_iters'] = 3
+lr_config = _t
+_t = dict(globals().get('model') or {})
+_t['backbone'] = dict(_t.get('backbone') or {})
+_t['backbone']['num_frames'] = 32
+model = _t
+del _t

@@ -40,3 +40,11 @@ data["val"] = dict(_d.get("val") or {}, pipeline=[
     dict(type="FormatShape", input_format="NCTHW"),
 ])
 del _d
+
+# Reference hyperparameter fidelity overrides (merged
+# reference vitclip_flash_restuning_base_hmdb51.py values; generated)
+_t = dict(globals().get('model') or {})
+_t['backbone'] = dict(_t.get('backbone') or {})
+_t['backbone']['num_frames'] = 32
+model = _t
+del _t

@@ -67,3 +67,10 @@ data["val"] = dict(_d.get("val") or {}, pipeline=[
     dict(type="FormatShape", input_format="NCTHW"),
 ])
 del _d
+
+# Reference hyperparameter fidelity overrides (merged
+# reference vitclip_base_diving48.py values; generated)
+_t = dict(globals().get('lr_config') or {})
+_t['warmup_iters'] = 3
+lr_config = _t
+del _t

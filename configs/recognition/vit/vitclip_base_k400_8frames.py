@@ -3,7 +3,10 @@
 _base_ = ["./vitclip_base_k400.py"]
 
 model = dict(
-    backbone=dict(num_frames=8),
+    # repo-only recipe: the canonical AIM paper model at the README's
+    # 8x3x1 protocol (the fork's same-named k400 file builds its ViT_CLIP
+    # variant; type is pinned here so the flagship stays AIM)
+    backbone=dict(type="AIM", num_frames=8),
     test_cfg=dict(max_testing_views=None),
 )
 

@@ -1,8 +1,9 @@
-# AIM ViT-B/16, Kinetics-700, 32x3x3 (reference vitclip_base_k700.py:21 —
-# frame_interval=16, 700 classes; README.md:101: 76.9 top-1)
+# AIM ViT-B/16, Kinetics-700 (reference vitclip_base_k700.py: the shipped
+# recipe is 8-frame x interval 16, 3-clip ThreeCrop-224 test — NOT the
+# README's 32x3x3 table row; same-basename fidelity follows the file)
 _base_ = ["./vitclip_base_k400.py"]
 
-model = dict(cls_head=dict(num_classes=700))
+model = dict(backbone=dict(num_frames=8), cls_head=dict(num_classes=700))
 
 dataset_type = "VideoDataset"
 data_root = "data/kinetics700/train_256"

@@ -9,7 +9,9 @@ _base_ = [
 ]
 
 model = dict(
-    backbone=dict(drop_path_rate=0.2, adapter_scale=1, num_tadapter=2,
+    # the reference file passes the AIM-only num_tadapter knob into its
+    # ViT_CLIP and crashes as shipped; the intended model is AIM
+    backbone=dict(type="AIM", drop_path_rate=0.2, adapter_scale=1, num_tadapter=2,
                   num_frames=8),
     cls_head=dict(num_classes=174),
     test_cfg=dict(max_testing_views=2),

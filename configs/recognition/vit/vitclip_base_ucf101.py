@@ -1,7 +1,8 @@
 # AIM ViT-B/16, UCF101 split 1 (reference AIM/AIM_flash_base_ucf101.py)
 _base_ = ["./vitclip_base_hmdb51.py"]
 
-model = dict(cls_head=dict(num_classes=101))
+model = dict(backbone=dict(type="AIM"),  # repo-only AIM recipe
+             cls_head=dict(num_classes=101))
 
 data_root = "data/ucf101/videos"
 ann_file_train = "data/ucf101/ucf101_train_split_1_videos.txt"

@@ -82,3 +82,14 @@ data["test"] = dict(_d.get("test") or {}, pipeline=[
     dict(type="FormatShape", input_format="NCTHW"),
 ])
 del _d
+
+# Reference hyperparameter fidelity overrides (merged
+# reference vitclip_large_diving48.py values; generated)
+_t = dict(globals().get('lr_config') or {})
+_t['warmup_iters'] = 2.5
+lr_config = _t
+_t = dict(globals().get('model') or {})
+_t['backbone'] = dict(_t.get('backbone') or {})
+_t['backbone']['type'] = 'ViT_CLIP'
+model = _t
+del _t

@@ -35,3 +35,11 @@ optimizer = dict(paramwise_cfg=dict(custom_keys={
     "backbone_module": dict(lr_mult=0.1),
 }))
 work_dir = "./work_dirs/vitclip_large_sthv2"
+
+# Reference hyperparameter fidelity overrides (merged
+# reference vitclip_large_sthv2.py values; generated)
+_t = dict(globals().get('model') or {})
+_t['backbone'] = dict(_t.get('backbone') or {})
+_t['backbone']['type'] = 'ViT_CLIP'
+model = _t
+del _t

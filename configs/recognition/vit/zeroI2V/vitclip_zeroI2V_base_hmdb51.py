@@ -54,3 +54,14 @@ data["test"] = dict(_d.get("test") or {}, pipeline=[
     dict(type="FormatShape", input_format="NCTHW"),
 ])
 del _d
+
+# Reference hyperparameter fidelity overrides (merged
+# reference vitclip_zeroI2V_base_hmdb51.py values; generated)
+_t = dict(globals().get('lr_config') or {})
+_t['warmup_iters'] = 3
+lr_config = _t
+_t = dict(globals().get('model') or {})
+_t['backbone'] = dict(_t.get('backbone') or {})
+_t['backbone']['num_frames'] = 32
+model = _t
+del _t

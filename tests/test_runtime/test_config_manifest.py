@@ -94,7 +94,9 @@ def test_every_reference_config_has_same_named_equivalent():
 
 
 def _get(d, path):
-    cur = d
+    # unwrap Config (not a dict subclass — starting from the raw object
+    # made every lookup None and the comparison vacuous)
+    cur = getattr(d, "_cfg_dict", d)
     for k in path.split("."):
         if isinstance(cur, dict) and k in cur:
             cur = cur[k]
@@ -129,7 +131,32 @@ def test_reference_config_hyperparameter_fidelity():
             "lr_config.warmup", "lr_config.warmup_iters",
             "optimizer_config.grad_clip.max_norm",
             "model.backbone.type", "model.backbone.depth",
+            "model.backbone.num_frames",
             "model.cls_head.num_classes", "model.cls_head.in_channels")
+    # documented deviations: places where the reference FILE is wrong about
+    # its own dataset and this repo keeps the semantically correct value
+    allow = {
+        # target_cate='object' copy-paste in the concept recipe: the file
+        # trains a 1678-way head on 291-class concept annotations
+        ("tsn_r18_1x1x8_100e_hvu_concept_rgb.py",
+         "model.cls_head.num_classes"),
+        # gym99 recipes never override the base's 400-way head on the
+        # 99-class FineGYM data
+        ("slowonly_imagenet_pretrained_r50_4x16x1_120e_gym99_rgb.py",
+         "model.cls_head.num_classes"),
+        ("slowonly_kinetics_pretrained_r50_4x16x1_120e_gym99_flow.py",
+         "model.cls_head.num_classes"),
+        # the reference file feeds the AIM-only num_tadapter knob into its
+        # ViT_CLIP __init__ and crashes as shipped; the intended model (and
+        # this repo's) is AIM
+        ("vitclip_base_sthv2.py", "model.backbone.type"),
+        # this repo's 2D Swin trunk is frame-agnostic (segments fold in the
+        # recognizer); the reference's swin2d takes num_frames
+        ("swin2d_base_patch4_window7_kinetics400_1k.py",
+         "model.backbone.num_frames"),
+        ("swin2d_base_patch4_window7_sthv2.py",
+         "model.backbone.num_frames"),
+    }
     mismatches, ref_parse_skips, compared = [], [], 0
     for rp in sorted(glob.glob(osp.join(ref, "**", "*.py"), recursive=True)):
         if "_base_" in rp.split(osp.sep):
@@ -145,7 +172,12 @@ def test_reference_config_hyperparameter_fidelity():
         compared += 1
         for key in keys:
             rv, mv = _get(rc, key), _get(mc, key)
-            if rv is not None and rv != mv:
+            if key == "lr_config.step":
+                # mmcv accepts both step=7 and step=[7]
+                rv = [rv] if isinstance(rv, int) else rv
+                mv = [mv] if isinstance(mv, int) else mv
+            if (rv is not None and rv != mv
+                    and (osp.basename(rp), key) not in allow):
                 mismatches.append(
                     f"{osp.basename(rp)}: {key} ref={rv!r} repo={mv!r}")
     assert compared > 200, f"only compared {compared} configs"

@@ -85,6 +85,22 @@ def test_config_loads_and_builds(path):
         assert cfg.get("optimizer") and "lr" in cfg["optimizer"]
         assert (cfg.get("total_epochs") or 1) >= 1
 
+    # model/pipeline frame-count consistency: a 3D backbone that declares
+    # num_frames must match the train sampling (vitclip_base_k700 once
+    # sampled 8 frames into a 32-frame temporal embedding -> crash)
+    bb = model_cfg.get("backbone") or {}
+    nf = bb.get("num_frames")
+    tr = cfg.get("data", {}).get("train")
+    if nf and isinstance(tr, dict):
+        pipe = tr.get("pipeline") or ()
+        sf = next((s for s in pipe if s.get("type") == "SampleFrames"), None)
+        fmt = next((s.get("input_format") for s in pipe
+                    if s.get("type") == "FormatShape"), None)
+        if sf is not None and fmt == "NCTHW":
+            assert sf["clip_len"] == nf, (
+                f"backbone num_frames={nf} but train clip_len="
+                f"{sf['clip_len']}")
+
 
 def _check_split(ds_cfg):
     pipeline = ds_cfg["pipeline"]
