@@ -9,3 +9,10 @@ data = dict(
     val=dict(custom_classes=custom_classes, num_classes=11),
 )
 work_dir = "./work_dirs/slowfast_kinetics_pretrained_r50_4x16x1_20e_ava_rgb_custom_classes"
+
+# Reference hyperparameter fidelity overrides (merged
+# reference slowfast_kinetics_pretrained_r50_4x16x1_20e_ava_rgb_custom_classes.py values; generated)
+_t = dict(globals().get('lr_config') or {})
+_t['warmup_ratio'] = 0.05
+lr_config = _t
+del _t

@@ -42,3 +42,10 @@ _t['step'] = [4, 6, 8]
 _t['warmup_iters'] = 800
 lr_config = _t
 del _t
+
+# Reference hyperparameter fidelity overrides (merged
+# reference slowonly_nl_kinetics_pretrained_r50_4x16x1_10e_ava_rgb.py values; generated)
+_t = dict(globals().get('lr_config') or {})
+_t['warmup_ratio'] = 0.01
+lr_config = _t
+del _t

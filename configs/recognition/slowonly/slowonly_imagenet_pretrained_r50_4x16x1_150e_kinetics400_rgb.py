@@ -19,3 +19,10 @@ _t['warmup'] = 'linear'
 _t['warmup_iters'] = 10
 lr_config = _t
 del _t
+
+# Reference hyperparameter fidelity overrides (merged
+# reference slowonly_imagenet_pretrained_r50_4x16x1_150e_kinetics400_rgb.py values; generated)
+_t = dict(globals().get('lr_config') or {})
+_t['warmup_by_epoch'] = True
+lr_config = _t
+del _t

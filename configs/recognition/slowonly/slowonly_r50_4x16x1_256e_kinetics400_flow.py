@@ -76,3 +76,10 @@ _t['warmup'] = 'linear'
 _t['warmup_iters'] = 34
 lr_config = _t
 del _t
+
+# Reference hyperparameter fidelity overrides (merged
+# reference slowonly_r50_4x16x1_256e_kinetics400_flow.py values; generated)
+_t = dict(globals().get('lr_config') or {})
+_t['warmup_by_epoch'] = True
+lr_config = _t
+del _t

@@ -36,3 +36,11 @@ data["test"] = dict(_d.get("test") or {}, pipeline=[
     dict(type="FormatShape", input_format="NCTHW"),
 ])
 del _d
+
+# Reference hyperparameter fidelity overrides (merged
+# reference swin2d_adapter_patch244_window7_kinetics400_1k.py values; generated)
+_t = dict(globals().get('model') or {})
+_t['test_cfg'] = dict(_t.get('test_cfg') or {})
+_t['test_cfg']['max_testing_views'] = 4
+model = _t
+del _t

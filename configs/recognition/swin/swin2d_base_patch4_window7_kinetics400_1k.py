@@ -89,3 +89,11 @@ log_config = dict(interval=20)
 
 work_dir = "./work_dirs/swin2d_base_patch4_window7_kinetics400_1k"
 
+
+# Reference hyperparameter fidelity overrides (merged
+# reference swin2d_base_patch4_window7_kinetics400_1k.py values; generated)
+_t = dict(globals().get('model') or {})
+_t['test_cfg'] = dict(_t.get('test_cfg') or {})
+_t['test_cfg']['max_testing_views'] = 4
+model = _t
+del _t

@@ -92,3 +92,14 @@ checkpoint_config = dict(interval=1)
 log_config = dict(interval=20)
 
 work_dir = "./work_dirs/swin_base_patch244_window1677_sthv2"
+
+# Reference hyperparameter fidelity overrides (merged
+# reference swin_base_patch244_window1677_sthv2.py values; generated)
+_t = dict(globals().get('model') or {})
+_t['train_cfg'] = dict(_t.get('train_cfg') or {})
+_t['train_cfg']['blending'] = dict(type='LabelSmoothing',
+                                   num_classes=174, smoothing=0.1)
+_t['test_cfg'] = dict(_t.get('test_cfg') or {})
+_t['test_cfg']['max_testing_views'] = 2
+model = _t
+del _t

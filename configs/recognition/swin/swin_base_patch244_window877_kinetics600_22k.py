@@ -86,3 +86,11 @@ checkpoint_config = dict(interval=1)
 log_config = dict(interval=20)
 
 work_dir = "./work_dirs/swin_base_patch244_window877_kinetics600_22k"
+
+# Reference hyperparameter fidelity overrides (merged
+# reference swin_base_patch244_window877_kinetics600_22k.py values; generated)
+_t = dict(globals().get('model') or {})
+_t['test_cfg'] = dict(_t.get('test_cfg') or {})
+_t['test_cfg']['max_testing_views'] = 2
+model = _t
+del _t

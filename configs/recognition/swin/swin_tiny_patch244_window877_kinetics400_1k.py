@@ -93,3 +93,11 @@ _t = dict(globals().get('optimizer') or {})
 _t['weight_decay'] = 0.02
 optimizer = _t
 del _t
+
+# Reference hyperparameter fidelity overrides (merged
+# reference swin_tiny_patch244_window877_kinetics400_1k.py values; generated)
+_t = dict(globals().get('model') or {})
+_t['test_cfg'] = dict(_t.get('test_cfg') or {})
+_t['test_cfg']['max_testing_views'] = 4
+model = _t
+del _t

@@ -63,3 +63,11 @@ lr_config = dict(policy="CosineAnnealing", min_lr_ratio=0.5,
 total_epochs = 40
 checkpoint_config = dict(interval=2)
 work_dir = "./work_dirs/tin_r50_1x1x8_40e_sthv1_rgb"
+
+# Reference hyperparameter fidelity overrides (merged
+# reference tin_r50_1x1x8_40e_sthv1_rgb.py values; generated)
+_t = dict(globals().get('model') or {})
+_t['cls_head'] = dict(_t.get('cls_head') or {})
+_t['cls_head']['dropout_ratio'] = 0.8
+model = _t
+del _t

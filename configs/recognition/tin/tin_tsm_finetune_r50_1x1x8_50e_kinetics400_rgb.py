@@ -51,3 +51,11 @@ _t['policy'] = 'step'
 _t['step'] = [20, 40]
 lr_config = _t
 del _t
+
+# Reference hyperparameter fidelity overrides (merged
+# reference tin_tsm_finetune_r50_1x1x8_50e_kinetics400_rgb.py values; generated)
+_t = dict(globals().get('model') or {})
+_t['cls_head'] = dict(_t.get('cls_head') or {})
+_t['cls_head']['dropout_ratio'] = 0.5
+model = _t
+del _t

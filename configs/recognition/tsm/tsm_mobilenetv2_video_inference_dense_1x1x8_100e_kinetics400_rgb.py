@@ -36,3 +36,11 @@ _t = dict(globals().get('data') or {})
 _t['videos_per_gpu'] = 4
 data = _t
 del _t
+
+# Reference hyperparameter fidelity overrides (merged
+# reference tsm_mobilenetv2_video_inference_dense_1x1x8_100e_kinetics400_rgb.py values; generated)
+_t = dict(globals().get('model') or {})
+_t['cls_head'] = dict(_t.get('cls_head') or {})
+_t['cls_head']['dropout_ratio'] = 0.5
+model = _t
+del _t

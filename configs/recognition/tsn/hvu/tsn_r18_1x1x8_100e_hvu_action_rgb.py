@@ -87,3 +87,11 @@ lr_config = dict(policy="step", step=[40, 80])
 total_epochs = 100
 checkpoint_config = dict(interval=5)
 work_dir = "./work_dirs/tsn_r18_hvu_action"
+
+# Reference hyperparameter fidelity overrides (merged
+# reference tsn_r18_1x1x8_100e_hvu_action_rgb.py values; generated)
+_t = dict(globals().get('model') or {})
+_t['cls_head'] = dict(_t.get('cls_head') or {})
+_t['cls_head']['dropout_ratio'] = 0.4
+model = _t
+del _t

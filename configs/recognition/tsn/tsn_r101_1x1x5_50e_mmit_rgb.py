@@ -72,3 +72,11 @@ _t['grad_clip'] = dict(_t.get('grad_clip') or {})
 _t['grad_clip']['max_norm'] = 20
 optimizer_config = _t
 del _t
+
+# Reference hyperparameter fidelity overrides (merged
+# reference tsn_r101_1x1x5_50e_mmit_rgb.py values; generated)
+_t = dict(globals().get('model') or {})
+_t['cls_head'] = dict(_t.get('cls_head') or {})
+_t['cls_head']['dropout_ratio'] = 0.5
+model = _t
+del _t

@@ -61,3 +61,11 @@ _t = dict(globals().get('lr_config') or {})
 _t['step'] = [60, 120]
 lr_config = _t
 del _t
+
+# Reference hyperparameter fidelity overrides (merged
+# reference tsn_r50_320p_1x1x8_150e_activitynet_video_flow.py values; generated)
+_t = dict(globals().get('model') or {})
+_t['cls_head'] = dict(_t.get('cls_head') or {})
+_t['cls_head']['dropout_ratio'] = 0.8
+model = _t
+del _t

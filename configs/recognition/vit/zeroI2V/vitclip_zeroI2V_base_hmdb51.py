@@ -65,3 +65,11 @@ _t['backbone'] = dict(_t.get('backbone') or {})
 _t['backbone']['num_frames'] = 32
 model = _t
 del _t
+
+# Reference hyperparameter fidelity overrides (merged
+# reference vitclip_zeroI2V_base_hmdb51.py values; generated)
+_t = dict(globals().get('model') or {})
+_t['test_cfg'] = dict(_t.get('test_cfg') or {})
+_t['test_cfg']['max_testing_views'] = 4
+model = _t
+del _t

@@ -129,10 +129,15 @@ def test_reference_config_hyperparameter_fidelity():
             "optimizer.momentum", "optimizer.weight_decay", "total_epochs",
             "lr_config.policy", "lr_config.step", "lr_config.min_lr",
             "lr_config.warmup", "lr_config.warmup_iters",
+            "lr_config.warmup_ratio", "lr_config.warmup_by_epoch",
             "optimizer_config.grad_clip.max_norm",
             "model.backbone.type", "model.backbone.depth",
             "model.backbone.num_frames",
-            "model.cls_head.num_classes", "model.cls_head.in_channels")
+            "model.cls_head.num_classes", "model.cls_head.in_channels",
+            "model.cls_head.multi_class", "model.cls_head.loss_cls.type",
+            "model.cls_head.dropout_ratio",
+            "model.train_cfg.blending.type",
+            "model.test_cfg.max_testing_views")
     # documented deviations: places where the reference FILE is wrong about
     # its own dataset and this repo keeps the semantically correct value
     allow = {
