@@ -120,3 +120,50 @@ def test_detection_lfb_config_inherits_and_builds():
     assert shared["lfb_cfg"]["window_size"] == 60
     # base keys must survive the merge
     assert cfg["model"]["backbone"]["type"] == "ResNet3dSlowOnly"
+
+
+def test_vitclip_flagship_config_trains_and_evals(tmp_path):
+    """The fork's same-named flagship recipe (vitclip_base_k400 — the
+    ViT_CLIP variant since the round-3 identity fix) must drive the full
+    train_model/run_evaluation path, not just build. Tiny geometry, the
+    recipe's own pipeline shapes scaled down."""
+    from adapt_image_models_tpu.apis.train import train_model
+    from adapt_image_models_tpu.apis.test import run_evaluation
+
+    cfg = Config.fromfile(
+        f"{REPO}/configs/recognition/vit/vitclip_base_k400.py").to_dict()
+    assert cfg["model"]["backbone"]["type"] == "ViT_CLIP"
+    cfg["model"]["backbone"].update(
+        input_resolution=32, width=32, layers=1, heads=2, num_frames=4,
+        compute_dtype="float32", attention_core="xla")
+    cfg["model"]["cls_head"].update(num_classes=3, in_channels=32)
+    cfg["model"]["test_cfg"]["max_testing_views"] = None
+    ann = tmp_path / "ann.txt"
+    ann.write_text("\n".join(f"synthetic://{i} {i % 3}" for i in range(16)))
+    for split in ("train", "val", "test"):
+        ds = cfg["data"][split]
+        ds.update(ann_file=str(ann), data_prefix=None)
+        pipe = []
+        for s in ds["pipeline"]:
+            s = dict(s)
+            if s["type"] == "SampleFrames":
+                s.update(clip_len=4, frame_interval=2, num_clips=1)
+            if s["type"] == "Resize" and -1 in tuple(s.get("scale", ())):
+                s["scale"] = (-1, 36)
+            elif s["type"] == "Resize":
+                s["scale"] = (32, 32)
+            if s["type"] in ("CenterCrop", "ThreeCrop"):
+                s = dict(type="CenterCrop", crop_size=32)
+            if s["type"] == "RandomResizedCrop":
+                continue
+            pipe.append(s)
+        ds["pipeline"] = pipe
+    cfg["data"]["videos_per_gpu"] = 2
+    cfg["total_epochs"] = 1
+    cfg["evaluation"] = dict(interval=1)
+    cfg["work_dir"] = str(tmp_path / "work")
+    cfg["lr_config"] = dict(policy="CosineAnnealing", min_lr=0)
+    state, history = train_model(cfg, validate=True, seed=0)
+    assert np.isfinite(history[-1]["loss"])
+    res = run_evaluation(cfg, params=state.params, split="test")
+    assert "top1_acc" in res and 0.0 <= res["top1_acc"] <= 1.0

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Training CLI (parity: reference ``tools/train.py:78-206``).
 
-    python tools/train.py configs/recognition/vit/vitclip_base_k400.py \
+    python tools/train.py configs/recognition/vit/vitclip_base_k400_8frames.py \
         [--work-dir DIR] [--seed N] [--auto-resume] [--no-validate] \
         [--max-steps N] [--cfg-options k=v ...]
 
