@@ -481,8 +481,17 @@ def build_sample_processor(pipeline_cfg: Sequence[Dict[str, Any]],
                 steps.append(("RandAugment", dict(n=2, m=9)))
                 continue
             imgaug_specs = []
+
+            def _flush_imgaug():
+                if imgaug_specs:
+                    steps.append(("ImgaugOps", dict(specs=tuple(
+                        tuple(sorted(s.items())) for s in imgaug_specs))))
+                    imgaug_specs.clear()
+
             for tr in transforms:
                 if tr.get("type") == "RandAugment":
+                    # flush first: a mixed list must keep transform order
+                    _flush_imgaug()
                     steps.append(("RandAugment", dict(n=tr.get("n", 4),
                                                       m=tr.get("m", 7))))
                 elif tr.get("type") in ("Fliplr", "Rotate", "Dropout"):
@@ -491,9 +500,7 @@ def build_sample_processor(pipeline_cfg: Sequence[Dict[str, Any]],
                     imgaug_specs.append(dict(tr))
                 else:
                     raise ValueError(f"unsupported Imgaug transform {tr}")
-            if imgaug_specs:
-                steps.append(("ImgaugOps", dict(specs=tuple(
-                    tuple(sorted(s.items())) for s in imgaug_specs))))
+            _flush_imgaug()
             continue
         if t == "RandomErasing":
             # NOTE: reference erases after Normalize (float noise); we erase

@@ -208,38 +208,33 @@ def imgaug_ops(rng: np.random.Generator, clip: np.ndarray,
                specs) -> np.ndarray:
     """Minimal equivalent of the reference's custom-list ``Imgaug`` wrapper
     (``i3d_r50_video_imgaug_32x2x1_100e_kinetics400_rgb.py:25-30``:
-    Fliplr / Rotate / Dropout). imgaug's ``augment_images`` samples
-    parameters per FRAME (temporally inconsistent by design); mirrored
-    here."""
+    Fliplr / Rotate / Dropout). The reference calls
+    ``aug.to_deterministic()`` per clip (``augmentations.py`` Imgaug), so
+    parameters are sampled ONCE and applied identically to every frame."""
     import cv2
     t = clip.shape[0]
     for sp in specs:
         kind = sp["type"]
         if kind == "Fliplr":
-            p = float(sp.get("p", 0.5))
-            flips = rng.random(t) < p
-            clip = np.stack([f[:, ::-1] if fl else f
-                             for f, fl in zip(clip, flips)])
+            if rng.random() < float(sp.get("p", 0.5)):
+                clip = clip[:, :, ::-1]
         elif kind == "Rotate":
             lo, hi = sp.get("rotate", (-20, 20))
             h, w = clip.shape[1:3]
+            deg = float(rng.uniform(lo, hi))
+            m = cv2.getRotationMatrix2D((w / 2, h / 2), deg, 1.0)
             out = np.empty_like(clip)
             for i in range(t):
-                deg = float(rng.uniform(lo, hi))
-                m = cv2.getRotationMatrix2D((w / 2, h / 2), deg, 1.0)
                 out[i] = cv2.warpAffine(
                     clip[i], m, (w, h), flags=cv2.INTER_LINEAR,
                     borderMode=cv2.BORDER_CONSTANT, borderValue=(0, 0, 0))
             clip = out
         elif kind == "Dropout":
             p = sp.get("p", (0, 0.05))
-            out = np.empty_like(clip)
-            for i in range(t):
-                frac = (float(rng.uniform(*p))
-                        if isinstance(p, (tuple, list)) else float(p))
-                keep = (rng.random(clip.shape[1:3]) >= frac)
-                out[i] = clip[i] * keep[:, :, None].astype(clip.dtype)
-            clip = out
+            frac = (float(rng.uniform(*p))
+                    if isinstance(p, (tuple, list)) else float(p))
+            keep = (rng.random(clip.shape[1:3]) >= frac)
+            clip = clip * keep[None, :, :, None].astype(clip.dtype)
         else:
             raise ValueError(f"unsupported imgaug op {kind!r}")
     return np.ascontiguousarray(clip)

@@ -75,7 +75,7 @@ data = dict(
 evaluation = dict(interval=5, metrics=["mAP"])
 
 optimizer = dict(type="SGD", lr=0.001, momentum=0.9, weight_decay=1e-6)
-optimizer_config = dict(grad_clip=dict(max_norm=40))
+optimizer_config = dict(grad_clip=dict(max_norm=35))
 lr_config = dict(policy="step", step=[200, 400])
 total_epochs = 450
 checkpoint_config = dict(interval=5)
@@ -103,6 +103,5 @@ del _d
 # reference ssn_r50_450e_thumos14_rgb_train.py values; generated)
 _t = dict(globals().get('optimizer_config') or {})
 _t['grad_clip'] = dict(_t.get('grad_clip') or {})
-_t['grad_clip']['max_norm'] = 35
 optimizer_config = _t
 del _t

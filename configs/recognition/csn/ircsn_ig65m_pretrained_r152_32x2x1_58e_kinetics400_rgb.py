@@ -15,8 +15,6 @@ data_root = "data/kinetics400/rawframes_train"
 data_root_val = "data/kinetics400/rawframes_val"
 ann_file_train = "data/kinetics400/kinetics400_train_list_rawframes.txt"
 ann_file_val = "data/kinetics400/kinetics400_val_list_rawframes.txt"
-img_norm_cfg = dict(mean=[110.2008, 100.63983, 95.99475],
-                    std=[58.14765, 56.46975, 55.332195], to_bgr=False)
 
 train_pipeline = [
     dict(type="SampleFrames", clip_len=32, frame_interval=2, num_clips=1),

@@ -96,7 +96,7 @@ evaluation = dict(interval=5,
 
 optimizer = dict(type="SGD", lr=0.00375, momentum=0.9, weight_decay=1e-4)
 optimizer_config = dict(grad_clip=dict(max_norm=40))
-lr_config = dict(policy="CosineAnnealing", min_lr=0)
+lr_config = dict(policy='step', min_lr=0)
 total_epochs = 100
 checkpoint_config = dict(interval=1)
 work_dir = "./work_dirs/tsn_r50_1x1x8_100e_minikinetics_omnisource_rgb"
@@ -104,7 +104,6 @@ work_dir = "./work_dirs/tsn_r50_1x1x8_100e_minikinetics_omnisource_rgb"
 # Reference hyperparameter fidelity overrides (merged
 # reference tsn_r50_1x1x8_100e_minikinetics_omnisource_rgb.py values; generated)
 _t = dict(globals().get('lr_config') or {})
-_t['policy'] = 'step'
 _t['step'] = [40, 80]
 lr_config = _t
 del _t

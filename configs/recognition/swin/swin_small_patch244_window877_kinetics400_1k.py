@@ -74,7 +74,7 @@ data = dict(
 evaluation = dict(interval=5,
                   metrics=["top_k_accuracy", "mean_class_accuracy"])
 
-optimizer = dict(type="AdamW", lr=1e-3, weight_decay=0.05,
+optimizer = dict(type="AdamW", lr=1e-3, weight_decay=0.02,
                  paramwise_cfg=dict(custom_keys={
                      "norm": dict(decay_mult=0.0),
                      "relative_position_bias": dict(decay_mult=0.0)}))
@@ -90,7 +90,6 @@ work_dir = "./work_dirs/swin_small_patch244_window877_kinetics400_1k"
 # Reference hyperparameter fidelity overrides (merged
 # reference swin_small_patch244_window877_kinetics400_1k.py values; generated)
 _t = dict(globals().get('optimizer') or {})
-_t['weight_decay'] = 0.02
 optimizer = _t
 del _t
 

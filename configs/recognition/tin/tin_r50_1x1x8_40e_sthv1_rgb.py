@@ -6,7 +6,7 @@ model = dict(
     type="Recognizer2D",
     backbone=dict(type="ResNetTIN", depth=50, num_segments=8, shift_div=4),
     cls_head=dict(type="TSNHead", num_classes=174, in_channels=2048,
-                  dropout_ratio=0.5),
+                  dropout_ratio=0.8),
     test_cfg=dict(average_clips=None),
 )
 
@@ -68,6 +68,5 @@ work_dir = "./work_dirs/tin_r50_1x1x8_40e_sthv1_rgb"
 # reference tin_r50_1x1x8_40e_sthv1_rgb.py values; generated)
 _t = dict(globals().get('model') or {})
 _t['cls_head'] = dict(_t.get('cls_head') or {})
-_t['cls_head']['dropout_ratio'] = 0.8
 model = _t
 del _t

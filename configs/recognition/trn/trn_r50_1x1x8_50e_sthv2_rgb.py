@@ -68,7 +68,7 @@ evaluation = dict(interval=5,
 
 optimizer = dict(type="SGD", lr=0.002, momentum=0.9, weight_decay=5e-4)
 optimizer_config = dict(grad_clip=dict(max_norm=20))
-lr_config = dict(policy="step", step=[20, 40])
+lr_config = dict(policy="step", step=[30, 45])
 total_epochs = 50
 checkpoint_config = dict(interval=1)
 work_dir = "./work_dirs/trn_r50_1x1x8_50e_sthv2_rgb"
@@ -76,6 +76,5 @@ work_dir = "./work_dirs/trn_r50_1x1x8_50e_sthv2_rgb"
 # Reference hyperparameter fidelity overrides (merged
 # reference trn_r50_1x1x8_50e_sthv2_rgb.py values; generated)
 _t = dict(globals().get('lr_config') or {})
-_t['step'] = [30, 45]
 lr_config = _t
 del _t

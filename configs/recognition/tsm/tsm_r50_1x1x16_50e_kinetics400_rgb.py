@@ -42,7 +42,7 @@ data = dict(
     ]),
 )
 
-optimizer = dict(type="SGD", lr=0.0075, momentum=0.9, weight_decay=5e-4)
+optimizer = dict(type="SGD", lr=0.0075, momentum=0.9, weight_decay=0.0001)
 work_dir = "./work_dirs/tsm_r50_1x1x16_50e_kinetics400_rgb"
 
 # Reference pipeline fidelity overrides: the merged
@@ -67,6 +67,5 @@ del _d
 # Reference hyperparameter fidelity overrides (merged
 # reference tsm_r50_1x1x16_50e_kinetics400_rgb.py values; generated)
 _t = dict(globals().get('optimizer') or {})
-_t['weight_decay'] = 0.0001
 optimizer = _t
 del _t

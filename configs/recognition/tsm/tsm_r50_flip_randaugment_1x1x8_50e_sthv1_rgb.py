@@ -14,8 +14,8 @@ train_pipeline = [
          scales=(1, 0.875, 0.75, 0.66), random_crop=False,
          max_wh_scale_gap=1, num_fixed_crops=13),
     dict(type="Resize", scale=(224, 224), keep_ratio=False),
-    dict(type="Imgaug", transforms="default"),
     dict(type="Flip", flip_ratio=0.5, flip_label_map=sthv1_flip_label_map),
+    dict(type="Imgaug", transforms="default"),
     dict(type="Normalize", **img_norm_cfg),
     dict(type="FormatShape", input_format="NCHW"),
 ]

@@ -49,7 +49,7 @@ data = dict(
               data_prefix="data/sthv1/rawframes/val", pipeline=test_pipeline, filename_tmpl="{:05}.jpg"),
 )
 
-optimizer = dict(type="SGD", lr=0.01, momentum=0.9, weight_decay=1e-4)
+optimizer = dict(type="SGD", lr=0.01, momentum=0.9, weight_decay=0.0005)
 lr_config = dict(policy="step", step=[20, 40])
 total_epochs = 50
 work_dir = "./work_dirs/tsn_r50_1x1x16_50e_sthv1_rgb"
@@ -57,7 +57,6 @@ work_dir = "./work_dirs/tsn_r50_1x1x16_50e_sthv1_rgb"
 # Reference hyperparameter fidelity overrides (merged
 # reference tsn_r50_1x1x16_50e_sthv1_rgb.py values; generated)
 _t = dict(globals().get('optimizer') or {})
-_t['weight_decay'] = 0.0005
 optimizer = _t
 _t = dict(globals().get('optimizer_config') or {})
 _t['grad_clip'] = dict(_t.get('grad_clip') or {})

@@ -49,17 +49,15 @@ data = dict(
               data_prefix="data/ucf101/rawframes/val", pipeline=test_pipeline),
 )
 
-optimizer = dict(type="SGD", lr=0.00128, momentum=0.9, weight_decay=1e-4)
-lr_config = dict(policy="step", step=[25, 45])
+optimizer = dict(type="SGD", lr=0.00128, momentum=0.9, weight_decay=0.0005)
+lr_config = dict(policy="step", step=[])
 total_epochs = 75
 work_dir = "./work_dirs/tsn_r50_1x1x3_75e_ucf101_rgb"
 
 # Reference hyperparameter fidelity overrides (merged
 # reference tsn_r50_1x1x3_75e_ucf101_rgb.py values; generated)
 _t = dict(globals().get('optimizer') or {})
-_t['weight_decay'] = 0.0005
 optimizer = _t
 _t = dict(globals().get('lr_config') or {})
-_t['step'] = []
 lr_config = _t
 del _t

@@ -1,9 +1,9 @@
-# AIM + shifted 3D-window attention, HMDB51 (parity: reference configs/recognition/vit/AIM/AIM_base_hmdb51.py; 16-frame repo HMDB recipe)
+# AIM + shifted 3D-window attention, HMDB51 (parity: reference configs/recognition/vit/AIM/AIM_base_hmdb51.py)
 _base_ = ["../vitclip_base_hmdb51.py"]
 
 model = dict(
     backbone=dict(
-        drop_path_rate=0.2, adapter_scale=0.5, num_frames=16,
+        drop_path_rate=0.2, adapter_scale=0.5, num_frames=32,
         wind_attn=True, window_size=(32, 2, 2), not_shift=False,
         prompt=True,
     ),
@@ -40,6 +40,5 @@ _t = dict(globals().get('model') or {})
 _t['backbone'] = dict(_t.get('backbone') or {})
 _t['backbone']['type'] = 'AIM'
 _t['backbone'] = dict(_t.get('backbone') or {})
-_t['backbone']['num_frames'] = 32
 model = _t
 del _t

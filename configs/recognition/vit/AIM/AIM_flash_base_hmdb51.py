@@ -7,7 +7,7 @@ model = dict(
         type="AIM_FLASH",
         input_resolution=224,
         patch_size=16,
-        num_frames=16,
+        num_frames=32,
         width=768,
         layers=12,
         heads=12,
@@ -50,6 +50,5 @@ del _d
 # reference AIM_flash_base_hmdb51.py values; generated)
 _t = dict(globals().get('model') or {})
 _t['backbone'] = dict(_t.get('backbone') or {})
-_t['backbone']['num_frames'] = 32
 model = _t
 del _t

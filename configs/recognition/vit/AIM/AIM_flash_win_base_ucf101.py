@@ -7,7 +7,7 @@ model = dict(
         type="AIM_FLASH_WIN",
         input_resolution=224,
         patch_size=16,
-        num_frames=16,
+        num_frames=32,
         width=768,
         layers=12,
         heads=12,
@@ -69,6 +69,5 @@ del _d
 # reference AIM_flash_win_base_ucf101.py values; generated)
 _t = dict(globals().get('model') or {})
 _t['backbone'] = dict(_t.get('backbone') or {})
-_t['backbone']['num_frames'] = 32
 model = _t
 del _t

@@ -7,7 +7,7 @@ model = dict(
         type="ViT_CLIP_FLASH_RES_TUNING",
         input_resolution=224,
         patch_size=16,
-        num_frames=16,
+        num_frames=32,
         width=768,
         layers=12,
         heads=12,
@@ -18,7 +18,7 @@ model = dict(
         compute_dtype="bfloat16",
     ),
     cls_head=dict(num_classes=48),
-    test_cfg=dict(max_testing_views=4),
+    test_cfg=dict(max_testing_views=8),
 )
 work_dir = "./work_dirs/vitclip_flash_restuning_base_diving48"
 
@@ -69,7 +69,6 @@ del _d
 # reference vitclip_flash_restuning_base_diving48.py values; generated)
 _t = dict(globals().get('model') or {})
 _t['backbone'] = dict(_t.get('backbone') or {})
-_t['backbone']['num_frames'] = 32
 model = _t
 del _t
 
@@ -77,6 +76,5 @@ del _t
 # reference vitclip_flash_restuning_base_diving48.py values; generated)
 _t = dict(globals().get('model') or {})
 _t['test_cfg'] = dict(_t.get('test_cfg') or {})
-_t['test_cfg']['max_testing_views'] = 8
 model = _t
 del _t

@@ -7,7 +7,7 @@ model = dict(
         type="ViT_CLIP_FLASH_RES_TUNING",
         input_resolution=224,
         patch_size=16,
-        num_frames=16,
+        num_frames=32,
         width=768,
         layers=12,
         heads=12,
@@ -45,6 +45,5 @@ del _d
 # reference vitclip_flash_restuning_base_hmdb51.py values; generated)
 _t = dict(globals().get('model') or {})
 _t['backbone'] = dict(_t.get('backbone') or {})
-_t['backbone']['num_frames'] = 32
 model = _t
 del _t

@@ -7,7 +7,7 @@ model = dict(
         type="ViT_CLIP_ZEROI2V",
         input_resolution=224,
         patch_size=16,
-        num_frames=16,
+        num_frames=32,
         width=768,
         layers=12,
         heads=12,
@@ -62,7 +62,6 @@ _t['warmup_iters'] = 3
 lr_config = _t
 _t = dict(globals().get('model') or {})
 _t['backbone'] = dict(_t.get('backbone') or {})
-_t['backbone']['num_frames'] = 32
 model = _t
 del _t
 

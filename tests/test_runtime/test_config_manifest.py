@@ -241,17 +241,20 @@ _PIPE_KEYS = {
     "CenterCrop": ("crop_size",),
     "ThreeCrop": ("crop_size",),
     "TenCrop": ("crop_size",),
-    "Flip": ("flip_ratio", "direction"),
+    "Flip": ("flip_ratio", "direction", "flip_label_map"),
+    "Imgaug": ("transforms",),
     "Normalize": ("mean", "std", "to_bgr"),
     "FormatShape": ("input_format",),
     "ColorJitter": ("brightness", "contrast", "saturation", "hue"),
-    "RandomErasing": ("erase_prob",),
+    "RandomErasing": ("probability",),
 }
 
 
 def _norm(v):
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
     return v
 
 
