@@ -325,7 +325,11 @@ const char* aim_last_error() { return g_last_error.c_str(); }
 
 void* aim_open(const char* path, int short_side) {
   auto r = new Reader();
-  av_log_set_level(AV_LOG_ERROR);
+  // QUIET, not ERROR: corrupt inputs make FFmpeg print raw (often
+  // non-UTF-8) bytes on stderr, which breaks text-mode callers such as
+  // tools/analysis/check_videos.py. Errors are reported via
+  // aim_last_error() instead; AIMDECODE_LOG=1 restores FFmpeg's own log.
+  if (!getenv("AIMDECODE_LOG")) av_log_set_level(AV_LOG_QUIET);
   if (avformat_open_input(&r->fmt, path, nullptr, nullptr) < 0) {
     set_error(std::string("cannot open ") + path);
     delete r;

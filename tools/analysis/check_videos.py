@@ -34,6 +34,28 @@ def probe_indices(num_frames: int, rng: np.random.Generator) -> np.ndarray:
     return inds
 
 
+class _silence_fds:
+    """Redirect C-level stdout/stderr to /dev/null for the probe: corrupt
+    inputs make the decoder libraries (FFmpeg, OpenCV) print raw non-UTF-8
+    bytes that would corrupt this tool's own text output (the reference
+    tool prints only file paths — ``check_videos.py:69-93``)."""
+
+    def __enter__(self):
+        sys.stdout.flush()
+        sys.stderr.flush()
+        self._saved = [os.dup(1), os.dup(2)]
+        self._null = os.open(os.devnull, os.O_WRONLY)
+        os.dup2(self._null, 1)
+        os.dup2(self._null, 2)
+
+    def __exit__(self, *exc):
+        os.dup2(self._saved[0], 1)
+        os.dup2(self._saved[1], 2)
+        for fd in (*self._saved, self._null):
+            os.close(fd)
+        return False
+
+
 def check_one(item):
     """(idx, filename) -> filename if corrupted/missing else None."""
     idx, filename = item
@@ -41,8 +63,9 @@ def check_one(item):
     try:
         # strict: a truncated/corrupt tail must FAIL the probe, not be
         # papered over by the training path's last-good-frame substitution
-        with open_video(filename, backend=_WORKER_CFG["backend"],
-                        strict=True) as reader:
+        with _silence_fds(), \
+                open_video(filename, backend=_WORKER_CFG["backend"],
+                           strict=True) as reader:
             if reader.num_frames <= 0:
                 raise ValueError(f"no frames in {filename}")
             rng = np.random.default_rng(idx)
