@@ -36,11 +36,16 @@ def _machine_fingerprint() -> str:
     import hashlib
     import platform
     flags = ""
+    model = ""
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
+                if not flags and line.startswith("flags"):
                     flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                elif line.startswith(("model", "cpu family", "stepping",
+                                      "vendor_id")):
+                    model += line.strip() + ";"
+                if flags and line.startswith("power management"):
                     break
     except OSError:
         pass
@@ -50,7 +55,11 @@ def _machine_fingerprint() -> str:
     # every lookup here once (r3: the whole suite silently ran ~2x slow
     # while cpu_aot_loader spammed feature-mismatch errors)
     import jaxlib
-    raw = (f"{platform.machine()}|{platform.processor()}|{flags}"
+    # model name included: XLA's tuning flags (+prefer-no-gather/-scatter)
+    # vary by CPU model even when cpuinfo flags/kernel/jaxlib all match
+    # (r4: a foreign cache survived the old fingerprint and poisoned every
+    # lookup with feature-mismatch errors)
+    raw = (f"{platform.machine()}|{platform.processor()}|{model}|{flags}"
            f"|{jaxlib.__version__}|{platform.release()}")
     return hashlib.sha256(raw.encode()).hexdigest()[:16]
 

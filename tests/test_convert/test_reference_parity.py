@@ -333,3 +333,222 @@ def test_reference_zeroi2v_full_vitb16_geometry_parity():
     x = torch.randn(1, 3, t, res, res,
                     generator=torch.Generator().manual_seed(12))
     _compare(ref, model, params, x)
+
+
+# ---------------------------------------------------------------------------
+# Training-dynamics parity (round 4, VERDICT item 2): the strongest accuracy
+# evidence a zero-egress environment allows. (a) adapter-partition gradients
+# vs torch autograd through the converter; (b) a 10-step AdamW trajectory
+# with the reference recipe hyperparameters (vitclip_base_k400.py:96-105).
+# The reference trains exactly this graph under autograd
+# (vitclip_aim.py:195-211, freeze predicate :424-427).
+
+
+def _attach_head(ref_backbone, num_classes, d, seed=7):
+    """Torch twin of our Recognizer3D+I3DHead forward (dropout 0):
+    logits = fc(backbone(x).mean(dim=2)[..., 0, 0])."""
+    fc = torch.nn.Linear(d, num_classes)
+    _randomize(fc, seed=seed)
+    return fc
+
+
+def _ref_freeze(ref):
+    """Reference freeze predicate, vitclip_aim.py:424-427."""
+    for name, p in ref.named_parameters():
+        if ('temporal_embedding' not in name and 'ln_post' not in name
+                and 'Adapter' not in name):
+            p.requires_grad = False
+
+
+def _torch_grads_to_tree(template_params, ref, fc):
+    """Route torch .grad values through the SAME converter used for
+    weights: the trainable params' mappings are all linear (transpose /
+    direct copy), under which cotangents transform identically."""
+    import jax.tree_util as jtu
+    zeros = jtu.tree_map(lambda a: jnp.zeros_like(a), template_params)
+    # the converter reads the full CLIP layout, so frozen (grad-less)
+    # entries ride along as zeros — partition_params drops them anyway
+    sd = {f"backbone.{n}": (p.grad if p.grad is not None
+                            else torch.zeros_like(p))
+          for n, p in ref.named_parameters()}
+    for n, b in ref.named_buffers():
+        sd[f"backbone.{n}"] = torch.zeros_like(b)
+    sd["cls_head.fc_cls.weight"] = fc.weight.grad
+    sd["cls_head.fc_cls.bias"] = fc.bias.grad
+    return load_aim_checkpoint_into_params(zeros, sd, strict=False)
+
+
+def _grad_pair(ref_aim_module, res, patch, d, heads, layers, t, classes,
+               batch=2):
+    """Build the twin models, run CE forward+backward on both sides, and
+    return (ours_trainable_grads, torch_grads_mapped, trainable_template)."""
+    from adapt_image_models_tpu.models.losses.cross_entropy import (
+        cross_entropy,
+    )
+    from adapt_image_models_tpu.parallel.partition import (
+        merge_params, partition_params,
+    )
+
+    ref = _randomize(ref_aim_module.AIM(
+        input_resolution=res, num_frames=t, patch_size=patch, width=d,
+        layers=layers, heads=heads, drop_path_rate=0.0, pretrained=None))
+    ref.eval()  # no dropout/drop-path anywhere; grads still flow
+    _ref_freeze(ref)
+    fc = _attach_head(ref, classes, d)
+
+    model = build_model(dict(
+        type="Recognizer3D",
+        backbone=dict(type="AIM", input_resolution=res, patch_size=patch,
+                      width=d, layers=layers, heads=heads, num_frames=t,
+                      drop_path_rate=0.0),
+        cls_head=dict(type="I3DHead", num_classes=classes, in_channels=d,
+                      dropout_ratio=0.0),
+        test_cfg=dict(average_clips=None)))
+    params = _ref_state_into_flax(ref, model, (1, 3, t, res, res))
+    sd = {f"backbone.{k}": v for k, v in ref.state_dict().items()}
+    sd["cls_head.fc_cls.weight"] = fc.weight.data
+    sd["cls_head.fc_cls.bias"] = fc.bias.data
+    params = load_aim_checkpoint_into_params(params, sd, strict=False)
+
+    gen = torch.Generator().manual_seed(21)
+    x = torch.randn(batch, 3, t, res, res, generator=gen)
+    labels = torch.arange(batch) % classes
+
+    logits = fc(ref(x).mean(dim=2)[..., 0, 0])
+    loss_t = torch.nn.functional.cross_entropy(logits, labels)
+    loss_t.backward()
+
+    trainable, frozen = partition_params(params)
+
+    def loss_fn(trainable):
+        frozen_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, frozen)
+        p = merge_params(trainable, frozen_sg)
+        lg = model.apply({"params": p}, jnp.asarray(x.numpy()))
+        return cross_entropy(lg, jnp.asarray(labels.numpy()))
+
+    loss_j, grads = jax.value_and_grad(loss_fn)(trainable)
+    np.testing.assert_allclose(float(loss_j), float(loss_t.detach()),
+                               rtol=1e-4)
+    mapped = _torch_grads_to_tree(params, ref, fc)
+    mapped_trainable, _ = partition_params(mapped)
+    return grads, mapped_trainable
+
+
+def _assert_tree_close(ours, theirs, atol, rtol):
+    import jax.tree_util as jtu
+    flat_o = jtu.tree_leaves_with_path(ours)
+    flat_t = dict(jtu.tree_leaves_with_path(theirs))
+    # tree_leaves_with_path keys are hashable path tuples
+    flat_t = {k: v for k, v in jtu.tree_leaves_with_path(theirs)}
+    assert len(flat_o) == len(flat_t)
+    for path, g in flat_o:
+        ref_g = flat_t[path]
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(ref_g), atol=atol, rtol=rtol,
+            err_msg=jtu.keystr(path))
+
+
+def test_reference_aim_adapter_gradient_parity(ref_aim_module):
+    """CE-loss gradients on the adapter partition match torch autograd
+    through the reference's own module (toy geometry, fp32)."""
+    ours, theirs = _grad_pair(ref_aim_module, RES, PATCH, D, HEADS, LAYERS,
+                              T, classes=5)
+    _assert_tree_close(ours, theirs, atol=1e-5, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_reference_aim_adapter_gradient_parity_full_vitb16(ref_aim_module):
+    """Same, at true ViT-B/16 geometry (12 layers / 768 / 224^2 / T=8)."""
+    ours, theirs = _grad_pair(ref_aim_module, 224, 16, 768, 12, 12, 8,
+                              classes=400, batch=1)
+    _assert_tree_close(ours, theirs, atol=5e-5, rtol=5e-3)
+
+
+def test_reference_aim_short_trajectory_parity(ref_aim_module):
+    """10 AdamW steps with the reference recipe hyperparameters
+    (vitclip_base_k400.py:96-105: lr 3e-4, betas (0.9, 0.999), wd 0.05,
+    no decay on ln_post; drop-path off, fixed data): the loss curves of
+    our REAL train machinery (build_optimizer + make_train_step) and torch
+    AdamW over the reference module must match."""
+    from adapt_image_models_tpu.core.optim import (
+        DEFAULT_NO_DECAY_KEYS, build_optimizer,
+    )
+    from adapt_image_models_tpu.core.train_state import (
+        create_train_state, make_train_step,
+    )
+    from adapt_image_models_tpu.parallel.partition import partition_params
+
+    classes, steps, batch = 5, 10, 4
+    ref = _randomize(ref_aim_module.AIM(
+        input_resolution=RES, num_frames=T, patch_size=PATCH, width=D,
+        layers=LAYERS, heads=HEADS, drop_path_rate=0.0, pretrained=None))
+    ref.eval()
+    _ref_freeze(ref)
+    fc = _attach_head(ref, classes, D)
+
+    model = build_model(dict(
+        type="Recognizer3D",
+        backbone=dict(type="AIM", input_resolution=RES, patch_size=PATCH,
+                      width=D, layers=LAYERS, heads=HEADS, num_frames=T,
+                      drop_path_rate=0.0),
+        cls_head=dict(type="I3DHead", num_classes=classes, in_channels=D,
+                      dropout_ratio=0.0),
+        test_cfg=dict(average_clips=None)))
+    params = _ref_state_into_flax(ref, model, (1, 3, T, RES, RES))
+    sd = {f"backbone.{k}": v for k, v in ref.state_dict().items()}
+    sd["cls_head.fc_cls.weight"] = fc.weight.data
+    sd["cls_head.fc_cls.bias"] = fc.bias.data
+    params = load_aim_checkpoint_into_params(params, sd, strict=False)
+
+    opt_cfg = dict(type="AdamW", lr=3e-4, betas=(0.9, 0.999),
+                   weight_decay=0.05,
+                   paramwise_cfg=dict(custom_keys={
+                       "ln_post": dict(decay_mult=0.0)}))
+    trainable, _ = partition_params(params)
+    tx = build_optimizer(opt_cfg, trainable, schedule=3e-4)
+    state = create_train_state(params, tx)
+    step = jax.jit(make_train_step(model, tx))
+
+    # torch mirror: decay groups match our effective mask (decoupled-AdamW
+    # drift from the mask's bias handling is ~lr*wd*|p| ~ 3e-7/step, far
+    # below tolerance either way)
+    decay, no_decay = [], []
+    named = [(f"backbone.{n}", p) for n, p in ref.named_parameters()
+             if p.requires_grad]
+    named += [("cls_head.fc_cls.weight", fc.weight),
+              ("cls_head.fc_cls.bias", fc.bias)]
+    for n, p in named:
+        key = n.replace(".", "/")
+        if any(k in key for k in DEFAULT_NO_DECAY_KEYS):
+            no_decay.append(p)
+        else:
+            decay.append(p)
+    opt_t = torch.optim.AdamW(
+        [{"params": decay, "weight_decay": 0.05},
+         {"params": no_decay, "weight_decay": 0.0}],
+        lr=3e-4, betas=(0.9, 0.999), eps=1e-8)
+
+    gen = torch.Generator().manual_seed(31)
+    batches = [(torch.randn(batch, 3, T, RES, RES, generator=gen),
+                torch.arange(batch) % classes) for _ in range(steps)]
+
+    losses_t = []
+    for x, labels in batches:
+        opt_t.zero_grad()
+        logits = fc(ref(x).mean(dim=2)[..., 0, 0])
+        loss = torch.nn.functional.cross_entropy(logits, labels)
+        loss.backward()
+        opt_t.step()
+        losses_t.append(float(loss.detach()))
+
+    losses_j = []
+    rng = jax.random.PRNGKey(0)  # dropout is off; rng is inert
+    for x, labels in batches:
+        b = {"imgs": jnp.asarray(x.numpy())[:, None],  # (B, V=1, C, T, H, W)
+             "label": jnp.asarray(labels.numpy())}
+        state, metrics = step(state, b, rng)
+        losses_j.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(losses_j, losses_t, rtol=1e-3, atol=5e-4)
+    # the curve must actually descend for this to be evidence of dynamics
+    assert losses_t[-1] < losses_t[0]
