@@ -51,12 +51,24 @@ def _split_frames(bt: int, t: int) -> int:
     return bt // t
 
 
-# Frame-axis cutover: the masked-full core (and the whole-step backward
-# cell, which exceeds VMEM beyond it) covers T <= LONG_CLIP_T; longer clips
-# take the segment core / two-kernel composition. Module-level so tests can
-# monkeypatch it and exercise the long-clip paths at small traced sizes
-# (interpret mode unrolls the grid into the jaxpr — T=32 traces for ~40 s).
-LONG_CLIP_T = 16
+# Frame-axis cutover: the masked-full core covers T <= LONG_CLIP_T; longer
+# clips take the segment core. Module-level so tests can monkeypatch it and
+# exercise the long-clip paths at small traced sizes (interpret mode unrolls
+# the grid into the jaxpr — T=32 traces for ~40 s).
+#
+# Round 4: raised 16 -> 32. The segment core's per-(tq, tk) pairs are 1024
+# MXU-starved (tile, D) @ (D, H) matmuls at T=32 — measured 1134 us/clip/
+# layer on v5e ViT-B 32f vs the grouped masked-full core's 434 us at
+# tile=16 (2.6x; same 3.9e-3 max err vs the fp32 reference impl). The
+# full-core row cap at T > 16 is 512 (tile 16): the 768-row tile-24 cell
+# is a compile-time VMEM OOM (see _auto_tile).
+LONG_CLIP_T = 32
+
+# 5-output backward cells (dx, dqkv, dy, y, o) exceed the VMEM scope past
+# T=16 (measured 19.12M at T=32/tile=8); only the dX-only backward cells
+# fit at T=32. Gates _bwd_ln_dispatch/_bwd_plain_dispatch independently of
+# the forward-core choice.
+FULL_BWD_MAX_T = 16
 
 # Separate gate for the whole-step TRAIN backward cell
 # (fused_temporal_step_bwd_dx): that cell carries adapter/gate transients on
@@ -345,7 +357,13 @@ def _auto_tile(d: int, t: int, requested: Optional[int],
             # default's 341 (tile 32: 337.9, tile 64: 326.4 — those cover
             # more padded rows). d > 768 keeps the narrow default until a
             # wide cell is VMEM-verified on-chip at that width.
-            tile = max(8, (832 // t) // 8 * 8)
+            #
+            # T > 16 caps at 512 rows: the grouped core's stacked score
+            # block grows with t*gw (256 rows at T=32), and the 768-row
+            # (32, 24, 768) cell is a real compile-time VMEM OOM while
+            # (32, 16, 768) runs at 434 us/clip/layer (r4, on-chip).
+            cap = 832 if t <= 16 else 512
+            tile = max(8, (cap // t) // 8 * 8)
         else:
             # backward/train cells hold more transients: ~128 rows per
             # block maximizes MXU occupancy while the (T*tile)^2 mask
@@ -954,7 +972,7 @@ def _bwd_ln_pallas(num_frames, num_heads, res, g):
 
 
 def _bwd_ln_dispatch(num_frames, num_heads, res, g):
-    if _use_full_core(num_frames):
+    if _use_full_core(num_frames) and num_frames <= FULL_BWD_MAX_T:
         return _bwd_ln_pallas(num_frames, num_heads, res, g)
     d = res[0].shape[-1]
     if _seg_bwd_vmem_fits(num_frames, 8, d):
@@ -1042,7 +1060,7 @@ def _bwd_plain_pallas(num_frames, num_heads, res, g):
 
 
 def _bwd_plain_dispatch(num_frames, num_heads, res, g):
-    if _use_full_core(num_frames):
+    if _use_full_core(num_frames) and num_frames <= FULL_BWD_MAX_T:
         return _bwd_plain_pallas(num_frames, num_heads, res, g)
     return _bwd(num_frames, num_heads, res, g)
 

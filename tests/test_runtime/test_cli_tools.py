@@ -253,3 +253,14 @@ def test_dataset_prep_shell_wrappers():
         for m in re.finditer(r'python "\$REPO/([^"]+)"', text):
             assert os.path.exists(os.path.join(repo, m.group(1))), \
                 f"{sh} calls missing tool {m.group(1)}"
+
+
+def test_benchmark_e2e_tool():
+    """--e2e drives decode->device->logits end-to-end (real mp4v sources,
+    worker pool, jitted forward) and reports sustained clips/s — the TPU
+    analog of the reference's dataloader-included iteration timing
+    (tools/analysis/benchmark.py:29-60)."""
+    r = run_tool("tools/analysis/benchmark.py",
+                 "configs/recognition/vit/vitclip_debug_tiny.py",
+                 "--e2e", "--batch", "4", "--iters", "3", "--workers", "2")
+    assert "end-to-end decode->logits" in r.stdout, r.stdout
