@@ -1344,11 +1344,24 @@ def fused_spatial_train_step(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
 
 def _fwd_train_step(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out, w1,
                     b1, w2, b2, gate, num_heads, skip, l_actual):
+    if not _step_vmem_fits(x.shape[1], x.shape[2], w1.shape[1]):
+        # ViT-L-class widths take the composition backward: emit the
+        # pre-adapter u alongside the output and stash it, cutting the
+        # attention kernel passes per train step from 3 to 2 (same move
+        # as the temporal T > STEP_BWD_MAX_T path). gate=None rides as an
+        # all-ones gate — exact: the gated store multiplies by 1.0.
+        gate_eff = (gate if gate is not None
+                    else jnp.ones((x.shape[0],), jnp.float32))
+        y, u = fused_ln_attn_adapter_residual_gated(
+            x, gate_eff, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
+            w1, b1, w2, b2, num_heads, skip, l_actual, emit_u=True)
+        return y, (x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
+                   w1, b1, w2, b2, gate, u)
     y = fused_spatial_train_step(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
                                  b_out, w1, b1, w2, b2, gate, num_heads,
                                  skip, l_actual)
     return y, (x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
-               w1, b1, w2, b2, gate)
+               w1, b1, w2, b2, gate, None)
 
 
 def _ref_train_step_impl(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
@@ -1409,13 +1422,12 @@ def _adapter_weight_cotangents(u, dpre, a, g32, db, gate, skip,
 
 def _bwd_train_step(num_heads, skip, l_actual, res, g):
     (x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
-     w1, b1, w2, b2, gate) = res
+     w1, b1, w2, b2, gate, u) = res
     if not _step_vmem_fits(x.shape[1], x.shape[2], w1.shape[1]):
-        # ViT-L widths: two-kernel composition — recompute u with the
-        # (VMEM-fitting) forward kernel, adapter backward in XLA (exact),
-        # dX through attention with the dX-only backward kernel
-        u = fused_ln_qkv_attention(x, ln_scale, ln_bias, w_qkv, b_qkv,
-                                   w_out, b_out, num_heads, l_actual)
+        # ViT-L widths: two-kernel composition — u comes from the
+        # forward's emit_u stash (round 4; was a full per-layer forward
+        # recompute kernel), adapter backward in XLA (exact), dX through
+        # attention with the dX-only backward kernel
         g32 = g.astype(jnp.float32)
         db = _gated_cotangent(g32, gate)
         dpre, a, du = _adapter_bwd_xla(u.astype(jnp.float32), db,
@@ -1453,14 +1465,19 @@ fused_spatial_train_step.defvjp(_fwd_train_step, _bwd_train_step)
 def _kernel_ln_adapter_res_gated(x_ref, gate_ref, lns_ref, lnb_ref,
                                  wqkv_ref, bqkv_ref, wout_ref, bout_ref,
                                  w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
-                                 *, heads: int, l_actual: int, scale: float,
-                                 skip: bool):
+                                 u_ref=None, *, heads: int, l_actual: int,
+                                 scale: float, skip: bool):
     """``x + gate * Adapter(attn(LN(x)))`` — the train-mode step forward
-    with the drop-path gate applied in-kernel."""
+    with the drop-path gate applied in-kernel. ``u_ref``: optionally emit
+    the pre-adapter attention output — the ViT-L-class composition
+    backward (see _bwd_train_step) consumes it from the VJP residuals
+    instead of re-running a full forward attention kernel per layer."""
     x0 = _sanitize_rows(x_ref[0], l_actual)
     xn = _kernel_layernorm(x0, lns_ref, lnb_ref, x_ref.dtype)
     y = _attention_body(xn, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
                         heads, l_actual, scale, stacked=False)
+    if u_ref is not None:
+        u_ref[0] = y.astype(u_ref.dtype)
     y = _adapter_epilogue(y, w1_ref, b1_ref, w2_ref, b2_ref, skip,
                           x_ref.dtype)
     gate = gate_ref[pl.program_id(0), 0].astype(jnp.float32)
@@ -1470,7 +1487,8 @@ def _kernel_ln_adapter_res_gated(x_ref, gate_ref, lns_ref, lnb_ref,
 def fused_ln_attn_adapter_residual_gated(x, gate, ln_scale, ln_bias, w_qkv,
                                          b_qkv, w_out, b_out, w1, b1, w2,
                                          b2, num_heads: int, skip: bool,
-                                         l_actual: Optional[int] = None):
+                                         l_actual: Optional[int] = None,
+                                         emit_u: bool = False):
     b, l, d = x.shape
     l_actual = l if l_actual is None else l_actual
     lp = _round_up(l, 16)
@@ -1488,13 +1506,14 @@ def fused_ln_attn_adapter_residual_gated(x, gate, ln_scale, ln_bias, w_qkv,
     x_spec = pl.BlockSpec((1, lp, d), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
     gate_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_shape = jax.ShapeDtypeStruct((b, l, d), x.dtype)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, l, d), x.dtype),
+        out_shape=(out_shape, out_shape) if emit_u else out_shape,
         grid=(b,),
         in_specs=[x_spec, gate_spec, vec_spec, vec_spec, *_WEIGHT_SPECS(d),
                   *adapter_specs],
-        out_specs=x_spec,
+        out_specs=(x_spec, x_spec) if emit_u else x_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),
