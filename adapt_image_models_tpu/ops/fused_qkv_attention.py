@@ -57,10 +57,24 @@ _LN_MODE = os.environ.get("AIM_KERNEL_LN", "vpu")
 
 # Eval-cell softmax layout: 'stacked' (default, heads concatenated so
 # mask/max/exp/sum run as few large VPU ops) or 't' (transposed scores,
-# sublane-direction reductions — the knockout 'softmax_t' candidate).
+# sublane-direction reductions — the knockout 'softmax_t' candidate;
+# measured r4: compile hangs on the relay, documented negative result).
 # Read once at import; eval cells only (train cells keep exact per-head
 # chains, see _attention_body).
 _SOFTMAX_MODE = os.environ.get("AIM_EVAL_SOFTMAX", "stacked")
+
+# Eval-cell softmax arithmetic (stacked paths only; train cells stay
+# byte-identical): exp2 with log2(e) folded into the q prescale — jnp.exp
+# lowers as exp2(x * 1.4427), so pre-folding kills one full VPU multiply
+# pass over every (stacked_rows, L) score matrix — and a per-row
+# reciprocal-multiply replacing the (rows, hd) broadcast DIVIDE after AV
+# (VPU divides cost several times a multiply). Same math to ~1 ulp.
+# MEASURED r4 (v5e batch-512 full model): 355.1 with vs 355.1 without —
+# perf-NEUTRAL, so the default stays off (documented negative result: the
+# cells are not VPU-softmax-bound; Mosaic already folds the exp multiply).
+# AIM_FAST_SOFTMAX=1 enables for A/B on other geometries.
+_FAST_SOFTMAX = os.environ.get("AIM_FAST_SOFTMAX", "0") != "0"
+_LOG2E = 1.4426950408889634
 
 
 def _kernel_layernorm(x, scale_ref, bias_ref, dtype, eps: float = 1e-5):
@@ -135,7 +149,14 @@ def _is_pow2(x: float) -> bool:
 # chunk, 2.1 MB fp32; ViT-L lp=272 would stack 4.7 MB -> chunked). Measured
 # v5e (batch 512, full model): per-head softmax chains -> stacked = +7
 # clips/s combined with the temporal core's stacking (346.4 -> 353.3).
-_STACK_ROWS = 2496
+# AIM_STACK_ROWS stages the chunk-size A/B (smaller chunks let Mosaic
+# overlap chunk i+1's MXU score matmuls with chunk i's VPU softmax; one
+# chunk serializes MXU -> VPU -> MXU within the cell). Measured r4 on v5e
+# (batch-512 full model, tools/analysis/sweep_softmax_layout.py): 6-head
+# chunks (1248 rows at ViT-B's lp=208) are a consistent small win —
+# 357.1-357.6 vs 355.0-355.5 clips/s across three runs — so 1248 is the
+# default; 2496 restores the round-3 all-heads stacking.
+_STACK_ROWS = int(os.environ.get("AIM_STACK_ROWS", "1248"))
 
 
 def _attention_body(x, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
@@ -186,9 +207,17 @@ def _attention_body(x, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
         y = jnp.dot(out, wout_ref[...], preferred_element_type=jnp.float32)
         return y + bout_ref[...].astype(jnp.float32)
 
+    # fast-softmax folds log2(e) into the prescale (exp2 path) — the scaled
+    # q is no longer exactly representable in bf16, but the product
+    # scale * log2e perturbs q by <1 ulp of bf16 vs the exact-pow2 scale;
+    # measured parity stays within the kernels' tolerances
     prescale = _is_pow2(scale)
     q_all = qkv[:, :d]
-    if prescale:
+    if _FAST_SOFTMAX and _SOFTMAX_MODE != "t":
+        prescale = True
+        q_all = (q_all.astype(jnp.float32) * (scale * _LOG2E)).astype(
+            qkv.dtype)
+    elif prescale:
         q_all = (q_all.astype(jnp.float32) * scale).astype(qkv.dtype)
 
     if _SOFTMAX_MODE == "t":
@@ -251,14 +280,16 @@ def _attention_body(x, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
         if keymask is not None:
             S = S + keymask
         m = jnp.max(S, axis=1, keepdims=True)
-        p = jnp.exp(S - m)
+        p = jnp.exp2(S - m) if _FAST_SOFTMAX else jnp.exp(S - m)
         denom = jnp.sum(p, axis=1, keepdims=True)
+        inv = 1.0 / denom if _FAST_SOFTMAX else None
         pb = p.astype(qkv.dtype)
         for i, h in enumerate(range(h0, h0 + hc)):
             v = qkv[:, 2 * d + h * hd:2 * d + (h + 1) * hd]
             o_h = jax.lax.dot(pb[i * lp:(i + 1) * lp], v,
-                              preferred_element_type=jnp.float32) \
-                / denom[i * lp:(i + 1) * lp]
+                              preferred_element_type=jnp.float32)
+            o_h = (o_h * inv[i * lp:(i + 1) * lp] if _FAST_SOFTMAX
+                   else o_h / denom[i * lp:(i + 1) * lp])
             outs.append(o_h.astype(x.dtype))
     out = jnp.concatenate(outs, axis=1)  # (L_pad, D), static head offsets
 

@@ -26,6 +26,7 @@ prologue optionally fuses in (``fused_ln_temporal_attention``).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import numpy as np
@@ -69,6 +70,18 @@ LONG_CLIP_T = 32
 # fit at T=32. Gates _bwd_ln_dispatch/_bwd_plain_dispatch independently of
 # the forward-core choice.
 FULL_BWD_MAX_T = 16
+
+# Eval stacked-softmax head-chunk width for the masked-full core: heads per
+# stacked score block (default: all heads of a CLIP ViT in one chunk —
+# the round-3 measured layout). Smaller chunks let Mosaic overlap the next
+# chunk's MXU score matmuls with the current chunk's VPU softmax; staged as
+# an env A/B like AIM_KERNEL_LN / AIM_EVAL_SOFTMAX (read at import).
+# MEASURED r4 (v5e batch-512 full model, sweep_softmax_layout.py): 6/4/2-
+# head chunks all LOSE (352.4/350.3/352.0 vs 355.1 baseline) — unlike the
+# spatial cells, where 6-head chunks win (~+2 clips/s, now the default
+# there); the temporal groups' (128, 128) score blocks are already small
+# enough that chunking only adds loop overhead. Default stays all-heads.
+_TSTACK_HEADS = int(os.environ.get("AIM_TSTACK_HEADS", "16"))
 
 # Separate gate for the whole-step TRAIN backward cell
 # (fused_temporal_step_bwd_dx): that cell carries adapter/gate transients on
@@ -120,7 +133,9 @@ def _masked_full_core(q, k, v, t: int, gw: int, heads: int, scale: float,
     fused_qkv_attention._attention_body). The 1/sqrt(hd) scale folds into
     q when it is a power of two (hd=64 for all CLIP widths — exact in
     bf16)."""
-    from adapt_image_models_tpu.ops.fused_qkv_attention import _is_pow2
+    from adapt_image_models_tpu.ops.fused_qkv_attention import (
+        _is_pow2, _FAST_SOFTMAX, _LOG2E,
+    )
 
     grows, d = q.shape
     hd = d // heads
@@ -149,34 +164,49 @@ def _masked_full_core(q, k, v, t: int, gw: int, heads: int, scale: float,
             outs.append(oh.astype(dtype))
         return jnp.concatenate(outs, axis=1)
     prescale = _is_pow2(scale)
-    if prescale:
+    if _FAST_SOFTMAX:
+        # exp2 path: fold log2(e) into the prescale (see fused_qkv_attention)
+        prescale = True
+        q = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
+    elif prescale:
         q = (q.astype(jnp.float32) * scale).astype(q.dtype)
-    ss = []
-    for h in range(heads):
-        qh = q[:, h * hd:(h + 1) * hd]
-        kh = k[:, h * hd:(h + 1) * hd]
-        s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        ss.append(s)
-    S = ss[0] if heads == 1 else jnp.concatenate(ss, axis=0)
-    if not prescale:
-        S = S * scale
-    # stacked-row mask: within-group row rr = r % grows, and since gw
-    # divides grows (grows = t*gw), rr % gw == r % gw — build directly
-    ri = jax.lax.broadcasted_iota(jnp.int32, S.shape, 0)
-    ci = jax.lax.broadcasted_iota(jnp.int32, S.shape, 1)
-    S = jnp.where((ri % gw) == (ci % gw), S, S + jnp.float32(MASK_VALUE))
-    m = jnp.max(S, axis=1, keepdims=True)
-    p = jnp.exp(S - m)
-    denom = jnp.sum(p, axis=1, keepdims=True)
-    pb = p.astype(v.dtype)
+    # mask add depends only on (row % gw == col % gw): within-group row
+    # rr = r % grows, and since gw divides grows (grows = t*gw),
+    # rr % gw == r % gw — one (grows, grows) strip serves every head
+    ri = jax.lax.broadcasted_iota(jnp.int32, (grows, grows), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (grows, grows), 1)
+    maskadd = jnp.where((ri % gw) == (ci % gw), jnp.float32(0.0),
+                        jnp.float32(MASK_VALUE))
+    # head-chunked stacking (AIM_TSTACK_HEADS, default all heads in one
+    # chunk): smaller chunks let Mosaic overlap chunk i+1's MXU score
+    # matmuls with chunk i's VPU softmax
     outs = []
-    for h in range(heads):
-        vh = v[:, h * hd:(h + 1) * hd]
-        oh = jax.lax.dot(pb[h * grows:(h + 1) * grows], vh,
-                         preferred_element_type=jnp.float32) \
-            / denom[h * grows:(h + 1) * grows]
-        outs.append(oh.astype(dtype))
+    for h0 in range(0, heads, _TSTACK_HEADS):
+        hc = min(_TSTACK_HEADS, heads - h0)
+        ss = []
+        for h in range(h0, h0 + hc):
+            qh = q[:, h * hd:(h + 1) * hd]
+            kh = k[:, h * hd:(h + 1) * hd]
+            s = jax.lax.dot_general(qh, kh, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            ss.append(s)
+        S = ss[0] if hc == 1 else jnp.concatenate(ss, axis=0)
+        if not prescale:
+            S = S * scale
+        S = S + (maskadd if hc == 1
+                 else jnp.concatenate([maskadd] * hc, axis=0))
+        m = jnp.max(S, axis=1, keepdims=True)
+        p = jnp.exp2(S - m) if _FAST_SOFTMAX else jnp.exp(S - m)
+        denom = jnp.sum(p, axis=1, keepdims=True)
+        inv = 1.0 / denom if _FAST_SOFTMAX else None
+        pb = p.astype(v.dtype)
+        for i, h in enumerate(range(h0, h0 + hc)):
+            vh = v[:, h * hd:(h + 1) * hd]
+            oh = jax.lax.dot(pb[i * grows:(i + 1) * grows], vh,
+                             preferred_element_type=jnp.float32)
+            oh = (oh * inv[i * grows:(i + 1) * grows] if _FAST_SOFTMAX
+                  else oh / denom[i * grows:(i + 1) * grows])
+            outs.append(oh.astype(dtype))
     return jnp.concatenate(outs, axis=1)
 
 
