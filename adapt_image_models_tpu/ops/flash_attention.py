@@ -29,6 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from adapt_image_models_tpu.ops.fused_qkv_attention import _cparams
+
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
@@ -102,9 +104,7 @@ def flash_attention_core(q: jax.Array, k: jax.Array, v: jax.Array,
         ] * 3,
         out_specs=pl.BlockSpec((block_b, h, lp, hd), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-        ),
+        compiler_params=_cparams("parallel"),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * b * h * lp * lp * hd,
             bytes_accessed=4 * b * h * lp * hd * 2,

@@ -25,7 +25,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from adapt_image_models_tpu.ops.fused_qkv_attention import (
-    _kernel_layernorm, _round_up,
+    _cparams, _kernel_layernorm, _round_up,
 )
 
 
@@ -102,9 +102,7 @@ def fused_joint_mlp_adapter(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj,
         out_specs=pl.BlockSpec((1, l, d), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((l, d), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
+        compiler_params=_cparams("parallel", "arbitrary"),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * l * d * (8 * d + dh * 2 // 1),
             bytes_accessed=2 * (2 * b * l * d * 2 + 8 * d * d + 2 * d * dh),
@@ -230,9 +228,7 @@ def fused_joint_mlp_rows(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj,
                 gate_spec, carry_spec,
             ],
             out_specs=row_spec(d),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel",),
-            ),
+            compiler_params=_cparams("parallel"),
             cost_estimate=pl.CostEstimate(
                 flops=flops_s,
                 bytes_accessed=2 * rows * d * (2 if last and first else 6)
@@ -450,9 +446,7 @@ def fused_joint_mlp_rows_bwd(x, g, gate, ln_scale, ln_bias, w_fc, b_fc,
                 mat(d, dh), vec(dh), mat(dh, d),
             ],
             out_specs=tuple(out_specs),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel",),
-            ),
+            compiler_params=_cparams("parallel"),
             cost_estimate=pl.CostEstimate(
                 flops=2 * rows * d * 3 * hs,
                 bytes_accessed=2 * rows * d * 10 + 2 * d * hs * 2,

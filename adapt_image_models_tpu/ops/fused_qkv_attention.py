@@ -46,6 +46,22 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# Per-kernel scoped-VMEM limit. Mosaic's default assert is 16M, but a v5e
+# core has 128M physical VMEM and our kernels run exclusively — the
+# rounds-3/4 "VMEM ceiling" cells (ViT-L dX at 16.01M, ViT-L whole-step
+# backward at 21-23M, T=32 cells at 17-29M) all fit the hardware. Raising
+# the limit makes the real ceiling physical VMEM; the dispatch gates that
+# pick between one-kernel and composition paths remain PERF decisions,
+# re-calibrated on-chip (see docs/benchmark.md round 4).
+_VMEM_LIMIT = int(os.environ.get("AIM_KERNEL_VMEM_LIMIT",
+                                 str(100 * 2 ** 20)))
+
+
+def _cparams(*dimension_semantics: str) -> "pltpu.CompilerParams":
+    return pltpu.CompilerParams(dimension_semantics=dimension_semantics,
+                                vmem_limit_bytes=_VMEM_LIMIT)
+
+
 # LN moment-reduction strategy inside the kernels. 'vpu' (default) reduces
 # across lanes on the VPU; 'mxu' computes mean/E[x^2] via (D, 8) ones-
 # matmuls on the MXU — same math, different reduction order (uncentered
@@ -127,6 +143,19 @@ def _project_qkv(x, wqkv_ref, bqkv_ref):
     return jnp.concatenate(outs, axis=1)
 
 
+def _key_mask_strip(lp: int, l_actual: int):
+    """(1, lp) additive key-padding mask strip (broadcasts over any row
+    count), or None when every key is real. The strip replaces full
+    (lp, lp) masks in the kernels: same math under broadcasting, ~lp x
+    less VMEM — the ViT-L dX backward cell exceeded the 16M scope by 8 KB
+    with full masks."""
+    if l_actual >= lp:
+        return None
+    col = jax.lax.broadcasted_iota(jnp.int32, (8, lp), 1)
+    return jnp.where(col < l_actual, jnp.float32(0.0),
+                     jnp.float32(MASK_VALUE))[:1]
+
+
 def _sanitize_rows(x, l_actual: int):
     """Zero rows beyond ``l_actual``: a partial block's out-of-range reads
     are undefined (NaN in interpret mode) and would otherwise poison the
@@ -185,10 +214,10 @@ def _attention_body(x, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
         # one multiply-add per head, no prescaled q copy). The stacked
         # restructure measurably slows the whole-step train kernels
         # (v5e ViT-B 8f b32: 98.5 -> ~92 clips/s) — their cells are
-        # VMEM-pressure-bound, not VPU-serialization-bound.
-        col = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 1)
-        keymask = jnp.where(col < l_actual, jnp.float32(0.0),
-                            jnp.float32(MASK_VALUE))
+        # VMEM-pressure-bound, not VPU-serialization-bound. The mask is a
+        # 1-row broadcast strip, not (lp, lp): same math, ~lp x less VMEM
+        # (the ViT-L dX cell sat 8 KB past the 16M scope with full masks).
+        keymask = _key_mask_strip(lp, l_actual)
         outs = []
         for h in range(heads):
             q = qkv[:, h * hd:(h + 1) * hd]
@@ -196,7 +225,7 @@ def _attention_body(x, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
             v = qkv[:, 2 * d + h * hd:2 * d + (h + 1) * hd]
             s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-            s = s * scale + keymask
+            s = s * scale + keymask if keymask is not None else s * scale
             m = jnp.max(s, axis=1, keepdims=True)
             p = jnp.exp(s - m)
             denom = jnp.sum(p, axis=1, keepdims=True)
@@ -366,9 +395,7 @@ def _call_spatial(kernel, xp, weights, lp, d, b, num_heads, extra_specs=(),
         in_specs=[x_spec, *extra_specs, *_WEIGHT_SPECS(d)],
         out_specs=pl.BlockSpec((1, lp, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-        ),
+        compiler_params=_cparams("parallel"),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * (lp * d * 3 * d + 2 * lp * lp * d + lp * d * d),
             bytes_accessed=2 * (b * lp * d * 2 + d * 3 * d + d * d),
@@ -445,9 +472,7 @@ def fused_qkv_attention_adapter(x, w_qkv, b_qkv, w_out, b_out,
         in_specs=[x_spec, *_WEIGHT_SPECS(d), *adapter_specs],
         out_specs=pl.BlockSpec((1, lp, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-        ),
+        compiler_params=_cparams("parallel"),
     )(x, w_qkv, b_qkv, w_out, b_out, w1, b1, w2, b2)
 
 
@@ -632,9 +657,7 @@ def fused_ln_attn_adapter_residual(x, ln_scale, ln_bias, w_qkv, b_qkv,
         in_specs=[x_spec, *ln_specs, *_WEIGHT_SPECS(d), *adapter_specs],
         out_specs=pl.BlockSpec((1, lp, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-        ),
+        compiler_params=_cparams("parallel"),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * (lp * d * 3 * d + 2 * lp * lp * d + lp * d * d),
             bytes_accessed=2 * (b * lp * d * 2 + d * 3 * d + d * d),
@@ -726,14 +749,14 @@ def _bwd_ln_attention_body(x0, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
         y = x0
     qkv = _project_qkv(y, wqkv_ref, bqkv_ref)  # (L_pad, 3D) bf16
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 1)
-    keymask = jnp.where(col < l_actual, jnp.float32(0.0),
-                        jnp.float32(MASK_VALUE))
+    keymask = _key_mask_strip(lp, l_actual)  # (1, lp) broadcast or None
 
-    # d o = g Wout^T
+    # d o = g Wout^T — in the stream dtype: every consumer slices per head
+    # and casts to dt anyway, so a fp32 do is pure VMEM (the ViT-L dX cell
+    # sat 8 KB past the 16M scope; this saves lp*d*2B = 0.56M there)
     do = jax.lax.dot_general(g.astype(dt), wout_ref[...],
                              (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32).astype(dt)
 
     o_parts, dq_parts, dk_parts, dv_parts = [], [], [], []
     for h in range(heads):
@@ -742,7 +765,7 @@ def _bwd_ln_attention_body(x0, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
         v = qkv[:, 2 * d + h * hd:2 * d + (h + 1) * hd]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        s = s * scale + keymask
+        s = s * scale + keymask if keymask is not None else s * scale
         m = jnp.max(s, axis=1, keepdims=True)
         e = jnp.exp(s - m)
         p = e / jnp.sum(e, axis=1, keepdims=True)       # (L, L) fp32
@@ -847,9 +870,7 @@ def fused_ln_qkv_attention_bwd(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
         ],
         out_specs=(row_spec(d), row_spec(3 * d), row_spec(d), row_spec(d),
                    row_spec(d)),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-        ),
+        compiler_params=_cparams("parallel"),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * (2 * lp * d * 3 * d + 6 * lp * lp * d
                            + 2 * lp * d * d),
@@ -947,9 +968,7 @@ def fused_qkv_attention_bwd(x, w_qkv, b_qkv, w_out, g, num_heads: int,
             row_spec(d),
         ],
         out_specs=(row_spec(d), row_spec(3 * d), row_spec(d)),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-        ),
+        compiler_params=_cparams("parallel"),
     )(x, w_qkv, b_qkv, w_out, g)
 
 
@@ -1024,9 +1043,7 @@ def fused_ln_qkv_attention_bwd_dx(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
             row_spec(d),
         ],
         out_specs=row_spec(d),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-        ),
+        compiler_params=_cparams("parallel"),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * (2 * lp * d * 3 * d + 6 * lp * lp * d
                            + 2 * lp * d * d),
@@ -1146,9 +1163,7 @@ def fused_ln_qkv_attention_r(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
         grid=(-(-b // r),),
         in_specs=[x_spec, *ln_specs, *_WEIGHT_SPECS(d)],
         out_specs=x_spec,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-        ),
+        compiler_params=_cparams("parallel"),
     )(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out)
 
 
@@ -1208,9 +1223,7 @@ def _kernel_step_bwd_dx(x_ref, gate_ref, lns_ref, lnb_ref, wqkv_ref,
     hd = d // heads
     qkv = _project_qkv(y, wqkv_ref, bqkv_ref)
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 1)
-    keymask = jnp.where(col < l_actual, jnp.float32(0.0),
-                        jnp.float32(MASK_VALUE))
+    keymask = _key_mask_strip(lp, l_actual)  # (1, lp) broadcast or None
     o_parts = []
     p_list, q_list, k_list, v_list = [], [], [], []
     for h in range(heads):
@@ -1219,7 +1232,7 @@ def _kernel_step_bwd_dx(x_ref, gate_ref, lns_ref, lnb_ref, wqkv_ref,
         v = qkv[:, 2 * d + h * hd:2 * d + (h + 1) * hd]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        s = s * scale + keymask
+        s = s * scale + keymask if keymask is not None else s * scale
         m = jnp.max(s, axis=1, keepdims=True)
         e = jnp.exp(s - m)
         p = e / jnp.sum(e, axis=1, keepdims=True)
@@ -1333,9 +1346,7 @@ def fused_step_bwd_dx(x, gate, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
                                memory_space=pltpu.VMEM),
                   vec_spec, *adapter_specs, row_spec(d)],
         out_specs=(row_spec(d), row_spec(d), row_spec(dh), row_spec(dh)),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-        ),
+        compiler_params=_cparams("parallel"),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * (2 * lp * d * 3 * d + 6 * lp * lp * d
                            + 2 * lp * d * d + 4 * lp * d * dh),
@@ -1346,14 +1357,23 @@ def fused_step_bwd_dx(x, gate, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
       w1, b1, w2, b2, g)
 
 
+# Whole-step spatial train cell budget: ViT-B (~10M) fits the historical
+# 16M scope; ViT-L (~16M with transients) took the two-kernel composition.
+# With _VMEM_LIMIT raised the cell compiles at ViT-L too — the budget is
+# now a PERF choice, env-tunable for on-chip A/B (AIM_STEP_VMEM_BUDGET,
+# bytes).
+_STEP_VMEM_BUDGET = int(os.environ.get("AIM_STEP_VMEM_BUDGET",
+                                       str(12 * 2 ** 20)))
+
+
 def _step_vmem_fits(l: int, d: int, dh: int) -> bool:
     """x, g in + dx, u, dpre, a out, double-buffered + resident weights
-    + the (lp, 3d) qkv transient. ViT-B fits; ViT-L (~16 MB with
-    transients) takes the two-kernel fallback below."""
+    + the (lp, 3d) qkv transient. ViT-B fits the default budget; ViT-L
+    (~16 MB with transients) takes the two-kernel fallback below."""
     lp = _round_up(l, 16)
     est = (2 * (2 + 2) * lp * d + 2 * 2 * lp * dh) * 2 \
         + (4 * d * d + 2 * d * dh) * 2 + lp * 3 * d * 2
-    return est <= 12 * 2 ** 20
+    return est <= _STEP_VMEM_BUDGET
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14))
@@ -1545,8 +1565,6 @@ def fused_ln_attn_adapter_residual_gated(x, gate, ln_scale, ln_bias, w_qkv,
         in_specs=[x_spec, gate_spec, vec_spec, vec_spec, *_WEIGHT_SPECS(d),
                   *adapter_specs],
         out_specs=(x_spec, x_spec) if emit_u else x_spec,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-        ),
+        compiler_params=_cparams("parallel"),
     )(x, gate.reshape(b, 1).astype(jnp.float32), ln_scale, ln_bias,
       w_qkv, b_qkv, w_out, b_out, w1, b1, w2, b2)

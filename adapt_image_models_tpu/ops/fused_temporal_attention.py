@@ -35,6 +35,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from adapt_image_models_tpu.ops.fused_qkv_attention import _cparams
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -63,13 +65,13 @@ def _split_frames(bt: int, t: int) -> int:
 # tile=16 (2.6x; same 3.9e-3 max err vs the fp32 reference impl). The
 # full-core row cap at T > 16 is 512 (tile 16): the 768-row tile-24 cell
 # is a compile-time VMEM OOM (see _auto_tile).
-LONG_CLIP_T = 32
+LONG_CLIP_T = int(os.environ.get("AIM_LONG_CLIP_T", "32"))
 
 # 5-output backward cells (dx, dqkv, dy, y, o) exceed the VMEM scope past
 # T=16 (measured 19.12M at T=32/tile=8); only the dX-only backward cells
 # fit at T=32. Gates _bwd_ln_dispatch/_bwd_plain_dispatch independently of
 # the forward-core choice.
-FULL_BWD_MAX_T = 16
+FULL_BWD_MAX_T = int(os.environ.get("AIM_FULL_BWD_MAX_T", "16"))
 
 # Eval stacked-softmax head-chunk width for the masked-full core: heads per
 # stacked score block (default: all heads of a CLIP ViT in one chunk —
@@ -83,13 +85,35 @@ FULL_BWD_MAX_T = 16
 # enough that chunking only adds loop overhead. Default stays all-heads.
 _TSTACK_HEADS = int(os.environ.get("AIM_TSTACK_HEADS", "16"))
 
+# Eval wide-tile knobs (see _auto_tile): the T>16 row cap and the width
+# gate were calibrated against Mosaic's old 16M scoped-vmem assert — with
+# the round-4 raised limit (fused_qkv_attention._VMEM_LIMIT) larger cells
+# compile, so both are env-tunable for on-chip A/B before flipping.
+_LONG_WIDE_CAP = int(os.environ.get("AIM_LONG_WIDE_CAP", "512"))
+_WIDE_MAX_D = int(os.environ.get("AIM_WIDE_MAX_D", "768"))
+
 # Separate gate for the whole-step TRAIN backward cell
 # (fused_temporal_step_bwd_dx): that cell carries adapter/gate transients on
 # top of the core backward and measured 17.7M VMEM at T=32/tile=8 — beyond
 # it the backward takes the two-kernel composition regardless of which CORE
 # the forward kernels use. Independent of LONG_CLIP_T so the core choice
 # and the cell-fits question can be measured/flipped separately.
-STEP_BWD_MAX_T = 16
+STEP_BWD_MAX_T = int(os.environ.get("AIM_STEP_BWD_MAX_T", "16"))
+
+# Width gate for the same cell: at d=1024 (ViT-L) the whole-step backward
+# needs 21-23M scoped VMEM (its 4*d^2 resident weights alone are 8.4M).
+# Since round 4 the kernels raise Mosaic's scoped-vmem assert
+# (fused_qkv_attention._VMEM_LIMIT), so the cell COMPILES at d=1024 — the
+# gate is now a PERF choice between the one-kernel whole step and the
+# emit_u two-kernel composition, env-tunable for on-chip A/B.
+STEP_BWD_MAX_D = int(os.environ.get("AIM_STEP_BWD_MAX_D", "768"))
+
+
+def _tstep_whole_cell_fits(t: int, d: int) -> bool:
+    """True when the single-kernel whole-step temporal backward cell fits
+    the 16M VMEM scope; otherwise the forward stashes u (emit_u) and the
+    backward runs the two-kernel composition."""
+    return t <= STEP_BWD_MAX_T and d <= STEP_BWD_MAX_D
 
 
 def _use_full_core(t: int) -> bool:
@@ -378,7 +402,7 @@ def _auto_tile(d: int, t: int, requested: Optional[int],
     if requested is not None:
         return requested
     if _use_full_core(t):
-        if wide and d <= 768:
+        if wide and d <= _WIDE_MAX_D:
             # EVAL-path tile: one kernel invocation covers as many tokens
             # as the verified VMEM point allows (t*tile <= 832 rows — the
             # (8, 104, 768) ViT-B cell measured on-chip). Fewer grid cells
@@ -392,7 +416,7 @@ def _auto_tile(d: int, t: int, requested: Optional[int],
             # block grows with t*gw (256 rows at T=32), and the 768-row
             # (32, 24, 768) cell is a real compile-time VMEM OOM while
             # (32, 16, 768) runs at 434 us/clip/layer (r4, on-chip).
-            cap = 832 if t <= 16 else 512
+            cap = 832 if t <= 16 else _LONG_WIDE_CAP
             tile = max(8, (cap // t) // 8 * 8)
         else:
             # backward/train cells hold more transients: ~128 rows per
@@ -447,9 +471,7 @@ def _call_temporal(kernel, xr, args, b, t, n, tile, d, num_heads,
         in_specs=[x_spec, *extra_specs, *weight_specs],
         out_specs=pl.BlockSpec((t, tile, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-        ),
+        compiler_params=_cparams("parallel", "parallel"),
         cost_estimate=pl.CostEstimate(
             # qkv + out projections, plus the frame-axis attention core
             # (qk^T and attn@v, each 2*b*n*t*t*d)
@@ -541,9 +563,7 @@ def fused_temporal_attention_adapter(x, w_qkv, b_qkv, w_out, b_out,
         in_specs=[x_spec, *weight_specs, *adapter_specs],
         out_specs=pl.BlockSpec((t, tile, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-        ),
+        compiler_params=_cparams("parallel", "parallel"),
     )(x, w_qkv, b_qkv, w_out, b_out, seg, w1, b1, w2, b2)
 
 
@@ -709,9 +729,7 @@ def fused_ln_temporal_adapter_residual(x, ln_scale, ln_bias, w_qkv, b_qkv,
         in_specs=[x_spec, *ln_specs, *weight_specs, *adapter_specs],
         out_specs=pl.BlockSpec((t, tile, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-        ),
+        compiler_params=_cparams("parallel", "parallel"),
     )(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out, seg,
       w1, b1, w2, b2)
 
@@ -972,9 +990,7 @@ def fused_ln_temporal_attention_bwd(x, ln_scale, ln_bias, w_qkv, b_qkv,
             blk(d),
         ],
         out_specs=(blk(d), blk(3 * d), blk(d), blk(d), blk(d)),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-        ),
+        compiler_params=_cparams("parallel", "parallel"),
         cost_estimate=pl.CostEstimate(
             flops=2 * bt * n_cells * tile * d * 8 * d
                   + 2 * b * n_cells * tile * t * t * d * 6,
@@ -1069,9 +1085,7 @@ def fused_temporal_attention_bwd(x, w_qkv, b_qkv, w_out, g,
             blk(d),
         ],
         out_specs=(blk(d), blk(3 * d), blk(d)),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-        ),
+        compiler_params=_cparams("parallel", "parallel"),
     )(x, w_qkv, b_qkv, w_out, g)
 
 
@@ -1271,9 +1285,7 @@ def fused_ln_temporal_attention_bwd_segment(x, ln_scale, ln_bias, w_qkv,
             blk(d),
         ],
         out_specs=(blk(d), blk(3 * d), blk(d), blk(d), blk(d)),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-        ),
+        compiler_params=_cparams("parallel", "parallel"),
     )(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, seg, g)
 
 
@@ -1351,9 +1363,7 @@ def fused_ln_temporal_attention_bwd_dx_segment(x, ln_scale, ln_bias, w_qkv,
             blk(d),
         ],
         out_specs=blk(d),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-        ),
+        compiler_params=_cparams("parallel", "parallel"),
         cost_estimate=pl.CostEstimate(
             flops=2 * bt * n_cells * tile * d * 8 * d
                   + 2 * b * n_cells * tile * t * t * d * 6,
@@ -1419,9 +1429,7 @@ def fused_ln_temporal_attention_bwd_dx(x, ln_scale, ln_bias, w_qkv, b_qkv,
             blk(d),
         ],
         out_specs=blk(d),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-        ),
+        compiler_params=_cparams("parallel", "parallel"),
         cost_estimate=pl.CostEstimate(
             flops=2 * bt * n_cells * tile * d * 8 * d
                   + 2 * b * n_cells * tile * t * t * d * 6,
@@ -1606,9 +1614,7 @@ def fused_temporal_step_bwd_dx(x, gate, ln_scale, ln_bias, w_qkv, b_qkv,
                                memory_space=pltpu.VMEM),
                   vec, blk(d)],
         out_specs=(blk(d), blk(d), blk(dh), blk(dh)),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-        ),
+        compiler_params=_cparams("parallel", "parallel"),
     )(x, gate_in, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
       w1, b1, w2, b2, g)
 
@@ -1708,9 +1714,7 @@ def fused_ln_temporal_adapter_residual_gated(x, gate, ln_scale, ln_bias,
                                memory_space=pltpu.VMEM),
                   vec],
         out_specs=(blk, blk) if emit_u else blk,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-        ),
+        compiler_params=_cparams("parallel", "parallel"),
     )(x, gate.reshape(b, t).astype(jnp.float32), ln_scale, ln_bias,
       w_qkv, b_qkv, w_out, b_out, seg, w1, b1, w2, b2)
 
@@ -1733,9 +1737,10 @@ def fused_temporal_train_step(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
 
 def _fwd_tstep(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out, w1, b1,
                w2, b2, gate, num_frames, num_heads, skip):
-    if num_frames > STEP_BWD_MAX_T:
-        # long clips: emit the pre-adapter u alongside the output and stash
-        # it — the composition backward then skips a full per-layer forward
+    if not _tstep_whole_cell_fits(num_frames, x.shape[-1]):
+        # long clips (T > 16) or wide models (d > 768): emit the
+        # pre-adapter u alongside the output and stash it — the
+        # composition backward then skips a full per-layer forward
         # kernel (u recompute), cutting the temporal kernel passes per
         # train step from 3 to 2. gate=None rides as an all-ones gate
         # (exact: the gated store multiplies by 1.0).
@@ -1756,13 +1761,13 @@ def _fwd_tstep(x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out, w1, b1,
 def _bwd_tstep(num_frames, num_heads, skip, res, g):
     (x, ln_scale, ln_bias, w_qkv, b_qkv, w_out, b_out,
      w1, b1, w2, b2, gate, u) = res
-    if num_frames > STEP_BWD_MAX_T:
-        # long clips (T=32): the whole-step backward cell exceeds VMEM even
-        # at the minimum token tile (measured 17.7M at T=32/tile=8) — use
-        # the two-kernel composition: u comes from the forward's emit_u
-        # stash (no recompute pass), adapter backward in XLA (exact), dX
-        # via the dX-only backward kernel (core dispatched like the
-        # forward)
+    if not _tstep_whole_cell_fits(num_frames, x.shape[-1]):
+        # long clips (T=32: 17.7M at tile=8) or wide models (d=1024:
+        # 23.1M): the whole-step backward cell exceeds the VMEM scope —
+        # use the two-kernel composition: u comes from the forward's
+        # emit_u stash (no recompute pass), adapter backward in XLA
+        # (exact), dX via the dX-only backward kernel (core dispatched
+        # like the forward)
         from adapt_image_models_tpu.ops.fused_qkv_attention import (
             _adapter_bwd_xla, _adapter_weight_cotangents, _gated_cotangent,
         )

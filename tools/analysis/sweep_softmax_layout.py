@@ -34,6 +34,10 @@ def main():
     p.add_argument("--batch", type=int, default=512)
     p.add_argument("--iters", type=int, default=6)
     p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--width", type=int, default=768)
+    p.add_argument("--layers", type=int, default=12)
+    p.add_argument("--heads", type=int, default=12)
+    p.add_argument("--patch", type=int, default=16)
     p.add_argument("--settings", nargs="+", default=None,
                    help="subset of setting names to run")
     args = p.parse_args()
@@ -47,13 +51,14 @@ def main():
 
     model = build_model(dict(
         type="Recognizer3D",
-        backbone=dict(type="AIM", input_resolution=224, patch_size=16,
-                      width=768, layers=12, heads=12,
+        backbone=dict(type="AIM", input_resolution=224,
+                      patch_size=args.patch,
+                      width=args.width, layers=args.layers, heads=args.heads,
                       num_frames=args.frames,
                       drop_path_rate=0.0, compute_dtype="bfloat16",
                       attention_core="fused"),
-        cls_head=dict(type="I3DHead", num_classes=400, in_channels=768,
-                      dropout_ratio=0.0),
+        cls_head=dict(type="I3DHead", num_classes=400,
+                      in_channels=args.width, dropout_ratio=0.0),
         test_cfg=dict(average_clips="prob"),
     ))
     params = model.init(jax.random.PRNGKey(0),
