@@ -27,6 +27,30 @@ ADAPTER_NAMES = (
 )
 
 
+# The AIM_FLASH family checkpoints name attention/MLP weights in
+# flash-attn's layout (``vitclip_aim_flash.py:146`` FlashMHA -> ``Wqkv`` /
+# ``out_proj``; ``:151`` FlashMlp -> ``fc1``/``fc2``) instead of CLIP's
+# (``in_proj_weight``, ``c_fc``/``c_proj``). Both pack qkv as [q; k; v]
+# rows, so the rename is an exact alias.
+_FLASH_KEY_ALIASES = (
+    (".attn.Wqkv.weight", ".attn.in_proj_weight"),
+    (".attn.Wqkv.bias", ".attn.in_proj_bias"),
+    (".mlp.fc1.", ".mlp.c_fc."),
+    (".mlp.fc2.", ".mlp.c_proj."),
+)
+
+
+def _normalize_flash_keys(bsd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in bsd.items():
+        for old, new in _FLASH_KEY_ALIASES:
+            if old in k:
+                k = k.replace(old, new)
+                break
+        out[k] = v
+    return out
+
+
 def _num_layers(sd: Mapping[str, np.ndarray], prefix: str) -> int:
     idx = set()
     for k in sd:
@@ -52,6 +76,7 @@ def convert_aim_checkpoint(checkpoint: Mapping[str, Any],
 
     bsd = {k[len(backbone_prefix):]: v for k, v in sd.items()
            if k.startswith(backbone_prefix)}
+    bsd = _normalize_flash_keys(bsd)
     layers = _num_layers(sd, backbone_prefix)
 
     # frozen CLIP core

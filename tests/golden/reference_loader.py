@@ -69,6 +69,66 @@ def _install_stubs():
         sys.modules["timm.models"] = timm_models
         sys.modules["timm.models.layers"] = timm_layers
 
+    if "flash_attn" not in sys.modules:
+        flash_attn = types.ModuleType("flash_attn")
+        fa_modules = types.ModuleType("flash_attn.modules")
+        fa_mha = types.ModuleType("flash_attn.modules.mha")
+        fa_mlp = types.ModuleType("flash_attn.modules.mlp")
+
+        class MHA(nn.Module):
+            """Math-equivalent stand-in for ``flash_attn.modules.mha.MHA``
+            (batch-first self-attention, packed ``Wqkv`` ordered [q;k;v],
+            scale 1/sqrt(head_dim)): the CUDA kernel computes exactly
+            softmax(q k^T / sqrt(hd)) v, so a plain torch evaluation is the
+            correct oracle for parity tests."""
+
+            def __init__(self, embed_dim, num_heads, cross_attn=False,
+                         dropout=0.0, use_flash_attn=True, **kw):
+                super().__init__()
+                assert not cross_attn, "parity stub is self-attention only"
+                self.embed_dim = embed_dim
+                self.num_heads = num_heads
+                self.head_dim = embed_dim // num_heads
+                self.Wqkv = nn.Linear(embed_dim, 3 * embed_dim)
+                self.out_proj = nn.Linear(embed_dim, embed_dim)
+
+            def forward(self, x):
+                b, s, d = x.shape
+                qkv = self.Wqkv(x).view(b, s, 3, self.num_heads,
+                                        self.head_dim)
+                q, k, v = (t.permute(0, 2, 1, 3) for t in qkv.unbind(dim=2))
+                att = (q @ k.transpose(-2, -1)) / self.head_dim ** 0.5
+                out = att.softmax(dim=-1) @ v
+                return self.out_proj(
+                    out.permute(0, 2, 1, 3).reshape(b, s, d))
+
+        class Mlp(nn.Module):
+            """Stand-in for ``flash_attn.modules.mlp.Mlp``
+            (fc2(activation(fc1(x)))), matching its param names."""
+
+            def __init__(self, in_features, hidden_features=None,
+                         out_features=None, activation=None, **kw):
+                super().__init__()
+                hidden_features = hidden_features or in_features
+                out_features = out_features or in_features
+                self.fc1 = nn.Linear(in_features, hidden_features)
+                self.activation = (activation if activation is not None
+                                   else nn.GELU())
+                self.fc2 = nn.Linear(hidden_features, out_features)
+
+            def forward(self, x):
+                return self.fc2(self.activation(self.fc1(x)))
+
+        fa_mha.MHA = MHA
+        fa_mlp.Mlp = Mlp
+        flash_attn.modules = fa_modules
+        fa_modules.mha = fa_mha
+        fa_modules.mlp = fa_mlp
+        sys.modules["flash_attn"] = flash_attn
+        sys.modules["flash_attn.modules"] = fa_modules
+        sys.modules["flash_attn.modules.mha"] = fa_mha
+        sys.modules["flash_attn.modules.mlp"] = fa_mlp
+
     if "clip" not in sys.modules:
         clip_mod = types.ModuleType("clip")
 
