@@ -47,11 +47,33 @@ def build_detector(cfg, train_cfg=None, test_cfg=None):
     return DETECTORS.build(args)
 
 
+def _validate_submodule_types(cfg):
+    """Fail at BUILD time on unregistered sub-module types.
+
+    Flax modules construct their children lazily at trace time, so without
+    this a typo'd ``backbone.type`` only errors at ``model.init`` — after
+    a user has potentially waited through data setup. Source-prefixed
+    backbones (``torchvision.*``/``timm.*``/``mmcls.*``) are resolved by
+    ``build_backbone`` later and skipped here."""
+    checks = (("backbone", BACKBONES), ("neck", NECKS), ("cls_head", HEADS))
+    for key, registry in checks:
+        sub = cfg.get(key)
+        if not isinstance(sub, dict):
+            continue
+        name = sub.get("type", "")
+        if "." in name:  # external-source prefix, resolved lazily
+            continue
+        if name and name not in registry:
+            raise KeyError(f"{name} is not registered in {registry.name}. "
+                           f"Available: {sorted(registry.module_dict)}")
+
+
 def build_model(cfg, train_cfg=None, test_cfg=None):
     """Build a recognizer or detector from its config."""
     args = dict(cfg)
     obj_type = args.get("type", "")
     if obj_type in RECOGNIZERS:
+        _validate_submodule_types(args)
         return build_recognizer(cfg, train_cfg=train_cfg, test_cfg=test_cfg)
     if obj_type in DETECTORS:
         return build_detector(cfg, train_cfg=train_cfg, test_cfg=test_cfg)

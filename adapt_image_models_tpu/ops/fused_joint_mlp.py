@@ -18,6 +18,7 @@ scratch accumulates across chunks (grid iterates chunks innermost).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +28,31 @@ from jax.experimental.pallas import tpu as pltpu
 from adapt_image_models_tpu.ops.fused_qkv_attention import (
     _cparams, _kernel_layernorm, _round_up,
 )
+
+# Partial-row-tile hardening (round 5). The batch-4 fused train step
+# reproducibly KILLED the v5e TPU worker ("kernel fault") while every op
+# passed isolated; the on-chip bisect (PARITY.md round 5) pinned it to
+# this file's rows kernels when the flattened row count leaves a partial
+# last tile (micro-batch 4 x 8 frames: 6304 rows = 49x128 + 32) inside
+# the full train program — `joint_core='xla'` or padding the rows to a
+# tile multiple both run clean, everything else unchanged crashes. Row
+# padding is therefore ON by default: one extra 128-row tile of work and
+# a pad/slice copy pair ONLY when rows % 128 != 0 (the common batch-32
+# geometry divides evenly and pays nothing). AIM_JOINT_PAD_ROWS=0
+# restores the unpadded layout for A/B; AIM_JOINT_ARB=1 stages the
+# 'arbitrary' grid-semantics variant (measured irrelevant to the fault).
+_PAD_ROWS = bool(int(os.environ.get("AIM_JOINT_PAD_ROWS", "1")))
+_JOINT_SEMANTICS = ("arbitrary" if int(os.environ.get("AIM_JOINT_ARB", "0"))
+                    else "parallel")
+
+
+def _maybe_pad_rows(arr2d, tm: int):
+    """Pad axis 0 to a multiple of ``tm`` (returns (padded, orig_rows))."""
+    rows = arr2d.shape[0]
+    pad = (-rows) % tm
+    if not _PAD_ROWS or pad == 0:
+        return arr2d, rows
+    return jnp.pad(arr2d, ((0, pad), (0, 0))), rows
 
 
 def _kernel(x_ref, lns_ref, lnb_ref, wfc_ref, bfc_ref, wproj_ref, bproj_ref,
@@ -189,12 +215,14 @@ def fused_joint_mlp_rows(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj,
     hs = d4 // n_splits
     tm = min(tile_rows, _round_up(rows, 16))
 
-    xr = x.reshape(rows, d)
+    xr, _ = _maybe_pad_rows(x.reshape(rows, d), tm)
     has_gate = gate is not None
-    gate_r = (gate.reshape(rows, 1).astype(jnp.float32) if has_gate
-              else jnp.zeros((1, 1), jnp.float32))
+    gate_r = (_maybe_pad_rows(
+        gate.reshape(rows, 1).astype(jnp.float32), tm)[0] if has_gate
+        else jnp.zeros((1, 1), jnp.float32))
+    rows_k = xr.shape[0]  # kernel-visible rows (padded when AIM_JOINT_PAD_ROWS)
 
-    n_tiles = -(-rows // tm)
+    n_tiles = -(-rows_k // tm)
     row_spec = lambda w: pl.BlockSpec((tm, w), lambda i: (i, 0),
                                       memory_space=pltpu.VMEM)
     vec = lambda w: pl.BlockSpec((w,), lambda i: (0,),
@@ -219,7 +247,7 @@ def fused_joint_mlp_rows(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj,
         flops_s = 2 * rows * d * (2 * hs + (2 * dh if first else 0))
         carry = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((rows, d), out_dtype),
+            out_shape=jax.ShapeDtypeStruct((rows_k, d), out_dtype),
             grid=(n_tiles,),
             in_specs=[
                 row_spec(d), vec(d), vec(d),
@@ -228,7 +256,7 @@ def fused_joint_mlp_rows(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj,
                 gate_spec, carry_spec,
             ],
             out_specs=row_spec(d),
-            compiler_params=_cparams("parallel"),
+            compiler_params=_cparams(_JOINT_SEMANTICS),
             cost_estimate=pl.CostEstimate(
                 flops=flops_s,
                 bytes_accessed=2 * rows * d * (2 if last and first else 6)
@@ -239,6 +267,8 @@ def fused_joint_mlp_rows(x, ln_scale, ln_bias, w_fc, b_fc, w_proj, b_proj,
           w_fc[:, s * hs:(s + 1) * hs], b_fc[s * hs:(s + 1) * hs],
           w_proj[s * hs:(s + 1) * hs], b_proj,
           w1, b1, w2, b2, gate_r, carry)
+    if rows_k != rows:
+        carry = carry[:rows]
     return carry.reshape(b, l, d)
 
 
@@ -401,11 +431,13 @@ def fused_joint_mlp_rows_bwd(x, g, gate, ln_scale, ln_bias, w_fc, b_fc,
     inner = 2 if hs * d * 2 > 5 * 2 ** 20 else 1
     has_gate = gate is not None
 
-    xr = x.reshape(rows, d)
-    gr = g.reshape(rows, d)
-    gate_r = (gate.reshape(rows, 1).astype(jnp.float32) if has_gate
-              else jnp.zeros((1, 1), jnp.float32))
-    n_tiles = -(-rows // tm)
+    xr, _ = _maybe_pad_rows(x.reshape(rows, d), tm)
+    gr, _ = _maybe_pad_rows(g.reshape(rows, d), tm)
+    gate_r = (_maybe_pad_rows(
+        gate.reshape(rows, 1).astype(jnp.float32), tm)[0] if has_gate
+        else jnp.zeros((1, 1), jnp.float32))
+    rows_k = xr.shape[0]
+    n_tiles = -(-rows_k // tm)
     row_spec = lambda w: pl.BlockSpec((tm, w), lambda i: (i, 0),
                                       memory_space=pltpu.VMEM)
     dummy = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -423,12 +455,12 @@ def fused_joint_mlp_rows_bwd(x, g, gate, ln_scale, ln_bias, w_fc, b_fc,
                                    first=first, has_gate=has_gate,
                                    scale=float(scale))
         out_dtype = x.dtype if last else jnp.float32
-        out_shape = [jax.ShapeDtypeStruct((rows, d), out_dtype)]
+        out_shape = [jax.ShapeDtypeStruct((rows_k, d), out_dtype)]
         out_specs = [row_spec(d)]
         if first:
-            out_shape += [jax.ShapeDtypeStruct((rows, d), x.dtype),
-                          jax.ShapeDtypeStruct((rows, dh), x.dtype),
-                          jax.ShapeDtypeStruct((rows, dh), x.dtype)]
+            out_shape += [jax.ShapeDtypeStruct((rows_k, d), x.dtype),
+                          jax.ShapeDtypeStruct((rows_k, dh), x.dtype),
+                          jax.ShapeDtypeStruct((rows_k, dh), x.dtype)]
             out_specs += [row_spec(d), row_spec(dh), row_spec(dh)]
         else:
             out_shape += [jax.ShapeDtypeStruct((1, 1), x.dtype)] * 3
@@ -446,7 +478,7 @@ def fused_joint_mlp_rows_bwd(x, g, gate, ln_scale, ln_bias, w_fc, b_fc,
                 mat(d, dh), vec(dh), mat(dh, d),
             ],
             out_specs=tuple(out_specs),
-            compiler_params=_cparams("parallel"),
+            compiler_params=_cparams(_JOINT_SEMANTICS),
             cost_estimate=pl.CostEstimate(
                 flops=2 * rows * d * 3 * hs,
                 bytes_accessed=2 * rows * d * 10 + 2 * d * hs * 2,
@@ -459,6 +491,8 @@ def fused_joint_mlp_rows_bwd(x, g, gate, ln_scale, ln_bias, w_fc, b_fc,
         carry = outs[0]
         if first:
             xn, dpre, a = outs[1], outs[2], outs[3]
+    if rows_k != rows:
+        carry, xn, dpre, a = (t[:rows] for t in (carry, xn, dpre, a))
     return carry.reshape(b, l, d), xn, dpre, a
 
 

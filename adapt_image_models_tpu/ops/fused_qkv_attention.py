@@ -173,6 +173,25 @@ def _is_pow2(x: float) -> bool:
     return m == 0.5
 
 
+def _smem_gate(gate2d: jax.Array) -> jax.Array:
+    """Pad a 2-D SMEM gate array's leading dim to >= 8 rows.
+
+    Defensive hardening from the round-5 batch-4 kernel-fault bisect
+    (PARITY.md): small micro-batches are the only place the drop-path
+    gate arrays drop below the fp32 sublane count ((4, 8) at batch 4 vs
+    (32, 8)+ in every benchmarked config), and batch 4 reproducibly
+    killed the v5e worker. The confirmed trigger was the joint rows
+    kernels' partial row tile (see ops/fused_joint_mlp.py), but sub-8-row
+    SMEM windows are kept padded too — batch 4 is a legal micro-batch
+    (reference ``apis/train.py:53`` divides ``videos_per_gpu`` by
+    ``update_interval``) and the padding is inert (kernels only index
+    rows < b)."""
+    b = gate2d.shape[0]
+    if b >= 8:
+        return gate2d
+    return jnp.pad(gate2d, ((0, 8 - b), (0, 0)))
+
+
 # Stacked-head softmax transient cap: heads are processed in chunks whose
 # concatenated score matrix stays <= ~2496 rows (ViT-B: all 12 heads in one
 # chunk, 2.1 MB fp32; ViT-L lp=272 would stack 4.7 MB -> chunked). Measured
@@ -1311,7 +1330,7 @@ def fused_step_bwd_dx(x, gate, ln_scale, ln_bias, w_qkv, b_qkv, w_out,
     lp = _round_up(l, 16)
     scale = 1.0 / ((d // num_heads) ** 0.5)
     has_gate = gate is not None
-    gate_in = (gate.reshape(b, 1).astype(jnp.float32) if has_gate
+    gate_in = (_smem_gate(gate.reshape(b, 1).astype(jnp.float32)) if has_gate
                else jnp.zeros((1, 1), jnp.float32))
     kernel = functools.partial(_kernel_step_bwd_dx, heads=num_heads,
                                l_actual=l_actual, scale=scale, skip=skip,
@@ -1566,5 +1585,5 @@ def fused_ln_attn_adapter_residual_gated(x, gate, ln_scale, ln_bias, w_qkv,
                   *adapter_specs],
         out_specs=(x_spec, x_spec) if emit_u else x_spec,
         compiler_params=_cparams("parallel"),
-    )(x, gate.reshape(b, 1).astype(jnp.float32), ln_scale, ln_bias,
+    )(x, _smem_gate(gate.reshape(b, 1).astype(jnp.float32)), ln_scale, ln_bias,
       w_qkv, b_qkv, w_out, b_out, w1, b1, w2, b2)

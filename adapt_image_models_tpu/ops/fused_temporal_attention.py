@@ -35,7 +35,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from adapt_image_models_tpu.ops.fused_qkv_attention import _cparams
+from adapt_image_models_tpu.ops.fused_qkv_attention import (
+    _cparams, _smem_gate,
+)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -1579,7 +1581,7 @@ def fused_temporal_step_bwd_dx(x, gate, ln_scale, ln_bias, w_qkv, b_qkv,
     dh = w1.shape[1]
     scale = 1.0 / ((d // num_heads) ** 0.5)
     has_gate = gate is not None
-    gate_in = (gate.reshape(b, t).astype(jnp.float32) if has_gate
+    gate_in = (_smem_gate(gate.reshape(b, t).astype(jnp.float32)) if has_gate
                else jnp.zeros((1, 1), jnp.float32))
     kernel = functools.partial(_kernel_temporal_step_bwd_dx, t=t,
                                heads=num_heads, scale=scale, skip=skip,
@@ -1715,7 +1717,7 @@ def fused_ln_temporal_adapter_residual_gated(x, gate, ln_scale, ln_bias,
                   vec],
         out_specs=(blk, blk) if emit_u else blk,
         compiler_params=_cparams("parallel", "parallel"),
-    )(x, gate.reshape(b, t).astype(jnp.float32), ln_scale, ln_bias,
+    )(x, _smem_gate(gate.reshape(b, t).astype(jnp.float32)), ln_scale, ln_bias,
       w_qkv, b_qkv, w_out, b_out, seg, w1, b1, w2, b2)
 
 

@@ -13,7 +13,13 @@ import pytest
 
 REPO = osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__))))
 PY = sys.executable
-ENV = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+# AIM_FAST_COMPILE / AIM_COMPILE_CACHE (utils/env.apply_device_override):
+# tool subprocesses are compile-dominated on tiny inputs and cannot see the
+# conftest's in-process jax.config tuning — skip most XLA passes and share a
+# persistent cache so warm suite re-runs skip tool compiles entirely
+ENV = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO,
+           AIM_FAST_COMPILE="1",
+           AIM_COMPILE_CACHE=osp.join(REPO, "tests", ".jax_cache_tools"))
 
 
 def run_tool(*args, ok=True):
