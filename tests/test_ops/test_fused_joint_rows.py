@@ -97,3 +97,40 @@ def test_train_block_frozen_cotangents_are_zero(weights, x):
         g_ln, g_fc = jax.jit(jax.grad(loss, argnums=(0, 1)))(weights[0], weights[2])
     assert float(jnp.abs(g_ln).max()) == 0.0
     assert float(jnp.abs(g_fc).max()) == 0.0
+
+
+def test_rows_padding_modes_bit_identical(weights, x, monkeypatch):
+    """The partial-row-tile hardening (round 5: unpadded partial tiles
+    kernel-fault the v5e worker inside full train programs, PARITY.md)
+    must be a pure layout change: padded and unpadded kernels agree
+    bit-for-bit at a rows % tile != 0 geometry."""
+    import adapt_image_models_tpu.ops.fused_joint_mlp as m
+
+    assert (B * L) % 16 != 0  # geometry actually exercises the pad
+    outs = {}
+    for pad in (False, True):
+        monkeypatch.setattr(m, "_PAD_ROWS", pad)
+        with pltpu.force_tpu_interpret_mode():
+            outs[pad] = np.asarray(fused_joint_mlp_rows(
+                x, *weights, SCALE, tile_rows=16))
+    np.testing.assert_array_equal(outs[False], outs[True])
+
+
+def test_rows_bwd_padding_modes_bit_identical(weights, x, monkeypatch):
+    import adapt_image_models_tpu.ops.fused_joint_mlp as m
+
+    gate = (jnp.arange(B * L) % 3).astype(jnp.float32)
+    grads = {}
+    for pad in (False, True):
+        monkeypatch.setattr(m, "_PAD_ROWS", pad)
+
+        def loss(x_, w1, b1, w2, b2):
+            y = fused_joint_train_block(
+                x_, *weights[:6], w1, b1, w2, b2, gate, SCALE)
+            return jnp.sum(y ** 2)
+
+        with pltpu.force_tpu_interpret_mode():
+            grads[pad] = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))(
+                x, *weights[6:])
+    for a, b_ in zip(grads[False], grads[True]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
